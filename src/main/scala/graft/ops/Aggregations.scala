@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Scale notes: every groupBy here is partial-aggregatable (HashAggregate
+  * partial → shuffle on the group keys → final), so the shuffle carries one
+  * row per (partition, key), not per input row. `agg_collect_sorted` is the
+  * deliberate exception (ObjectHashAggregate buffer) and is kept on a
+  * 25-row table. Exact count-distinct goes through Spark's Expand two-phase
+  * plan; at 100 TB prefer `agg_approx_distinct` (HLL, constant memory).
+  */
+object Aggregations {
+  val ops: Map[String, Q] = Map(
+    // TPC-H Q1 pricing summary — the flagship.
+    "agg_hash_groupby" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          money(sum("l_quantity")).as("sum_qty"),
+          money(sum("l_extendedprice")).as("sum_base_price"),
+          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          money(avg("l_quantity")).as("avg_qty"),
+          money(avg("l_extendedprice")).as("avg_price"),
+          d4(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_global" -> ((s, d) =>
+      lineitem(s, d)
+        .agg(
+          money(sum("l_extendedprice")).as("sum_price"),
+          money(sum("l_quantity")).as("sum_qty"),
+          money(avg("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("n_rows"))),
+
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("n_custs"))
+        .orderBy("o_orderstatus")),
+
+    "agg_multi_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct("o_custkey").as("n_custs"),
+          countDistinct("o_orderpriority").as("n_prios"),
+          money(sum("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch values are engine-specific → oracle omitted (unit test
+    // asserts ±5% of exact instead).
+    "agg_approx_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    "agg_grouping_sets" -> ((s, d) =>
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          money(sum("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(
+          col("g_status"), col("g_prio"),
+          asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // SQL form: the Dataset `rollup` API trips Spark 4.1's ambiguous-self-join
+    // check whenever the grouping columns come from a join (even after a
+    // projection); `GROUP BY ROLLUP` through the SQL path resolves cleanly.
+    "agg_rollup" -> ((s, d) => {
+      val src = customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name")
+      src.createOrReplaceTempView("graft_rollup_src")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_custs FROM graft_rollup_src
+           GROUP BY ROLLUP (r_name, n_name)
+           ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
+    "agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Deterministic arg-max: ties on acctbal break on the higher custkey via
+    // lexicographic struct ordering (same total order as the oracle SQL).
+    "agg_minmax_by" -> ((s, d) =>
+      customer(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey"))).as("top_customer"),
+          money(max("c_acctbal")).as("top_acctbal"))
+        .orderBy("n_name")),
+
+    // collect_list is a non-partial-able object buffer; sorted then joined to
+    // a plain string so the hashed output has no nested types.
+    "agg_collect_sorted" -> ((s, d) =>
+      nation(s, d)
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")),
+
+    "agg_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          d4(stddev_samp("l_extendedprice")).as("sd_price"),
+          d4(var_samp("l_quantity")).as("var_qty"),
+          d4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+          d4(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("covar_pq"))
+        .orderBy("l_returnflag")),
+
+    "agg_percentile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          d4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
+          d4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
+        .orderBy("l_linestatus")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${moneySql("sum(l_quantity)")} AS sum_qty,
+          ${moneySql("sum(l_extendedprice)")} AS sum_base_price,
+          ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+          ${moneySql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+          ${moneySql("avg(l_quantity)")} AS avg_qty,
+          ${moneySql("avg(l_extendedprice)")} AS avg_price,
+          ${d4Sql("avg(l_discount)")} AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "agg_global" ->
+      s"""SELECT ${moneySql("sum(l_extendedprice)")} AS sum_price,
+          ${moneySql("sum(l_quantity)")} AS sum_qty,
+          ${moneySql("avg(l_extendedprice)")} AS avg_price,
+          count(*) AS n_rows FROM lineitem""",
+    "agg_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_multi_distinct" ->
+      s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+          count(DISTINCT o_orderpriority) AS n_prios,
+          ${moneySql("sum(o_totalprice)")} AS total
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // agg_approx_distinct: omitted (sketch values are engine-specific).
+    "agg_grouping_sets" ->
+      s"""SELECT GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+          ${moneySql("sum(o_totalprice)")} AS revenue, count(*) AS n,
+          o_orderstatus, o_orderpriority
+          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_custs
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_minmax_by" ->
+      s"""SELECT n_name, c_name AS top_customer, ${moneySql("mx")} AS top_acctbal
+          FROM (SELECT n_name, c_name, max(c_acctbal) OVER (PARTITION BY n_name) AS mx,
+                       row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+                FROM customer JOIN nation ON c_nationkey = n_nationkey)
+          WHERE rn = 1 ORDER BY n_name""",
+    "agg_collect_sorted" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "agg_stats" ->
+      s"""SELECT l_returnflag,
+          ${d4Sql("stddev_samp(l_extendedprice)")} AS sd_price,
+          ${d4Sql("var_samp(l_quantity)")} AS var_qty,
+          ${d4Sql("corr(l_extendedprice, l_quantity)")} AS corr_pq,
+          ${d4Sql("covar_samp(l_extendedprice, l_quantity)")} AS covar_pq
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_percentile" ->
+      s"""SELECT l_linestatus,
+          ${d4Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+          ${d4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
+          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+  )
+}

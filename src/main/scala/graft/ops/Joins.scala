@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part at TPC-H
+  * ratios) get explicit `broadcast()` hints so the big fact side never
+  * shuffles for them; fact-fact joins (orders ⋈ lineitem) shuffle on the
+  * join key and are AQE-eligible (skew-join split, runtime broadcast).
+  * The as-of join deliberately avoids a join: it is a single shuffle on
+  * user_id + one sorted window pass — the scalable pattern for event-time
+  * as-of matching (no per-row range probe, no O(n²) candidate space).
+  */
+object Joins {
+  val ops: Map[String, Q] = Map(
+    "join_inner_hash" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")),
+
+    "join_broadcast" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")),
+
+    "join_sort_merge" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_right_outer" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s, d) => {
+      val sup = supplier(s, d).select(col("s_suppkey"))
+      val li  = lineitem(s, d).select(col("l_suppkey")).distinct()
+      sup.join(li, col("s_suppkey") === col("l_suppkey"), "full")
+        .select(
+          coalesce(col("s_suppkey"), col("l_suppkey")).as("suppkey"),
+          col("s_suppkey").isNotNull.as("has_supplier"),
+          col("l_suppkey").isNotNull.as("has_lineitem"))
+        .orderBy("suppkey")
+    }),
+
+    "join_left_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_left_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // Equi key + theta residual: the equi part hashes, the theta part is a
+    // post-probe filter — no nested-loop explosion.
+    "join_theta" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    "join_range_interval" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Event-time as-of: for each purchase, the most recent preceding click by
+    // the same user. One shuffle on user_id + ordered window scan; `last(...,
+    // ignoreNulls)` carries the latest click timestamp forward.
+    "join_asof" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), tsec(col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts_s")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_s", "last_click_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // TPC-H Q5 shape: the three dimension legs are broadcast; only
+    // customer⋈orders⋈lineitem shuffles.
+    "join_multiway" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(
+          col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy("n_name")
+        .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .orderBy("n_name")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_hash" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${moneySql("sum(o_totalprice)")} AS total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
+    "join_sort_merge" ->
+      s"""SELECT o_orderstatus, ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+          count(*) AS n
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT coalesce(s_suppkey, l_suppkey) AS suppkey,
+                s_suppkey IS NOT NULL AS has_supplier,
+                l_suppkey IS NOT NULL AS has_lineitem
+         FROM supplier FULL OUTER JOIN (SELECT DISTINCT l_suppkey FROM lineitem) li
+           ON s_suppkey = l_suppkey
+         ORDER BY suppkey""",
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_theta" ->
+      """SELECT p_brand, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+         GROUP BY p_brand ORDER BY p_brand""",
+    "join_range_interval" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL '90 days'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Same window emulation as the Spark side for semantic identity
+    // (SURVEY §2.C join_asof).
+    "join_asof" ->
+      """SELECT user_id, event_id, ts_s, last_click_ts FROM (
+           SELECT user_id, event_id, event_type, ts_s,
+                  last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+           FROM (SELECT event_id, user_id, event_type,
+                        CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+                 FROM events WHERE event_type IN ('click','purchase')))
+         WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "join_multiway" ->
+      s"""SELECT n_name, ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY n_name""",
+  )
+}
