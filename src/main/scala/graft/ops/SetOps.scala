@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.G — set operations + deduplication.
+  *
+  * Operands: custkeys of BUILDING-segment customers (A) vs custkeys that
+  * appear in orders (B, distinct).
+  *
+  * Scale notes: Catalyst rewrites `intersect`→left-semi and `except`→
+  * left-anti (one shuffle each, no materialized intermediate); `distinct` is
+  * a hash aggregate with map-side partial dedup, so the shuffle carries
+  * already-deduped keys. `dedup_keep_first` is the deterministic alternative
+  * to `dropDuplicates` — `row_number()=1` over an explicit total order, one
+  * shuffle on the dedup key.
+  */
+object SetOps {
+  private def a(s: org.apache.spark.sql.SparkSession, d: String) =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+  private def b(s: org.apache.spark.sql.SparkSession, d: String) =
+    orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+
+  private val aSql = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+  private val bSql = "SELECT DISTINCT o_custkey AS custkey FROM orders"
+
+  val ops: Map[String, Q] = Map(
+    "set_union_all" -> ((s, d) => a(s, d).unionAll(b(s, d)).orderBy("custkey")),
+    "set_union_distinct" -> ((s, d) => a(s, d).union(b(s, d)).distinct().orderBy("custkey")),
+    "set_intersect" -> ((s, d) => a(s, d).intersect(b(s, d)).orderBy("custkey")),
+    "set_except" -> ((s, d) => a(s, d).except(b(s, d)).orderBy("custkey")),
+    "set_intersect_all" -> ((s, d) => a(s, d).intersectAll(b(s, d)).orderBy("custkey")),
+
+    "dedup_distinct" -> ((s, d) =>
+      events(s, d)
+        .select("event_type", "user_id")
+        .distinct()
+        .orderBy("event_type", "user_id")),
+
+    "dedup_keep_first" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"), col("event_type"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts_s", "event_id")))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "set_union_all" -> s"($aSql) UNION ALL ($bSql) ORDER BY custkey",
+    "set_union_distinct" -> s"($aSql) UNION ($bSql) ORDER BY custkey",
+    "set_intersect" -> s"($aSql) INTERSECT ($bSql) ORDER BY custkey",
+    "set_except" -> s"($aSql) EXCEPT ($bSql) ORDER BY custkey",
+    "set_intersect_all" -> s"($aSql) INTERSECT ALL ($bSql) ORDER BY custkey",
+    "dedup_distinct" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id",
+    "dedup_keep_first" ->
+      """SELECT user_id, event_id, ts_s, event_type FROM (
+           SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY CAST(date_trunc('second', ts) AS TIMESTAMP), event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+  )
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Determinism: `row_number`/`ntile` windows always order by a unique key
+  * (`o_orderkey` / `event_id`) so tie order can't differ between engines;
+  * `rank`/`percent_rank`/`cume_dist`/RANGE frames are value-determined and
+  * need no tiebreak inside the frame, only in the final output sort.
+  *
+  * Scale notes: every window here is partitioned (by customer / user), so the
+  * plan is one hash shuffle on the partition key + an in-partition sort — no
+  * global sort, no driver collection. The two global windows (`win_percent`,
+  * `win_range_frame` if unpartitioned) are the known anti-pattern at 100 TB;
+  * `win_percent` is kept global deliberately as the documented exception and
+  * `win_range_frame` is partitioned by customer.
+  */
+object Windows {
+  private def ordersW(s: org.apache.spark.sql.SparkSession, d: String) = orders(s, d)
+
+  val ops: Map[String, Q] = Map(
+    "win_row_number" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")).as("rn"))
+        .orderBy("o_custkey", "rn")),
+
+    "win_rank_dense" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)).as("rnk"),
+          dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)).as("drnk"))
+        .orderBy("o_custkey", "rnk", "o_orderkey")),
+
+    "win_ntile" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(
+            Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("quartile"))
+        .orderBy("o_custkey", "quartile", "o_orderkey")),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          lag(col("o_orderdate").cast("date"), 1).over(w).as("prev_d"),
+          lead(col("o_orderdate").cast("date"), 1).over(w).as("next_d"))
+        .withColumn("gap_days", datediff(col("d"), col("prev_d")))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(sum("o_totalprice").over(w)).as("cum_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_sliding_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id").rowsBetween(-2, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          d4(avg("value").over(w)).as("avg3"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          money(sum("o_totalprice").over(w)).as("near_sum"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"), col("event_type"))
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // Global (unpartitioned) analytic window — the documented 100 TB
+    // exception; at scale this becomes a range-partitioned two-pass rank.
+    "win_percent" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          d4(percent_rank().over(Window.orderBy("o_totalprice"))).as("pct_rank"),
+          d4(cume_dist().over(Window.orderBy("o_totalprice"))).as("cdist"))
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(500)),
+
+    "win_topk_per_group" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(
+            Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders ORDER BY o_custkey, rn""",
+    "win_rank_dense" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+         FROM orders ORDER BY o_custkey, rnk, o_orderkey""",
+    "win_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+                ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+         FROM orders ORDER BY o_custkey, quartile, o_orderkey""",
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, d,
+                lag(d, 1) OVER w AS prev_d, lead(d, 1) OVER w AS next_d,
+                date_diff('day', lag(d, 1) OVER w, d) AS gap_days
+         FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "win_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+          ${moneySql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
+          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_sliding_avg" ->
+      s"""SELECT user_id, event_id, ts_s,
+          ${d4Sql("avg(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS avg3
+          FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value FROM events)
+          ORDER BY user_id, event_id""",
+    "win_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+          ${moneySql("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)")} AS near_sum
+          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_first_last" ->
+      """SELECT DISTINCT user_id,
+                first_value(event_type) OVER w AS first_type,
+                last_value(event_type) OVER w AS last_type
+         FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id""",
+    "win_percent" ->
+      s"""SELECT o_orderkey, o_totalprice,
+          ${d4Sql("percent_rank() OVER (ORDER BY o_totalprice)")} AS pct_rank,
+          ${d4Sql("cume_dist() OVER (ORDER BY o_totalprice)")} AS cdist
+          FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 500""",
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+  )
+}
