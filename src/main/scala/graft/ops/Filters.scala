@@ -13,7 +13,7 @@ object Filters {
           col("l_orderkey"), col("l_linenumber"),
           money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           money(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
         .limit(100)),
 
     // TPC-H Q6 shape: tight conjunctive filter fully pushable to the scan.
@@ -57,7 +57,7 @@ object Filters {
       s"""SELECT l_orderkey, l_linenumber,
           ${moneySql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
           ${moneySql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS charge
-          FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 100""",
     "filter_conjunctive" ->
       s"""SELECT ${moneySql("sum(l_extendedprice * l_discount)")} AS revenue, count(*) AS n
           FROM lineitem

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.H — scalar function families.
+  *
+  * Each op projects one family over a small key-ordered slice. The oracle SQL
+  * encodes the verified dialect bridges (probed against DuckDB 1.0.0):
+  *   - Spark `dayofweek` (1=Sunday) = DuckDB `extract(dow ...)` + 1
+  *   - Spark `posexplode` (0-based) = DuckDB zipped `unnest(arr), unnest(range(len(arr)))`
+  *   - Spark double→int CAST truncates; DuckDB rounds → oracle uses `trunc()`
+  *   - Spark `ceil`/`floor` return BIGINT; DuckDB DOUBLE → cast both sides
+  *   - Spark `regexp_replace` replaces all; DuckDB needs the 'g' flag
+  *   - Spark `unix_timestamp` returns BIGINT; DuckDB `epoch()` DOUBLE → cast
+  *   - Spark `sign` returns DOUBLE; DuckDB TINYINT → cast both to INT
+  * All codegen'd built-ins — no UDFs in any of these paths.
+  */
+object Scalars {
+  val ops: Map[String, Q] = Map(
+    "str_basic" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          trim(col("c_name")).as("tr"),
+          ltrim(col("c_name")).as("ltr"),
+          substring(col("c_name"), 10, 8).as("sub"),
+          length(col("c_name")).as("len"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"),
+          lpad(col("c_mktsegment"), 12, "*").as("lp"),
+          rpad(col("c_mktsegment"), 12, "*").as("rp"),
+          regexp_replace(col("c_name"), lit("Customer#"), lit("C")).as("repl"),
+          reverse(col("c_mktsegment")).as("rev"))
+        .orderBy("c_custkey").limit(50)),
+
+    "str_regexp" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_brand"), "[0-9]", "#").as("masked"),
+          col("p_type").rlike("ECONOMY").as("is_economy"))
+        .orderBy("p_partkey").limit(50)),
+
+    "str_split_pos" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
+    "date_parts" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("q"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
+        .orderBy("o_orderkey").limit(50)),
+
+    "ts_parts" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), tsec(col("ts")).as("ts_s"))
+        .select(col("event_id"), col("ts_s"),
+          hour(col("ts_s")).as("h"),
+          minute(col("ts_s")).as("mi"),
+          unix_timestamp(col("ts_s")).as("epoch_s"),
+          date_trunc("hour", col("ts_s")).as("hour_start"))
+        .orderBy("event_id").limit(50)),
+
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — row
+    // slices over lineitem sort on the 4-column key (orderkey, linenumber,
+    // extendedprice, quantity), verified unique at sf0.1, before projecting.
+    "math_basic" -> ((s, d) =>
+      lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 1).as("r_qty"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          ceil(col("l_extendedprice")).as("ceil_p"),
+          floor(col("l_extendedprice")).as("floor_p"),
+          d4(sqrt(col("l_quantity"))).as("sqrt_q"),
+          d4(exp(col("l_discount"))).as("exp_d"),
+          d4(log(col("l_extendedprice"))).as("ln_p"),
+          d4(log10(col("l_extendedprice"))).as("log10_p"),
+          pow(col("l_quantity"), 2).as("q2"),
+          pmod(col("l_partkey"), lit(7)).as("pm"),
+          signum(col("l_discount") - 0.05).cast("int").as("sgn"))),
+
+    "cond_case" -> ((s, d) =>
+      lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") < 0.03, "low")
+            .when(col("l_discount") < 0.07, "mid")
+            .otherwise("high").as("disc_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+          least(col("l_quantity"), lit(25.0)).as("q_cap"),
+          greatest(col("l_tax"), lit(0.05)).as("tax_floor"))),
+
+    "cast_types" -> ((s, d) =>
+      lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .limit(50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("int").as("price_int"),
+          col("l_linenumber").cast("string").as("ln_str"),
+          col("l_quantity").cast("string").cast("double").as("qty_roundtrip"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"))),
+
+    "array_basic" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("n"),
+          d4(element_at(col("embedding"), 1).cast("double")).as("e1"),
+          d4(element_at(slice(col("embedding"), 1, 4), 4).cast("double")).as("e4"),
+          array_contains(slice(col("embedding"), 1, 4), array_max(col("embedding"))).as("max_in_head"),
+          d4(array_min(col("embedding")).cast("double")).as("mn"),
+          d4(array_max(col("embedding")).cast("double")).as("mx"))
+        .orderBy("vec_id").limit(20)),
+
+    "array_higher_order" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          d4(expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * 2), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")).as("sum2x"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"))
+        .orderBy("vec_id").limit(20)),
+
+    // Map built then exploded to plain rows — no map column reaches output.
+    "map_entries" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_id") < 25)
+        .select(col("event_id"),
+          explode(map(
+            lit("type"), col("event_type"),
+            lit("uid"), col("user_id").cast("string"))).as(Seq("k", "v")))
+        .orderBy("event_id", "k")),
+
+    "json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("j"))
+        .groupBy("event_type")
+        .agg(count(col("j")).as("n"),
+          sum(col("j")).as("total"),
+          d4(avg(col("j"))).as("avg_k"),
+          min(col("j")).as("mn"),
+          max(col("j")).as("mx"))
+        .orderBy("event_type")),
+
+    "hash_funcs" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha"))
+        .orderBy("doc_id").limit(50)),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "str_basic" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                trim(c_name) AS tr, ltrim(c_name) AS ltr,
+                substring(c_name, 10, 8) AS sub, length(c_name) AS len,
+                concat_ws('-', c_mktsegment, c_name) AS cw,
+                lpad(c_mktsegment, 12, '*') AS lp, rpad(c_mktsegment, 12, '*') AS rp,
+                replace(c_name, 'Customer#', 'C') AS repl,
+                reverse(c_mktsegment) AS rev
+         FROM customer ORDER BY c_custkey LIMIT 50""",
+    "str_regexp" ->
+      """SELECT p_partkey, regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+                regexp_replace(p_brand, '[0-9]', '#', 'g') AS masked,
+                regexp_matches(p_type, 'ECONOMY') AS is_economy
+         FROM part ORDER BY p_partkey LIMIT 50""",
+    "str_split_pos" ->
+      """SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos,
+                unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id < 5 ORDER BY doc_id, pos""",
+    "date_parts" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                dayofmonth(o_orderdate) AS dom,
+                CAST(extract(dow FROM o_orderdate) + 1 AS INTEGER) AS dow,
+                quarter(o_orderdate) AS q,
+                CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                last_day(o_orderdate) AS month_end,
+                date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+                CAST(o_orderdate AS DATE) + 30 AS plus30
+         FROM orders ORDER BY o_orderkey LIMIT 50""",
+    "ts_parts" ->
+      """SELECT event_id, ts_s, hour(ts_s) AS h, minute(ts_s) AS mi,
+                CAST(epoch(ts_s) AS BIGINT) AS epoch_s,
+                date_trunc('hour', ts_s) AS hour_start
+         FROM (SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events)
+         ORDER BY event_id LIMIT 50""",
+    "math_basic" ->
+      s"""SELECT l_orderkey, l_linenumber,
+          round(l_quantity, 1) AS r_qty,
+          abs(l_discount - 0.05) AS abs_d,
+          CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+          CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+          ${d4Sql("sqrt(l_quantity)")} AS sqrt_q,
+          ${d4Sql("exp(l_discount)")} AS exp_d,
+          ${d4Sql("ln(l_extendedprice)")} AS ln_p,
+          ${d4Sql("log10(l_extendedprice)")} AS log10_p,
+          pow(l_quantity, 2) AS q2,
+          l_partkey % 7 AS pm,
+          CAST(sign(l_discount - 0.05) AS INTEGER) AS sgn
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "cond_case" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_discount < 0.03 THEN 'low'
+                     WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS disc_band,
+                coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+                least(l_quantity, 25.0) AS q_cap,
+                greatest(l_tax, 0.05) AS tax_floor
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(trunc(l_extendedprice) AS INTEGER) AS price_int,
+                CAST(l_linenumber AS VARCHAR) AS ln_str,
+                CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip,
+                CAST(l_shipdate AS DATE) AS ship_date,
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "array_basic" ->
+      s"""SELECT vec_id, len(embedding) AS n,
+          ${d4Sql("CAST(embedding[1] AS DOUBLE)")} AS e1,
+          ${d4Sql("CAST(embedding[1:4][4] AS DOUBLE)")} AS e4,
+          list_contains(embedding[1:4], list_max(embedding)) AS max_in_head,
+          ${d4Sql("CAST(list_min(embedding) AS DOUBLE)")} AS mn,
+          ${d4Sql("CAST(list_max(embedding) AS DOUBLE)")} AS mx
+          FROM embeddings ORDER BY vec_id LIMIT 20""",
+    "array_higher_order" ->
+      s"""SELECT vec_id,
+          ${d4Sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2))")} AS sum2x,
+          len(list_filter(embedding, x -> x > 0)) AS n_pos
+          FROM embeddings ORDER BY vec_id LIMIT 20""",
+    "map_entries" ->
+      """SELECT event_id, k, v FROM (
+           SELECT event_id, 'type' AS k, event_type AS v FROM events WHERE event_id < 25
+           UNION ALL
+           SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events WHERE event_id < 25)
+         ORDER BY event_id, k""",
+    "json_extract" ->
+      s"""SELECT event_type, count(j) AS n, sum(j) AS total,
+          ${d4Sql("avg(j)")} AS avg_k, min(j) AS mn, max(j) AS mx
+          FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INTEGER) AS j FROM events)
+          GROUP BY event_type ORDER BY event_type""",
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
+         FROM documents ORDER BY doc_id LIMIT 50""",
+  )
+}

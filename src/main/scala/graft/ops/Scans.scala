@@ -18,7 +18,7 @@ object Scans {
     "scan_projection" -> ((s, d) =>
       lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)),
 
     "scan_predicate_pushdown" -> ((s, d) =>
@@ -33,7 +33,7 @@ object Scans {
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""",
     "scan_predicate_pushdown" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month, count(*) AS n
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
