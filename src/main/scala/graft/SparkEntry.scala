@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.ops ++ Filters.ops ++ Aggregations.ops ++ Joins.ops ++
-      Windows.ops ++ Sorts.ops ++ SetOps.ops ++ Scalars.ops ++ LlmPipeline.ops
+      Windows.ops ++ Sorts.ops ++ SetOps.ops ++ Scalars.ops ++ LlmPipeline.ops ++
+      Streaming.ops ++ Extensions.ops
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Filters.oracle ++ Aggregations.oracle ++ Joins.oracle ++
-      Windows.oracle ++ Sorts.oracle ++ SetOps.oracle ++ Scalars.oracle ++ LlmPipeline.oracle
+      Windows.oracle ++ Sorts.oracle ++ SetOps.oracle ++ Scalars.oracle ++ LlmPipeline.oracle ++
+      Streaming.oracle ++ Extensions.oracle
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.K — user-defined function surface, public API only.
+  *
+  * `Aggregator` (public since Spark 3.0) is used for both typed and
+  * "imperative sketch-style" UDAFs — no internal TypedImperativeAggregate —
+  * and the row-generating UDTF is `Dataset.flatMap`. Scalar UDFs are
+  * deliberately the exception in this codebase (everything else is
+  * codegen'd built-ins); `udf_scalar` exists to exercise the extension
+  * point, with the equivalent CASE expression as its oracle.
+  *
+  * Scale notes: an `Aggregator` participates in partial aggregation
+  * (reduce/merge), so these shuffle one buffer per (partition, key) like any
+  * built-in agg. flatMap generators stream per-partition — no state.
+  */
+object Extensions {
+  /** Geometric mean via sum-of-logs: merge-able, constant-size buffer. */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) = (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) = (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double = math.exp(b._1 / b._2)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Sketch-style packed summary [min, max, count] in one pass. */
+  object MinMaxCount extends Aggregator[Double, (Double, Double, Long), (Double, Double, Long)] {
+    def zero: (Double, Double, Long) = (Double.MaxValue, Double.MinValue, 0L)
+    def reduce(b: (Double, Double, Long), x: Double): (Double, Double, Long) =
+      (math.min(b._1, x), math.max(b._2, x), b._3 + 1)
+    def merge(a: (Double, Double, Long), b: (Double, Double, Long)): (Double, Double, Long) =
+      (math.min(a._1, b._1), math.max(a._2, b._2), a._3 + b._3)
+    def finish(b: (Double, Double, Long)): (Double, Double, Long) = b
+    def bufferEncoder: Encoder[(Double, Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[(Double, Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaLong)
+  }
+
+  val ops: Map[String, Q] = Map(
+    // Scala closure UDF: '1-URGENT' → 5 … '5-LOW' → 1, aggregated per status.
+    "udf_scalar" -> ((s, d) => {
+      val urgency = udf((p: String) => 6 - p.substring(0, 1).toInt)
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(d4(avg(urgency(col("o_orderpriority")))).as("avg_urgency"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "udaf_aggregator" -> ((s, d) => {
+      val geo = udaf(GeoMean)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(d4(geo(col("l_extendedprice"))).as("geo_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "udaf_imperative" -> ((s, d) => {
+      val mmc = udaf(MinMaxCount)
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(mmc(col("o_totalprice")).as("sketch"))
+        .select(col("o_orderpriority"),
+          money(col("sketch._1")).as("mn"),
+          money(col("sketch._2")).as("mx"),
+          col("sketch._3").as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Row-exploding generator: char-3-gram shingles with 0-based position.
+    "udtf_generator" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      documents(s, d).filter(col("doc_id") < 5)
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.sliding(3).filter(_.length == 3).zipWithIndex.map { case (sh, i) => (id, i, sh) }
+        }
+        .toDF("doc_id", "pos", "shingle")
+        .orderBy("doc_id", "pos")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "udf_scalar" ->
+      s"""SELECT o_orderstatus,
+          ${d4Sql("avg(CASE substring(o_orderpriority, 1, 1) WHEN '1' THEN 5 WHEN '2' THEN 4 WHEN '3' THEN 3 WHEN '4' THEN 2 ELSE 1 END)")} AS avg_urgency,
+          count(*) AS n
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "udaf_aggregator" ->
+      s"""SELECT l_returnflag, ${d4Sql("exp(avg(ln(l_extendedprice)))")} AS geo_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "udaf_imperative" ->
+      s"""SELECT o_orderpriority, ${moneySql("min(o_totalprice)")} AS mn,
+          ${moneySql("max(o_totalprice)")} AS mx, count(*) AS n
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "udtf_generator" ->
+      """SELECT doc_id, unnest(range(length(text) - 2)) AS pos,
+                unnest(list_transform(range(1, length(text) - 1), i -> substring(text, i, 3))) AS shingle
+         FROM documents WHERE doc_id < 5 ORDER BY doc_id, pos""",
+  )
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** SURVEY.md §2.I — streaming semantics, declared as batch-equivalent queries
+  * over `events` (the same final results a Structured Streaming job emits
+  * after all data is processed). The true-streaming twins (MemoryStream →
+  * identical operator → compare to these batch forms, watermark actually
+  * dropping a late row) live in `graft.StreamingSuite`.
+  *
+  * Scale notes: every shape here is watermark-compatible — tumbling/sliding
+  * windows and session windows are Spark's streaming-state primitives, and
+  * the batch forms use the same `window`/`session_window` expressions, so the
+  * code path is shared between batch and `readStream`. State per key is
+  * bounded (window count per key, one running accumulator per user).
+  */
+object Streaming {
+  val ops: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) =>
+      events(s, d)
+        .select(tsec(col("ts")).as("ts_s"), col("event_type"), col("value"))
+        .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), money(sum("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding" -> ((s, d) =>
+      events(s, d)
+        .select(tsec(col("ts")).as("ts_s"), col("event_type"))
+        .groupBy(window(col("ts_s"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+
+    "stream_session" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), tsec(col("ts")).as("ts_s"))
+        .groupBy(session_window(col("ts_s"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // Watermark semantics materialized in batch: the final watermark is
+    // max(ts) − 1 hour; anything older is dropped before windowing.
+    "stream_watermark_filter" -> ((s, d) => {
+      val ev = events(s, d).select(tsec(col("ts")).as("ts_s"), col("event_type"))
+      val wm = ev.agg(max("ts_s").as("max_ts"))
+      ev.crossJoin(broadcast(wm))
+        .filter(col("ts_s") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+        .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // At-least-once duplicate collapse: one row per (user, type, minute),
+    // keeping the earliest (ts, event_id) — the deterministic batch form of
+    // streaming dropDuplicatesWithinWatermark.
+    "stream_dedup_ids" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tsec(col("ts")).as("ts_s"),
+          date_trunc("minute", tsec(col("ts"))).as("minute_start"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type", "minute_start")
+            .orderBy("ts_s", "event_id")))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "minute_start", "event_id")
+        .orderBy("user_id", "event_type", "minute_start")),
+
+    // What mapGroupsWithState accumulates per user: running sum of `value`
+    // in event-time order.
+    "stream_stateful_running" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"), col("value"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          d4(sum("value").over(w)).as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+  )
+
+  private val tsS = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
+                 time_bucket(INTERVAL '1 hour', ts_s) + INTERVAL '1 hour' AS window_end,
+                 event_type, count(*) AS n, ${moneySql("sum(value)")} AS sum_value
+          FROM (SELECT $tsS AS ts_s, event_type, value FROM events)
+          GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    // Each event belongs to exactly 2 sliding windows: its 30-min bucket and
+    // the one 30 minutes earlier.
+    "stream_sliding" ->
+      s"""SELECT window_start, event_type, count(*) AS n FROM (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts_s),
+                           time_bucket(INTERVAL '30 minutes', ts_s) - INTERVAL '30 minutes']) AS window_start,
+                   event_type
+            FROM (SELECT $tsS AS ts_s, event_type FROM events))
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // Gaps-and-islands; session end = last event + gap (Spark session_window
+    // semantics).
+    "stream_session" ->
+      s"""WITH e AS (SELECT user_id, $tsS AS ts_s FROM events),
+               flagged AS (
+                 SELECT user_id, ts_s,
+                        CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                                  > INTERVAL '10 minutes'
+                             OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                             THEN 1 ELSE 0 END AS new_session
+                 FROM e),
+               sessions AS (
+                 SELECT user_id, ts_s,
+                        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM flagged)
+          SELECT user_id, min(ts_s) AS session_start,
+                 max(ts_s) + INTERVAL '10 minutes' AS session_end,
+                 count(*) AS n_events
+          FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "stream_watermark_filter" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start, event_type, count(*) AS n
+          FROM (SELECT $tsS AS ts_s, event_type FROM events)
+          WHERE ts_s >= (SELECT max($tsS) FROM events) - INTERVAL '1 hour'
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_dedup_ids" ->
+      s"""SELECT user_id, event_type, minute_start, event_id FROM (
+            SELECT user_id, event_type, date_trunc('minute', ts_s) AS minute_start, event_id, ts_s,
+                   row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts_s)
+                                      ORDER BY ts_s, event_id) AS rn
+            FROM (SELECT user_id, event_type, event_id, $tsS AS ts_s FROM events))
+          WHERE rn = 1 ORDER BY user_id, event_type, minute_start""",
+    "stream_stateful_running" ->
+      s"""SELECT user_id, event_id, ts_s,
+          ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value
+          FROM (SELECT user_id, event_id, $tsS AS ts_s, value FROM events)
+          ORDER BY user_id, event_id""",
+  )
+}
