@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Norm._
+import graft.Tables._
+
+/** Training-data-pipeline operators beyond SURVEY §2.J's core eight:
+  * SimHash fingerprints, char-n-gram Jaccard dedup, IVF-style ANN,
+  * data-driven language ID, quality scoring, token counting, document
+  * fingerprinting, and the multimodal binary-column path.
+  *
+  * Cross-engine determinism techniques used here:
+  *   - SimHash bits come from md5 nibbles decoded with
+  *     `instr('0123456789abcdef', …)` — identical in Spark and DuckDB, so a
+  *     64-bit SimHash is hash-parity-checkable (engine-native hash functions
+  *     are not, their seeds differ).
+  *   - Language-ID scores are pure INTEGER dot products (doc-bigram count ×
+  *     train-profile count) — no float ever enters the argmax.
+  *   - IVF uses the first 8 vectors as fixed coarse centroids: assignment
+  *     and 2-probe search are window-function argmaxes over broadcast-sized
+  *     joins (corpus × 8, never corpus × corpus).
+  */
+object LlmExtras {
+  // ---- shared cosine machinery (same fold as LlmPipeline) ----
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  private val dotExpr =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  // ---- SimHash: generated 64-bit signature from md5 nibbles ----
+  /** Nibble p (1..16) of md5(tok), as 0..15, via the cross-engine instr trick. */
+  private def nib(p: Int) = s"(instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1)"
+  /** 64 signed bit-sums; `divOp` is `div` (Spark) or `//` (DuckDB). */
+  private def simhashSums(divOp: String): Seq[String] =
+    for (p <- 1 to 16; b <- 0 to 3) yield
+      s"sum(CASE WHEN (${nib(p)} $divOp ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_${p}_$b"
+  private def simhashHex: String =
+    (1 to 16).map { p =>
+      val digit = (0 to 3).map(b => s"CASE WHEN s_${p}_$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+      s"substr('0123456789abcdef', ($digit) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  val ops: Map[String, Q] = Map(
+    // 64-bit SimHash per document (doc_id < 30 slice): near-identical token
+    // multisets produce near-identical signatures; grouping/hamming search
+    // over the signature is the 100 TB dedup path (one shuffle on simhash).
+    "llm_dedup_simhash" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .groupBy("doc_id")
+        .agg(expr(simhashSums("div").head), simhashSums("div").tail.map(expr): _*)
+        .select(col("doc_id"), expr(simhashHex).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Char-3-gram Jaccard near-dup (threshold 0.7) with an integer
+    // size-ratio prefilter (J >= 0.7 forces 10*min(|A|,|B|) >= 7*max):
+    // the pruning is semantics-preserving, so the result is exact.
+    "llm_dedup_ngram_jaccard" -> ((s, d) => {
+      def grams(alias: String) = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as(s"doc_$alias"),
+          array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as(s"g_$alias"))
+      grams("a").join(grams("b"), col("doc_a") < col("doc_b"))
+        .filter(least(size(col("g_a")), size(col("g_b"))) * 10 >=
+          greatest(size(col("g_a")), size(col("g_b"))) * 7)
+        .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+        .withColumn("uni", size(col("g_a")) + size(col("g_b")) - col("inter"))
+        .filter(col("inter") * 10 >= col("uni") * 7)
+        .select(col("doc_a"), col("doc_b"), d4(col("inter").cast("double") / col("uni")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
+    // assigned to its nearest centroid; queries (vec_id < 10) probe their
+    // 2 nearest centroids and exactly rerank only those candidate lists.
+    "llm_sim_ann_ivf" -> ((s, d) => {
+      val cent = vecs(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
+      def scored(src: DataFrame, idCol: String) = src
+        .select(col("vec_id").as(idCol), col("v").as("va"), col("nrm").as("na"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("ccos", expr(dotExpr) / (col("na") * col("nb")))
+      val assign = scored(vecs(s, d), "vid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") === 1).select("vid", "cid")
+      val probes = scored(vecs(s, d).filter(col("vec_id") < 10), "qid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") <= 2).select("qid", "cid")
+      val q = vecs(s, d).select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val t = vecs(s, d).select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+      probes.join(assign, "cid").filter(col("vid") =!= col("qid"))
+        .join(q, "qid").join(t, "vid")
+        .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
+    // Language ID by token-bigram profile: profiles learned from docs 0..249,
+    // docs 250..349 classified by INTEGER dot-product score (ties → lang asc);
+    // output is the confusion matrix.
+    "llm_text_langid" -> ((s, d) => {
+      def bigrams(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                       (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))""")).as("bg"))
+      val train = bigrams(documents(s, d).filter(col("doc_id") < 250))
+        .groupBy(col("lang").as("lang_cand"), col("bg")).agg(count(lit(1)).as("w"))
+      val test = bigrams(documents(s, d).filter(col("doc_id") >= 250 && col("doc_id") < 350))
+        .groupBy(col("doc_id"), col("lang").as("lang_true"), col("bg")).agg(count(lit(1)).as("c"))
+      val scoresRn = test.join(broadcast(train), "bg")
+        .groupBy("doc_id", "lang_true", "lang_cand")
+        .agg(sum(col("c") * col("w")).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang_cand"))))
+      scoresRn.filter(col("rn") === 1)
+        .groupBy(col("lang_true"), col("lang_cand").as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_true", "lang_pred")
+    }),
+
+    // Per-document quality signals: token count, mean token length, stopword
+    // ratio, non-alphanumeric ratio, and a composite score.
+    "llm_text_quality" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(split(col("text"), " "))).as("raw_atl"),
+          (expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast("double") /
+            size(split(col("text"), " "))).as("raw_sr"),
+          (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+            length(col("text"))).as("raw_nar"))
+        // composite from RAW doubles; all outputs rounded only at the end
+        .select(col("doc_id"), col("n_toks"),
+          d4(col("raw_atl")).as("avg_tok_len"),
+          d4(col("raw_sr")).as("stopword_ratio"),
+          d4(col("raw_nar")).as("nonalpha_ratio"),
+          d4(least(col("n_toks").cast("double") / 50, lit(1.0)) * 0.5 +
+            (lit(1.0) - col("raw_sr")) * 0.3 +
+            (lit(1.0) - col("raw_nar")) * 0.2).as("quality"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + a BPE-ish subword estimate
+    // (ceil(len/4) chunks per token).
+    "llm_text_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("ws_toks"),
+          expr("aggregate(transform(split(text, ' '), t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("bpe_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ws_toks").as("total_ws"),
+          sum("bpe_toks").as("total_bpe"),
+          d4(avg(col("bpe_toks").cast("double") / col("ws_toks"))).as("bpe_per_ws"))
+        .orderBy("lang")),
+
+    // Document fingerprints: order-sensitive rolling polynomial hash
+    // (acc*31 + charcode, mod 1e9+7) and an order-free content fingerprint
+    // (md5 of the sorted distinct token set).
+    "llm_fingerprint" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          expr("""aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                            CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""").as("rolling_hash"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("set_md5"))
+        .orderBy("doc_id")),
+
+    // Multimodal column plumbing: text → opaque binary payload + typed
+    // metadata, "decoded" by a deterministic stub in mapPartitions (the
+    // Scala-native analogue of a mapInPandas decode UDF — real image/audio
+    // codecs would replace `stubDecode`). Schema, partitioning, and the
+    // per-partition batch shape are real; the decode itself is a stub.
+    "llm_multimodal_features" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      val payloads = documents(s, d)
+        .select(col("doc_id"), col("lang"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+      def stubDecode(id: Long, lang: String, bytes: Array[Byte]): (Long, String, Int, Int) =
+        (id, lang, bytes.length, bytes.headOption.map(_ & 0xff).getOrElse(0))
+      payloads.mapPartitions(_.map { case (id, lang, b) => stubDecode(id, lang, b) })
+        .toDF("doc_id", "lang", "n_bytes", "head_byte")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("total_bytes"),
+          d4(avg("head_byte")).as("avg_head_byte"))
+        .orderBy("lang")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                        FROM documents WHERE doc_id < 30),
+               sums AS (SELECT doc_id, ${simhashSums("//").mkString(", ")}
+                        FROM toks GROUP BY doc_id)
+          SELECT doc_id, $simhashHex AS simhash FROM sums ORDER BY doc_id""",
+    "llm_dedup_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id,
+                            list_distinct(list_transform(range(1, length(text) - 1),
+                                                         i -> substring(text, i, 3))) AS gr
+                     FROM documents WHERE doc_id < 200)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ${d4Sql("CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))")} AS jaccard
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE least(len(a.gr), len(b.gr)) * 10 >= greatest(len(a.gr), len(b.gr)) * 7
+            AND len(list_intersect(a.gr, b.gr)) * 10
+                >= (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) * 7
+          ORDER BY doc_a, doc_b""",
+    "llm_sim_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
+               assign AS (SELECT vec_id AS vid, cid FROM (
+                   SELECT v.vec_id, cent.cid,
+                          row_number() OVER (PARTITION BY v.vec_id
+                                             ORDER BY ${cosSql("v.embedding", "cent.cv")} DESC, cent.cid) AS rn
+                   FROM v CROSS JOIN cent) WHERE rn = 1),
+               probes AS (SELECT qid, cid FROM (
+                   SELECT q.vec_id AS qid, cent.cid,
+                          row_number() OVER (PARTITION BY q.vec_id
+                                             ORDER BY ${cosSql("q.embedding", "cent.cv")} DESC, cent.cid) AS rn
+                   FROM v q CROSS JOIN cent WHERE q.vec_id < 10) WHERE rn <= 2)
+          SELECT qid, vid, cosine, rank FROM (
+            SELECT p.qid, a.vid,
+                   ${d4Sql(cosSql("q.embedding", "t.embedding"))} AS cosine,
+                   row_number() OVER (PARTITION BY p.qid
+                                      ORDER BY ${cosSql("q.embedding", "t.embedding")} DESC, a.vid) AS rank
+            FROM probes p JOIN assign a ON p.cid = a.cid AND a.vid <> p.qid
+            JOIN v q ON q.vec_id = p.qid JOIN v t ON t.vec_id = a.vid)
+          WHERE rank <= 3 ORDER BY qid, rank""",
+    "llm_text_langid" ->
+      """WITH bg AS (SELECT doc_id, lang, concat(w1, ' ', w2) AS bg FROM (
+                       SELECT doc_id, lang,
+                              unnest(toks[1:len(toks) - 1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+                       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))),
+               train AS (SELECT lang AS lang_cand, bg, count(*) AS w
+                         FROM bg WHERE doc_id < 250 GROUP BY 1, 2),
+               test AS (SELECT doc_id, lang AS lang_true, bg, count(*) AS c
+                        FROM bg WHERE doc_id >= 250 AND doc_id < 350 GROUP BY 1, 2, 3),
+               scores AS (SELECT t.doc_id, t.lang_true, tr.lang_cand, sum(t.c * tr.w) AS score
+                          FROM test t JOIN train tr ON t.bg = tr.bg GROUP BY 1, 2, 3),
+               best AS (SELECT doc_id, lang_true, lang_cand FROM (
+                          SELECT doc_id, lang_true, lang_cand,
+                                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_cand) AS rn
+                          FROM scores) WHERE rn = 1)
+         SELECT lang_true, lang_cand AS lang_pred, count(*) AS n
+         FROM best GROUP BY 1, 2 ORDER BY lang_true, lang_pred""",
+    "llm_text_quality" ->
+      s"""SELECT doc_id, n_toks,
+          ${d4Sql("raw_atl")} AS avg_tok_len,
+          ${d4Sql("raw_sr")} AS stopword_ratio,
+          ${d4Sql("raw_nar")} AS nonalpha_ratio,
+          ${d4Sql("least(CAST(n_toks AS DOUBLE) / 50, 1.0) * 0.5 + (1.0 - raw_sr) * 0.3 + (1.0 - raw_nar) * 0.2")} AS quality
+          FROM (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_toks,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS raw_atl,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')) AS raw_sr,
+                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS raw_nar
+                FROM documents WHERE doc_id < 100)
+          ORDER BY doc_id""",
+    "llm_text_token_count" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(ws_toks) AS total_ws, sum(bpe_toks) AS total_bpe,
+          ${d4Sql("avg(CAST(bpe_toks AS DOUBLE) / ws_toks)")} AS bpe_per_ws
+          FROM (SELECT lang, len(string_split(text, ' ')) AS ws_toks,
+                       list_sum(list_transform(string_split(text, ' '),
+                                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS bpe_toks
+                FROM documents)
+          GROUP BY lang ORDER BY lang""",
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+                md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS set_md5
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "llm_multimodal_features" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(octet_length(encode(text))) AS total_bytes,
+          ${d4Sql("avg(ascii(substring(text, 1, 1)))")} AS avg_head_byte
+          FROM documents GROUP BY lang ORDER BY lang""",
+  )
+}
