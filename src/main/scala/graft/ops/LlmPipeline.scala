@@ -43,6 +43,35 @@ object LlmPipeline {
   private val dotExpr =
     "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
 
+  /** MinHash-LSH near-dup over any (doc_id, toks) frame: 64 hashes banded as
+    * 32 bands × 2 rows generate candidates (shuffle key = (band, bh), never a
+    * pair), then EXACT integer-arithmetic Jaccard >= 0.8 verifies. Public so
+    * the ScalaCheck recall property can drive it with generated corpora.
+    */
+  def nearDupPairs(tokens: DataFrame): DataFrame = {
+    val bands = tokens.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 31), b -> xxhash64(
+             array_min(transform(toks, t -> xxhash64(2 * b, t))),
+             array_min(transform(toks, t -> xxhash64(2 * b + 1, t)))))"""))
+        .as(Seq("band", "bh")))
+    val ca = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
+    val cb = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
+    val cand = ca.join(cb,
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ta = tokens.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = tokens.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("doc_a"), col("doc_b"),
+        d4(col("inter").cast("double") / col("uni")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** DuckDB twin of the double-precision cosine, operation-for-operation. */
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -57,33 +86,8 @@ object LlmPipeline {
         .filter(col("n_docs") > 1)
         .orderBy("h")),
 
-    "llm_dedup_near" -> ((s, d) => {
-      // 1. MinHash signature: 64 hashes = 32 bands × 2 rows; band key is the
-      //    hash of its 2 minhashes. Shuffle key = (band, bh), never a pair.
-      val bands = tokenSets(s, d, Some(1000)).select(col("doc_id"),
-        posexplode(expr(
-          """transform(sequence(0, 31), b -> xxhash64(
-               array_min(transform(toks, t -> xxhash64(2 * b, t))),
-               array_min(transform(toks, t -> xxhash64(2 * b + 1, t)))))"""))
-          .as(Seq("band", "bh")))
-      // 2. Candidate pairs = same-bucket doc pairs (deduped).
-      val ca = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-      val cb = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
-      val cand = ca.join(cb,
-          col("band") === col("band_b") && col("bh") === col("bh_b") &&
-          col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      // 3. Exact verification: integer-arithmetic Jaccard >= 0.8.
-      val ta = tokenSets(s, d).select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-      val tb = tokenSets(s, d).select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-      cand.join(ta, "doc_a").join(tb, "doc_b")
-        .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-        .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
-        .filter(col("inter") * 5 >= col("uni") * 4)
-        .select(col("doc_a"), col("doc_b"),
-          d4(col("inter").cast("double") / col("uni")).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "llm_dedup_near" -> ((s, d) =>
+      nearDupPairs(tokenSets(s, d, Some(1000)))),
 
     "llm_sim_cosine_pairs" -> ((s, d) => {
       val a = vecs(s, d).select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))

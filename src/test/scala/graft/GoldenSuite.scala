@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed golden values on sf0.001 (SURVEY §5.1). */
+class GoldenSuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private def run(name: String) = SparkEntry.queries(name)(s, d)
+
+  test("entry returns the 4+ pricing-summary groups") {
+    val rows = SparkEntry.entry(s).collect()
+    assert(rows.length >= 4 && rows.length <= 6)
+  }
+
+  test("scan_full: exactly the 5 regions in key order") {
+    val rows = run("scan_full").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("join_broadcast: 25 nations each mapped to a region") {
+    val rows = run("join_broadcast").collect()
+    assert(rows.length == 25 && rows.forall(r => !r.isNullAt(2)))
+  }
+
+  test("join_cross: |region x nation| = 125") {
+    assert(run("join_cross").count() == 125)
+  }
+
+  test("left_semi + left_anti partition the customer table") {
+    val n = Tables.customer(s, d).count()
+    assert(run("join_left_semi").count() + run("join_left_anti").count() == n)
+  }
+
+  test("agg_global row count matches table count") {
+    val r = run("agg_global").collect().head
+    assert(r.getAs[Long]("n_rows") == Tables.lineitem(s, d).count())
+  }
+
+  test("win_topk_per_group: at most 3 rows per customer, ranks 1..3") {
+    val df = run("win_topk_per_group")
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 3).isEmpty)
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).isEmpty)
+  }
+
+  test("llm_text_wordcount: counts are non-increasing, tokens nonempty") {
+    val rows = run("llm_text_wordcount").collect()
+    val counts = rows.map(_.getAs[Long]("n")).toSeq
+    assert(counts == counts.sorted.reverse)
+    assert(rows.forall(_.getAs[String]("token").nonEmpty))
+  }
+
+  test("llm_dedup_near: every emitted pair really has Jaccard >= 0.8 and a < b") {
+    val rows = run("llm_dedup_near").collect()
+    assert(rows.nonEmpty, "synthetic corpus is known to contain near-dups")
+    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("jaccard").doubleValue >= 0.8))
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("llm_sim_topk: 5 neighbors per query, cosine within [-1, 1]") {
+    val rows = run("llm_sim_topk").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => math.abs(r.getAs[java.math.BigDecimal]("cosine").doubleValue) <= 1.0001))
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vid")))
+  }
+
+  test("llm_sim_ann_ivf results are a subset of the corpus with exact cosines") {
+    val rows = run("llm_sim_ann_ivf").collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getAs[Int]("rank") <= 3))
+  }
+
+  test("udtf_generator: 3-char shingles at contiguous 0-based positions") {
+    val rows = run("udtf_generator").collect()
+    assert(rows.forall(_.getAs[String]("shingle").length == 3))
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val ps = rs.map(_.getAs[Int]("pos")).sorted.toSeq
+      assert(ps == (0 until ps.length))
+    }
+  }
+
+  test("session_window batch form == gaps-and-islands emulation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"),
+      Norm.tsec(col("ts")).as("ts_s"))
+    val native = ev.groupBy(session_window(col("ts_s"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("ss"), col("w.end").as("se"), col("n"))
+    val lagW = Window.partitionBy("user_id").orderBy("ts_s")
+    val emul = ev
+      .withColumn("new_s",
+        when(col("ts_s").cast("long") - lag(col("ts_s"), 1).over(lagW).cast("long") > 600 ||
+          lag(col("ts_s"), 1).over(lagW).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(lagW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_s").as("ss"),
+        (max(col("ts_s")) + expr("INTERVAL 10 MINUTES")).as("se"),
+        count(lit(1)).as("n"))
+      .select("user_id", "ss", "se", "n")
+    assert(native.except(emul).isEmpty && emul.except(native).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = run("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
+    val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("x")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("x")).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05, s"flag $k: approx ${approx(k)} vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.3 — algebraic / recall properties on generated data.
+  * (Raw ScalaCheck generators with fixed seeds; the scalatest-scalacheck
+  * bridge isn't in the offline cache.)
+  */
+class PropertySuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val keyList = Gen.listOf(Gen.chooseNum(0L, 30L))
+
+  test("set algebra: |A intersect B| + |A except B| = |distinct A|") {
+    for ((la, lb) <- samples(keyList, 6).zip(samples(keyList, 6).reverse)) {
+      val sp = s; import sp.implicits._
+      val a = la.toDF("k").distinct()
+      val b = lb.toDF("k").distinct()
+      assert(a.intersect(b).count() + a.except(b).count() == a.count())
+    }
+  }
+
+  test("union distinct == distinct of unionAll") {
+    for ((la, lb) <- samples(keyList, 6).zip(samples(keyList, 6).reverse)) {
+      val sp = s; import sp.implicits._
+      val a = la.toDF("k"); val b = lb.toDF("k")
+      assert(a.union(b).distinct().count() == a.unionAll(b).distinct().count())
+    }
+  }
+
+  test("window running sum final value == groupBy sum") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val o = Tables.orders(s, TestSpark.sf)
+    val viaWindow = o.withColumn("cum", sum("o_totalprice").over(w))
+      .groupBy("o_custkey").agg(max("cum").as("total"))
+    val viaGroup = o.groupBy("o_custkey").agg(sum("o_totalprice").as("total"))
+    val joined = viaWindow.as("w").join(viaGroup.as("g"), "o_custkey")
+      .filter(abs(col("w.total") - col("g.total")) > 1e-6)
+    assert(joined.isEmpty)
+  }
+
+  test("MinHash-LSH banding recall: no true Jaccard>=0.8 pair is missed") {
+    // Corpora engineered to contain near-dup pairs: docs are random subsets
+    // of a 12-token vocab, so high-overlap pairs are common.
+    val vocab = ('a' to 'l').map(_.toString)
+    val docGen = Gen.someOf(vocab).suchThat(_.nonEmpty).map(_.toList)
+    for (docs <- samples(Gen.listOfN(24, docGen), 5)) {
+      val sp = s; import sp.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.distinct) }
+        .toDF("doc_id", "toks")
+      val got = ops.LlmPipeline.nearDupPairs(df).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val sets = docs.map(_.toSet)
+      val expected = (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        inter = (sets(i) & sets(j)).size
+        uni = (sets(i) | sets(j)).size
+        if inter * 5 >= uni * 4
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expected, s"LSH pairs $got != exact $expected")
+    }
+  }
+
+  test("cosine similarity of the declared fold stays in [-1, 1]") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    for ((va, vb) <- samples(vecGen, 8).zip(samples(vecGen, 8).reverse)) {
+      val sp = s; import sp.implicits._
+      val df = Seq((va, vb)).toDF("fa", "fb")
+        .select(expr("transform(fa, x -> CAST(x AS DOUBLE))").as("va"),
+          expr("transform(fb, x -> CAST(x AS DOUBLE))").as("vb"))
+        .select((expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+          (expr("sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))") *
+            expr("sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))).as("cos"))
+      val c = df.collect().head.getDouble(0)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.4 — true Structured Streaming twins of the §2.I batch forms:
+  * a MemoryStream drives the same operators and the final output must match
+  * the batch computation; one test proves the watermark drops a late row.
+  */
+class StreamingSuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def ts(m: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $m:00")
+
+  test("streaming tumbling-window counts == batch window counts") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val data = Seq(
+      (ts("10:05"), "click", 1.0), (ts("10:15"), "view", 2.0),
+      (ts("10:55"), "click", 3.0), (ts("11:05"), "click", 4.0),
+      (ts("12:30"), "view", 5.0))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(data: _*)
+    val q = mem.toDF().toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = sp.table("tumbling_out")
+      .select(col("w.start"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted.toSeq
+    val batch = data.toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("w.start"), col("event_type"), col("n"), col("sv"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermark drops a row later than watermark - but keeps on-time rows") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: two rows in [10:00, 11:00) and one far ahead that pushes the
+      // watermark past 11:00 so the first window finalizes and emits.
+      mem.addData((ts("10:05"), "click"), (ts("10:20"), "click"), (ts("13:00"), "view"))
+      q.processAllAvailable()
+      // Batch 2: a LATE row for the already-finalized window — must be dropped.
+      mem.addData((ts("10:30"), "click"))
+      q.processAllAvailable()
+      // Push the watermark far enough to flush everything still open.
+      mem.addData((ts("20:00"), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = sp.table("wm_out")
+      .select(col("w.start").cast("string"), col("event_type"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("2024-01-01 10:00:00", "click", 2L)),
+      s"late row was not dropped (or window missing): $out")
+    assert(!out.contains(("2024-01-01 10:00:00", "click", 3L)))
+  }
+
+  test("streaming dropDuplicates == batch earliest-per-key") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val data = Seq((ts("10:00"), 1L), (ts("10:01"), 1L), (ts("10:02"), 2L), (ts("10:03"), 2L))
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(data: _*)
+    val q = mem.toDF().toDF("ts", "id").dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sp.table("dedup_out").count() == 2)
+  }
+
+  test("streaming session_window merges across microbatches") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = mem.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts("10:00"), 7L))
+      q.processAllAvailable()
+      mem.addData((ts("10:05"), 7L)) // within gap: must merge into one session
+      q.processAllAvailable()
+      mem.addData((ts("12:00"), 7L)) // advances watermark, closes the session
+      q.processAllAvailable()
+      mem.addData((ts("15:00"), 8L)) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = sp.table("sess_out")
+      .select(col("w.start").cast("string"), col("w.end").cast("string"), col("uid"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sessions.contains(("2024-01-01 10:00:00", "2024-01-01 10:15:00", 7L, 2L)),
+      s"two events 5 min apart did not merge into one session: $sessions")
+  }
+}
