@@ -89,29 +89,18 @@ object LlmPipeline {
     "llm_dedup_near" -> ((s, d) =>
       nearDupPairs(tokenSets(s, d, Some(1000)))),
 
-    "llm_sim_cosine_pairs" -> ((s, d) => {
-      val a = vecs(s, d).select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = vecs(s, d).select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("vid_a") < col("vid_b"))
-        .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.5)
+    "llm_sim_cosine_pairs" -> ((s, d) =>
+      SimKernel.cosinePairs(s, vecs(s, d), 0.5)
         .select(col("vid_a"), col("vid_b"), d4(col("cos")).as("cosine"))
-        .orderBy("vid_a", "vid_b")
-    }),
+        .orderBy("vid_a", "vid_b")),
 
-    "llm_sim_topk" -> ((s, d) => {
-      val q = vecs(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
-      val c = vecs(s, d)
-        .select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb"))
-      broadcast(q).join(c, col("qid") =!= col("vid_b"))
-        .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+    "llm_sim_topk" -> ((s, d) =>
+      SimKernel.scoreAgainstQueries(s, vecs(s, d), vecs(s, d).filter(col("vec_id") < 10))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid_b"))))
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
         .filter(col("rank") <= 5)
-        .select(col("qid"), col("vid_b").as("vid"), d4(col("cos")).as("cosine"), col("rank"))
-        .orderBy("qid", "rank")
-    }),
+        .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")),
 
     "llm_text_wordcount" -> ((s, d) =>
       documents(s, d)

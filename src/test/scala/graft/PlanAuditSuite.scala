@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether a 100 TB scan
+  * reads 100 TB or only the bytes it needs. These are assertions on
+  * `explain(formatted)` output so a regression in pushdown, pruning, or
+  * broadcast selection fails CI, not a cluster bill.
+  */
+class PlanAuditSuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(s, d)
+    df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.toString()
+  }
+
+  test("scan_predicate_pushdown pushes the shipdate filter into the parquet scan") {
+    val p = plan("scan_predicate_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n${p.take(2000)}")
+  }
+
+  test("scan_projection reads only the 3 selected columns") {
+    val p = plan("scan_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber") &&
+      readSchema.contains("l_quantity") && !readSchema.contains("l_extendedprice"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("agg_hash_groupby reads only the 6 needed lineitem columns") {
+    val p = plan("agg_hash_groupby")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway broadcasts the dimension legs") {
+    val p = plan("join_multiway")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+  }
+
+  test("filter_conjunctive pushes all three predicates to the scan") {
+    val p = plan("filter_conjunctive")
+    // (the PushedFilters list is truncated in toString — assert on its prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"missing pushdown:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("partial aggregation happens before the shuffle in agg_hash_groupby") {
+    val p = plan("agg_hash_groupby")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    // partial + final pattern: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "expected partial+final agg")
+  }
+
+  test("whole-stage codegen covers the Q1 pipeline") {
+    // AQE only materializes codegen stages at execution time.
+    val df = SparkEntry.queries("agg_hash_groupby")(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WholeStageCodegen"), s"hot path fell out of codegen:\n${p.take(1500)}")
+  }
+
+  test("llm_dedup_near shuffles on band keys, never builds an n^2 join") {
+    val p = plan("llm_dedup_near")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup must stay on the LSH candidate path")
+  }
+}
