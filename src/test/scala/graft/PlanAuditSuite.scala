@@ -69,8 +69,9 @@ class PlanAuditSuite extends AnyFunSuite {
     // AQE only materializes codegen stages at execution time.
     val df = SparkEntry.queries("agg_hash_groupby")(s, d)
     df.collect()
+    // codegen stages render as "*(n) Operator" in the final plan string
     val p = df.queryExecution.executedPlan.toString()
-    assert(p.contains("WholeStageCodegen"), s"hot path fell out of codegen:\n${p.take(1500)}")
+    assert(p.contains("*(") , s"hot path fell out of codegen:\n${p.take(1500)}")
   }
 
   test("llm_dedup_near shuffles on band keys, never builds an n^2 join") {
