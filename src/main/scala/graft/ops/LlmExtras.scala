@@ -66,16 +66,28 @@ object LlmExtras {
     // size-ratio prefilter (J >= 0.7 forces 10*min(|A|,|B|) >= 7*max):
     // the pruning is semantics-preserving, so the result is exact.
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
-      def grams(alias: String) = documents(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id").as(s"doc_$alias"),
+      // Distinct char-3-gram sets; pairs verified in a per-partition loop
+      // against the broadcast gram table (200-doc universe). The size-ratio
+      // prefilter (J >= 0.7 forces 10*min >= 7*max) prunes before set work.
+      val sp = s
+      import sp.implicits._
+      val grams = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
           array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as(s"g_$alias"))
-      grams("a").join(grams("b"), col("doc_a") < col("doc_b"))
-        .filter(least(size(col("g_a")), size(col("g_b"))) * 10 >=
-          greatest(size(col("g_a")), size(col("g_b"))) * 7)
-        .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
-        .withColumn("uni", size(col("g_a")) + size(col("g_b")) - col("inter"))
-        .filter(col("inter") * 10 >= col("uni") * 7)
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+        .as[(Long, Seq[String])]
+      val bc = s.sparkContext.broadcast(grams.collect().map { case (id, g) => (id, g.toSet) }.sortBy(_._1))
+      grams.flatMap { case (ida, ga) =>
+        val sa = ga.toSet
+        bc.value.iterator.dropWhile(_._1 <= ida).flatMap { case (idb, sb) =>
+          if (math.min(sa.size, sb.size) * 10 < math.max(sa.size, sb.size) * 7) None
+          else {
+            val inter = sa.count(sb.contains)
+            val uni = sa.size + sb.size - inter
+            if (inter * 10 >= uni * 7) Some((ida, idb, inter, uni)) else None
+          }
+        }
+      }.toDF("doc_a", "doc_b", "inter", "uni")
         .select(col("doc_a"), col("doc_b"), d4(col("inter").cast("double") / col("uni")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),

