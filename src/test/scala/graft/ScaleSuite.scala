@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB techniques: salting, partition pruning, bucketed joins. */
+class ScaleSuite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+  private val tmp = System.getProperty("java.io.tmpdir") + "/graft-scale"
+
+  test("salted join == plain join (semantics preserved under skew spreading)") {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), sum("o_totalprice").as("t"))
+    val salted = Scale.saltedEquiJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"), sum("o_totalprice").as("t"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("salted join spreads a hot key across buckets") {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val saltedLarge = orders.withColumn("__salt",
+      pmod(xxhash64(struct(orders.columns.map(col): _*)), lit(8)).cast("int"))
+    val hot = saltedLarge.groupBy("o_custkey").agg(countDistinct("__salt").as("n_salts"))
+      .agg(max("n_salts")).collect().head.getLong(0)
+    assert(hot > 1, "salting never split any key's rows")
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val path = s"$tmp/events_by_type"
+    Scale.writePartitioned(
+      Tables.events(s, d).select("event_id", "user_id", "event_type"), path, "event_type")
+    val read = s.read.parquet(path).filter(col("event_type") === "click")
+    val plan = read.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning in:\n${plan.take(1200)}")
+    val expected = Tables.events(s, d).filter(col("event_type") === "click").count()
+    assert(read.count() == expected)
+  }
+
+  test("co-bucketed tables join with zero shuffle") {
+    s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
+    try {
+      Scale.writeBucketed(Tables.orders(s, d), "orders_b", "o_custkey", 4)
+      Scale.writeBucketed(
+        Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"), "cust_b", "o_custkey", 4)
+      val joined = s.table("orders_b").join(s.table("cust_b"), "o_custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1500)}")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS cust_b")
+    }
+  }
+}
