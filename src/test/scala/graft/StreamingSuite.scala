@@ -84,6 +84,35 @@ class StreamingSuite extends AnyFunSuite {
     assert(sp.table("dedup_out").count() == 2)
   }
 
+  test("flatMapGroupsWithState accumulates custom per-key state across microbatches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val total = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(total)
+          Iterator((uid, total))
+      }
+      .toDF("uid", "running")
+      .writeStream.format("memory").queryName("fmgws_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalPerUid = sp.table("fmgws_out").groupBy("uid")
+      .agg(max("running").as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(finalPerUid == Map(1L -> 17.0, 2L -> 4.0),
+      s"state did not carry across batches: $finalPerUid")
+  }
+
   test("streaming session_window merges across microbatches") {
     val sp = s; import sp.implicits._
     implicit val ctx = sp.sqlContext
