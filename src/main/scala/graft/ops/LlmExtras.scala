@@ -88,7 +88,8 @@ object LlmExtras {
           }
         }
       }.toDF("doc_a", "doc_b", "inter", "uni")
-        .select(col("doc_a"), col("doc_b"), d4(col("inter").cast("double") / col("uni")).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("(CAST(inter AS BIGINT) * 10000) div uni").as("jaccard_bp"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -147,24 +148,25 @@ object LlmExtras {
 
     // Per-document quality signals: token count, mean token length, stopword
     // ratio, non-alphanumeric ratio, and a composite score.
+    // All ratios are small-denominator rationals (e.g. 7/32 = 0.21875 — an
+    // exact 4-decimal rounding TIE that Spark and DuckDB resolve differently;
+    // observed live at sf0.1). So every ratio is emitted as integer basis
+    // points via floor division — exact and identical in both engines.
     "llm_text_quality" -> ((s, d) =>
       documents(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_toks"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double") /
-            size(split(col("text"), " "))).as("raw_atl"),
-          (expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast("double") /
-            size(split(col("text"), " "))).as("raw_sr"),
-          (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
-            length(col("text"))).as("raw_nar"))
-        // composite from RAW doubles; all outputs rounded only at the end
-        .select(col("doc_id"), col("n_toks"),
-          d4(col("raw_atl")).as("avg_tok_len"),
-          d4(col("raw_sr")).as("stopword_ratio"),
-          d4(col("raw_nar")).as("nonalpha_ratio"),
-          d4(least(col("n_toks").cast("double") / 50, lit(1.0)) * 0.5 +
-            (lit(1.0) - col("raw_sr")) * 0.3 +
-            (lit(1.0) - col("raw_nar")) * 0.2).as("quality"))
+          size(split(col("text"), " ")).cast("long").as("n"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast("long").as("st"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("np"),
+          length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), col("n").as("n_toks"),
+          expr("(chars * 10000) div n").as("avg_tok_len_bp"),
+          expr("(st * 10000) div n").as("stopword_bp"),
+          expr("(np * 10000) div len").as("nonalpha_bp"),
+          // 0.5*min(n/50,1) + 0.3*(1 - st/n) + 0.2*(1 - np/len), exactly:
+          expr("(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)")
+            .as("quality_bp"))
         .orderBy("doc_id")),
 
     // Token counting: whitespace tokens + a BPE-ish subword estimate
@@ -226,7 +228,8 @@ object LlmExtras {
                                                          i -> substring(text, i, 3))) AS gr
                      FROM documents WHERE doc_id < 200)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 ${d4Sql("CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))")} AS jaccard
+                 (CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 10000)
+                   // (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard_bp
           FROM g a JOIN g b ON a.doc_id < b.doc_id
           WHERE least(len(a.gr), len(b.gr)) * 10 >= greatest(len(a.gr), len(b.gr)) * 7
             AND len(list_intersect(a.gr, b.gr)) * 10
@@ -271,18 +274,19 @@ object LlmExtras {
          SELECT lang_true, lang_cand AS lang_pred, count(*) AS n
          FROM best GROUP BY 1, 2 ORDER BY lang_true, lang_pred""",
     "llm_text_quality" ->
-      s"""SELECT doc_id, n_toks,
-          ${d4Sql("raw_atl")} AS avg_tok_len,
-          ${d4Sql("raw_sr")} AS stopword_ratio,
-          ${d4Sql("raw_nar")} AS nonalpha_ratio,
-          ${d4Sql("least(CAST(n_toks AS DOUBLE) / 50, 1.0) * 0.5 + (1.0 - raw_sr) * 0.3 + (1.0 - raw_nar) * 0.2")} AS quality
-          FROM (SELECT doc_id,
-                 len(string_split(text, ' ')) AS n_toks,
-                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS raw_atl,
-                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')) AS raw_sr,
-                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS raw_nar
-                FROM documents WHERE doc_id < 100)
-          ORDER BY doc_id""",
+      """SELECT doc_id, n AS n_toks,
+                (chars * 10000) // n AS avg_tok_len_bp,
+                (st * 10000) // n AS stopword_bp,
+                (np * 10000) // len AS nonalpha_bp,
+                (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+         FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st,
+                CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                CAST(length(text) AS BIGINT) AS len
+               FROM documents WHERE doc_id < 100)
+         ORDER BY doc_id""",
     "llm_text_token_count" ->
       s"""SELECT lang, count(*) AS n_docs, sum(ws_toks) AS total_ws, sum(bpe_toks) AS total_bpe,
           ${d4Sql("avg(CAST(bpe_toks AS DOUBLE) / ws_toks)")} AS bpe_per_ws

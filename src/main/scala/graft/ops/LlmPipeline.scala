@@ -92,8 +92,11 @@ object LlmPipeline {
       (a, b, inter, ta.size + tb.size - inter)
     }.toDF("doc_a", "doc_b", "inter", "uni")
       .filter(col("inter") * 5 >= col("uni") * 4)
+      // Basis points via integer floor division: inter/uni is a small-
+      // denominator rational, so decimal rounding can tie (and engines
+      // disagree on ties); integer arithmetic cannot.
       .select(col("doc_a"), col("doc_b"),
-        d4(col("inter").cast("double") / col("uni")).as("jaccard"))
+        expr("(CAST(inter AS BIGINT) * 10000) div uni").as("jaccard_bp"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -185,7 +188,8 @@ object LlmPipeline {
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                      FROM documents WHERE doc_id < 1000)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 ${d4Sql("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))")} AS jaccard
+                 (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 10000)
+                   // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard_bp
           FROM t a JOIN t b ON a.doc_id < b.doc_id
           WHERE len(list_intersect(a.toks, b.toks)) * 5
                 >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 4

@@ -55,7 +55,7 @@ class GoldenSuite extends AnyFunSuite {
   test("llm_dedup_near: every emitted pair really has Jaccard >= 0.8 and a < b") {
     val rows = run("llm_dedup_near").collect()
     assert(rows.nonEmpty, "synthetic corpus is known to contain near-dups")
-    assert(rows.forall(r => r.getAs[java.math.BigDecimal]("jaccard").doubleValue >= 0.8))
+    assert(rows.forall(r => r.getAs[Long]("jaccard_bp") >= 8000))
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
