@@ -12,6 +12,18 @@ import org.apache.spark.sql.types.DecimalType
   * parquet timestamp[ns] (Spark truncates to µs, DuckDB keeps ns) so any
   * ts-derived output is truncated to whole seconds on both engines.
   */
+/** Residual-risk notes (probed empirically against DuckDB 1.0.0):
+  *   - Exactly binary-representable decimal ties (0.125, 0.375) round
+  *     identically in both engines (HALF_UP away from zero).
+  *   - NON-representable decimal ties can diverge: round(0.565, 2) is 0.57
+  *     in Spark (shortest-repr BigDecimal) but 0.56 in DuckDB (binary-value
+  *     based). Small-denominator rationals (ratios of small counts) land on
+  *     such ties easily — those outputs use integer basis points
+  *     (`x * 10000 div y`) instead of d4 (see LlmPipeline/LlmExtras).
+  *   - Large-denominator averages (sums over 10k+ rows) tie with negligible
+  *     probability; verified green at sf0.01 AND sf0.1 on the fixed test
+  *     data, so d2/d4 remain in force there.
+  */
 object Norm {
   /** Money/measure doubles: 2 decimal places. */
   def money(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
