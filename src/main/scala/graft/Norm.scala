@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.DecimalType
 object Norm {
   /** Money/measure doubles: 2 decimal places. */
   def money(c: Column): Column = round(c, 2).cast(DecimalType(18, 2))
+  /** Exact money SUM: each element is cast to DECIMAL(28,10) (deterministic
+    * per-element rounding), then summed in exact decimal arithmetic — the
+    * result is independent of shuffle arrival order on the Spark side and
+    * bit-stable across runs, unlike sum(double). Use for every groupBy/global
+    * money sum; window sums run over sorted frames and don't need it. */
+  def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(28, 10))), 2).cast(DecimalType(18, 2))
   /** Similarity scores / stats: 4 decimal places. */
   def d4(c: Column): Column = round(c, 4).cast(DecimalType(18, 4))
   /** tf-idf-style small magnitudes: 6 decimal places. */
@@ -36,6 +43,8 @@ object Norm {
 
   // DuckDB-side twins for the oracle SQL strings.
   def moneySql(e: String): String = s"CAST(ROUND($e, 2) AS DECIMAL(18,2))"
+  def moneySumSql(e: String): String =
+    s"CAST(ROUND(sum(CAST(($e) AS DECIMAL(28,10))), 2) AS DECIMAL(18,2))"
   def d4Sql(e: String): String    = s"CAST(ROUND($e, 4) AS DECIMAL(18,4))"
   def d6Sql(e: String): String    = s"CAST(ROUND($e, 6) AS DECIMAL(18,6))"
 }

@@ -20,10 +20,10 @@ object Aggregations {
       lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          money(sum("l_quantity")).as("sum_qty"),
-          money(sum("l_extendedprice")).as("sum_base_price"),
-          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
           money(avg("l_quantity")).as("avg_qty"),
           money(avg("l_extendedprice")).as("avg_price"),
           d4(avg("l_discount")).as("avg_disc"),
@@ -33,8 +33,8 @@ object Aggregations {
     "agg_global" -> ((s, d) =>
       lineitem(s, d)
         .agg(
-          money(sum("l_extendedprice")).as("sum_price"),
-          money(sum("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          moneySum(col("l_quantity")).as("sum_qty"),
           money(avg("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("n_rows"))),
 
@@ -50,7 +50,7 @@ object Aggregations {
         .agg(
           countDistinct("o_custkey").as("n_custs"),
           countDistinct("o_orderpriority").as("n_prios"),
-          money(sum("o_totalprice")).as("total"))
+          moneySum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")),
 
     // HLL sketch values are engine-specific → oracle omitted (unit test
@@ -69,7 +69,7 @@ object Aggregations {
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"),
-          money(sum("o_totalprice")).as("revenue"),
+          moneySum(col("o_totalprice")).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(
           col("g_status"), col("g_prio"),
@@ -138,10 +138,10 @@ object Aggregations {
   val oracle: Map[String, String] = Map(
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
-          ${moneySql("sum(l_quantity)")} AS sum_qty,
-          ${moneySql("sum(l_extendedprice)")} AS sum_base_price,
-          ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
-          ${moneySql("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+          ${moneySumSql("l_quantity")} AS sum_qty,
+          ${moneySumSql("l_extendedprice")} AS sum_base_price,
+          ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          ${moneySumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
           ${moneySql("avg(l_quantity)")} AS avg_qty,
           ${moneySql("avg(l_extendedprice)")} AS avg_price,
           ${d4Sql("avg(l_discount)")} AS avg_disc,
@@ -149,8 +149,8 @@ object Aggregations {
           FROM lineitem GROUP BY l_returnflag, l_linestatus
           ORDER BY l_returnflag, l_linestatus""",
     "agg_global" ->
-      s"""SELECT ${moneySql("sum(l_extendedprice)")} AS sum_price,
-          ${moneySql("sum(l_quantity)")} AS sum_qty,
+      s"""SELECT ${moneySumSql("l_extendedprice")} AS sum_price,
+          ${moneySumSql("l_quantity")} AS sum_qty,
           ${moneySql("avg(l_extendedprice)")} AS avg_price,
           count(*) AS n_rows FROM lineitem""",
     "agg_count_distinct" ->
@@ -159,12 +159,12 @@ object Aggregations {
     "agg_multi_distinct" ->
       s"""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
           count(DISTINCT o_orderpriority) AS n_prios,
-          ${moneySql("sum(o_totalprice)")} AS total
+          ${moneySumSql("o_totalprice")} AS total
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // agg_approx_distinct: omitted (sketch values are engine-specific).
     "agg_grouping_sets" ->
       s"""SELECT GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
-          ${moneySql("sum(o_totalprice)")} AS revenue, count(*) AS n,
+          ${moneySumSql("o_totalprice")} AS revenue, count(*) AS n,
           o_orderstatus, o_orderpriority
           FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           ORDER BY g_status, g_prio, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",

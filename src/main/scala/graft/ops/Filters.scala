@@ -25,7 +25,7 @@ object Filters {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
         .agg(
-          money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
           count(lit(1)).as("n"))),
 
     "filter_in_like" -> ((s, d) =>
@@ -35,7 +35,7 @@ object Filters {
           col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
           col("c_name").like("Customer#00000012%"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")),
 
     // Three-valued logic: NULLIF makes a nullable column, then bucket by the
@@ -59,12 +59,12 @@ object Filters {
           ${moneySql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS charge
           FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge LIMIT 100""",
     "filter_conjunctive" ->
-      s"""SELECT ${moneySql("sum(l_extendedprice * l_discount)")} AS revenue, count(*) AS n
+      s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue, count(*) AS n
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
             AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "filter_in_like" ->
-      s"""SELECT o_orderpriority, count(*) AS n, ${moneySql("sum(o_totalprice)")} AS total
+      s"""SELECT o_orderpriority, count(*) AS n, ${moneySumSql("o_totalprice")} AS total
           FROM orders JOIN customer ON o_custkey = c_custkey
           WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND c_name LIKE 'Customer#00000012%'
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",

@@ -21,7 +21,7 @@ object Joins {
       orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), money(sum("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
         .orderBy("c_mktsegment")),
 
     "join_broadcast" -> ((s, d) =>
@@ -35,7 +35,7 @@ object Joins {
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(
-          money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
@@ -132,20 +132,20 @@ object Joins {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz"))
         .groupBy("n_name")
-        .agg(money(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("n_name")),
   )
 
   val oracle: Map[String, String] = Map(
     "join_inner_hash" ->
-      s"""SELECT c_mktsegment, count(*) AS n, ${moneySql("sum(o_totalprice)")} AS total
+      s"""SELECT c_mktsegment, count(*) AS n, ${moneySumSql("o_totalprice")} AS total
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""",
     "join_sort_merge" ->
-      s"""SELECT o_orderstatus, ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+      s"""SELECT o_orderstatus, ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
           count(*) AS n
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
@@ -196,7 +196,7 @@ object Joins {
                  FROM events WHERE event_type IN ('click','purchase')))
          WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
     "join_multiway" ->
-      s"""SELECT n_name, ${moneySql("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+      s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM customer
           JOIN orders   ON c_custkey = o_custkey
           JOIN lineitem ON o_orderkey = l_orderkey

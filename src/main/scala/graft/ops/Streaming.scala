@@ -23,7 +23,7 @@ object Streaming {
       events(s, d)
         .select(tsec(col("ts")).as("ts_s"), col("event_type"), col("value"))
         .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), money(sum("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
@@ -92,7 +92,7 @@ object Streaming {
     "stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
                  time_bucket(INTERVAL '1 hour', ts_s) + INTERVAL '1 hour' AS window_end,
-                 event_type, count(*) AS n, ${moneySql("sum(value)")} AS sum_value
+                 event_type, count(*) AS n, ${moneySumSql("value")} AS sum_value
           FROM (SELECT $tsS AS ts_s, event_type, value FROM events)
           GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
     // Each event belongs to exactly 2 sliding windows: its 30-min bucket and
