@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation pipeline — the composition story for
+  * the LLM operators: quality-filter → near-dedup → per-language token stats
+  * → partitioned parquet layout.
+  *
+  * Every stage is one of the engine's declared operators applied in
+  * sequence, so the pipeline inherits their scale properties: the quality
+  * filter is a narrow projection (no shuffle), dedup shuffles only on LSH
+  * band keys, stats are partial-aggregated, and the sink is partitioned by
+  * `lang` so downstream consumers prune.
+  */
+object Pipeline {
+  /** Documents with integer-basis-point quality signals attached. */
+  def withQuality(docs: DataFrame): DataFrame =
+    docs.select(col("*"),
+      size(split(col("text"), " ")).cast("long").as("q_n"),
+      expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast("long").as("q_st"),
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("q_np"),
+      length(col("text")).cast("long").as("q_len"))
+      .withColumn("quality_bp", expr(
+        "(100 * (least(q_n, 50) * q_n * q_len + 30 * (q_n - q_st) * q_len + 20 * (q_len - q_np) * q_n)) div (q_n * q_len)"))
+      .drop("q_n", "q_st", "q_np", "q_len")
+
+  /** Keep the lowest-doc_id representative of every near-duplicate cluster:
+    * drop any doc that appears as the larger id of a Jaccard>=0.8 pair. */
+  def dropNearDups(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val losers = ops.LlmPipeline.nearDupPairs(toks).select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Full pipeline: returns the per-language summary and writes the cleaned
+    * corpus partitioned by lang under `outDir`. */
+  def run(spark: SparkSession, sfDir: String, outDir: String, minQualityBp: Long = 9000): DataFrame = {
+    val cleaned = dropNearDups(
+      withQuality(Tables.documents(spark, sfDir)).filter(col("quality_bp") >= minQualityBp))
+    cleaned.write.mode("overwrite").partitionBy("lang").parquet(outDir)
+    spark.read.parquet(outDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("total_tokens"),
+        Norm.moneySum(col("n_chars").cast("double")).as("total_chars"))
+      .orderBy("lang")
+  }
+}
