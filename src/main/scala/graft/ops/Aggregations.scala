@@ -126,6 +126,16 @@ object Aggregations {
           d4(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("covar_pq"))
         .orderBy("l_returnflag")),
 
+    // t-digest style sketch percentile — engine-specific values, so oracle
+    // omitted (rows-only check); GoldenSuite asserts closeness to exact.
+    "agg_approx_percentile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90_approx"))
+        .orderBy("l_linestatus")),
+
     "agg_percentile" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_linestatus")

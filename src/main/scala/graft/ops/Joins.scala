@@ -117,6 +117,21 @@ object Joins {
         .orderBy("user_id", "event_id")
     }),
 
+    // Forward as-of: for each purchase, the NEXT click by the same user
+    // (lookahead window mirror of join_asof).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), tsec(col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_click_ts",
+          first(when(col("event_type") === "click", col("ts_s")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_s", "next_click_ts")
+        .orderBy("user_id", "event_id")
+    }),
+
     // TPC-H Q5 shape: the three dimension legs are broadcast; only
     // customer⋈orders⋈lineitem shuffles.
     "join_multiway" -> ((s, d) =>
@@ -191,6 +206,16 @@ object Joins {
                   last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
                     OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+           FROM (SELECT event_id, user_id, event_type,
+                        CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+                 FROM events WHERE event_type IN ('click','purchase')))
+         WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "join_asof_forward" ->
+      """SELECT user_id, event_id, ts_s, next_click_ts FROM (
+           SELECT user_id, event_id, event_type, ts_s,
+                  first_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
            FROM (SELECT event_id, user_id, event_type,
                         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
                  FROM events WHERE event_type IN ('click','purchase')))

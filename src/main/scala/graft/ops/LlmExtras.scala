@@ -123,6 +123,19 @@ object LlmExtras {
         .orderBy("qid", "rank")
     }),
 
+    // Embedding-cosine near-dup: vectors whose cosine >= 0.55 form duplicate
+    // pairs; the higher vec_id of each pair is dropped and survivors are
+    // summarized per label. (Same kernel as the similarity ops; the
+    // threshold is data-calibrated — the synthetic corpus maxes near 0.6.)
+    "llm_dedup_embed" -> ((s, d) => {
+      val dupLosers = SimKernel.cosinePairs(s, vecs(s, d), 0.55)
+        .select(col("vid_b").as("vec_id")).distinct()
+      embeddings(s, d).join(dupLosers, Seq("vec_id"), "left_anti")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), min("vec_id").as("min_vec"))
+        .orderBy("label")
+    }),
+
     // Language ID by token-bigram profile: profiles learned from docs 0..249,
     // docs 250..349 classified by INTEGER dot-product score (ties → lang asc);
     // output is the confusion matrix.
@@ -256,6 +269,14 @@ object LlmExtras {
             FROM probes p JOIN assign a ON p.cid = a.cid AND a.vid <> p.qid
             JOIN v q ON q.vec_id = p.qid JOIN v t ON t.vec_id = a.vid)
           WHERE rank <= 3 ORDER BY qid, rank""",
+    "llm_dedup_embed" ->
+      s"""WITH losers AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.55)
+          SELECT label, count(*) AS n_kept, min(vec_id) AS min_vec
+          FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+          GROUP BY label ORDER BY label""",
     "llm_text_langid" ->
       """WITH bg AS (SELECT doc_id, lang, concat(w1, ' ', w2) AS bg FROM (
                        SELECT doc_id, lang,

@@ -101,6 +101,16 @@ class GoldenSuite extends AnyFunSuite {
     assert(native.except(emul).isEmpty && emul.except(native).isEmpty)
   }
 
+  test("approx_percentile within 10% of exact") {
+    val approx = run("agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = run("agg_percentile").collect()
+      .map(r => r.getString(0) -> r.getAs[java.math.BigDecimal]("p50_qty").doubleValue).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1.0, 0.1 * e), s"status $k: ${approx(k)} vs $e")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = run("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
