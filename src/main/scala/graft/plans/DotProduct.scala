@@ -54,9 +54,11 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session extension registering `graft_dot` (usable from SQL and `expr`).
   * Production: `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectOptimizerRule(_ => RewriteIntersectSize)
+  }
 }
