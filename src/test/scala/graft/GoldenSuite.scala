@@ -101,6 +101,33 @@ class GoldenSuite extends AnyFunSuite {
     assert(native.except(emul).isEmpty && emul.except(native).isEmpty)
   }
 
+  test("reshape_pivot: 5 buckets, event-type columns sum to table count") {
+    val rows = run("reshape_pivot").collect()
+    assert(rows.length == 5)
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == Tables.events(s, d).count())
+  }
+
+  test("reshape_gapfill: each user's day sequence is contiguous") {
+    val rows = run("reshape_gapfill").collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate).sortBy(_.toEpochDay).toSeq
+      days.zip(days.drop(1)).foreach { case (a, b) =>
+        assert(b.toEpochDay == a.toEpochDay + 1, s"hole between $a and $b")
+      }
+    }
+  }
+
+  test("reshape_base64_hex: every roundtrip returns the original text") {
+    assert(run("reshape_base64_hex").filter(col("roundtrip") === false).isEmpty)
+  }
+
+  test("join_asof_forward: next click is strictly after the purchase") {
+    val bad = run("join_asof_forward")
+      .filter(col("next_click_ts").isNotNull && col("next_click_ts") <= col("ts_s"))
+    assert(bad.isEmpty)
+  }
+
   test("approx_percentile within 10% of exact") {
     val approx = run("agg_approx_percentile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -70,6 +70,33 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("SimHash: shared-token documents get closer signatures than disjoint ones") {
+    // Run the declared simhash construction over a synthetic corpus: doc 0/1
+    // share 9 of 10 tokens, doc 2 is disjoint; hamming(0,1) < hamming(0,2).
+    val sp = s; import sp.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_simhash_prop")
+    // same construction as llm_dedup_simhash, via SQL against the temp view
+    def nib(p: Int) = s"(instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1)"
+    val sums = (for (p <- 1 to 16; b <- 0 to 3) yield
+      s"sum(CASE WHEN (${nib(p)} div ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_${p}_$b").mkString(", ")
+    val bits = (for (p <- 1 to 16; b <- 0 to 3) yield
+      s"CASE WHEN s_${p}_$b > 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    val sigs = s.sql(
+      s"""SELECT doc_id, $bits AS sig FROM (
+            SELECT doc_id, $sums FROM (
+              SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok
+              FROM graft_simhash_prop) GROUP BY doc_id)""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(2L)),
+      s"near-identical docs not closer: ${sigs.toSeq.sortBy(_._1)}")
+  }
+
   test("cosine similarity of the declared fold stays in [-1, 1]") {
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
       .suchThat(_.exists(_ != 0.0f))
