@@ -126,6 +126,18 @@ object Aggregations {
           d4(covar_samp(col("l_extendedprice"), col("l_quantity"))).as("covar_pq"))
         .orderBy("l_returnflag")),
 
+    // Order-independent bitwise/boolean aggregates.
+    "agg_bitwise_bool" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          bit_and(col("o_orderkey")).as("band"),
+          bit_or(col("o_orderkey")).as("bor"),
+          bit_xor(col("o_orderkey")).as("bxor"),
+          every(col("o_totalprice") > 0).as("all_pos"),
+          some(col("o_totalprice") > 400000).as("any_big"))
+        .orderBy("o_orderstatus")),
+
     // t-digest style sketch percentile — engine-specific values, so oracle
     // omitted (rows-only check); GoldenSuite asserts closeness to exact.
     "agg_approx_percentile" -> ((s, d) =>
@@ -171,6 +183,12 @@ object Aggregations {
           count(DISTINCT o_orderpriority) AS n_prios,
           ${moneySumSql("o_totalprice")} AS total
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_bitwise_bool" ->
+      """SELECT o_orderstatus, bit_and(o_orderkey) AS band, bit_or(o_orderkey) AS bor,
+                bit_xor(o_orderkey) AS bxor,
+                bool_and(o_totalprice > 0) AS all_pos,
+                bool_or(o_totalprice > 400000) AS any_big
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // agg_approx_distinct: omitted (sketch values are engine-specific).
     "agg_grouping_sets" ->
       s"""SELECT GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,

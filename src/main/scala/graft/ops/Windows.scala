@@ -103,6 +103,15 @@ object Windows {
         .orderBy("o_totalprice", "o_orderkey")
         .limit(500)),
 
+    "win_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_topk_per_group" -> ((s, d) =>
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
@@ -159,6 +168,12 @@ object Windows {
           ${d4Sql("percent_rank() OVER (ORDER BY o_totalprice)")} AS pct_rank,
           ${d4Sql("cume_dist() OVER (ORDER BY o_totalprice)")} AS cdist
           FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 500""",
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+                nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "win_topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
