@@ -159,6 +159,24 @@ object LlmExtras {
         .orderBy("lang_true", "lang_pred")
     }),
 
+    // Training-data scrubbing: mask URL / email / long-digit shapes (the
+    // standard pre-training cleanup pass), report per-doc replacement deltas.
+    "llm_text_scrub" -> ((s, d) =>
+      documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .withColumn("scrubbed",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), "https?://\\S+", "<URL>"),
+              "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            "[0-9]{4,}", "<NUM>"))
+        .select(col("doc_id"),
+          length(col("text")).as("len_before"),
+          length(col("scrubbed")).as("len_after"),
+          (col("text") === col("scrubbed")).as("unchanged"),
+          substring(col("scrubbed"), 1, 40).as("head"))
+        .orderBy("doc_id")),
+
     // Per-document quality signals: token count, mean token length, stopword
     // ratio, non-alphanumeric ratio, and a composite score.
     // All ratios are small-denominator rationals (e.g. 7/32 = 0.21875 — an
@@ -294,6 +312,17 @@ object LlmExtras {
                           FROM scores) WHERE rn = 1)
          SELECT lang_true, lang_cand AS lang_pred, count(*) AS n
          FROM best GROUP BY 1, 2 ORDER BY lang_true, lang_pred""",
+    "llm_text_scrub" ->
+      """SELECT doc_id, length(text) AS len_before, length(scrubbed) AS len_after,
+                text = scrubbed AS unchanged, substring(scrubbed, 1, 40) AS head
+         FROM (SELECT doc_id, text,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+                     '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+               FROM documents WHERE doc_id < 100)
+         ORDER BY doc_id""",
     "llm_text_quality" ->
       """SELECT doc_id, n AS n_toks,
                 (chars * 10000) // n AS avg_tok_len_bp,

@@ -113,6 +113,44 @@ class StreamingSuite extends AnyFunSuite {
       s"state did not carry across batches: $finalPerUid")
   }
 
+  test("transformWithState: ValueState running count per key (Spark 4 state API)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    class CountProc extends StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                   tv: TimerValues): Iterator[(Long, Long)] = {
+        val c = (if (st.exists()) st.get() else 0L) + rows.size
+        st.update(c)
+        Iterator((key, c))
+      }
+    }
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val q = mem.toDS().groupByKey(_._1)
+        .transformWithState(new CountProc, TimeMode.None(), OutputMode.Update())
+        .toDF("uid", "cnt")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+        q.processAllAvailable()
+        mem.addData((1L, 4.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val finalCnt = sp.table("tws_out").groupBy("uid").agg(max("cnt").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalCnt == Map(1L -> 3L, 2L -> 1L), s"state lost across batches: $finalCnt")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming session_window merges across microbatches") {
     val sp = s; import sp.implicits._
     implicit val ctx = sp.sqlContext
