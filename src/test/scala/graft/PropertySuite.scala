@@ -70,6 +70,27 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("moneySum is bit-exact across partition counts (decimal summation)") {
+    val li = Tables.lineitem(s, TestSpark.sf)
+    def total(parts: Int) = li.repartition(parts)
+      .agg(Norm.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("t"))
+      .collect().head.getDecimal(0)
+    assert(total(1) == total(13), "decimal sum varied with partitioning")
+  }
+
+  test("representative queries are AQE-invariant") {
+    val keys = Seq("agg_hash_groupby", "join_multiway", "win_topk_per_group",
+      "llm_text_wordcount", "stream_session")
+    keys.foreach { k =>
+      def run(aqe: Boolean): Seq[String] = {
+        s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        try SparkEntry.queries(k)(s, TestSpark.sf).collect().map(_.toString).toSeq
+        finally s.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      assert(run(true) == run(false), s"$k differs with AQE off")
+    }
+  }
+
   test("SimHash: shared-token documents get closer signatures than disjoint ones") {
     // Run the declared simhash construction over a synthetic corpus: doc 0/1
     // share 9 of 10 tokens, doc 2 is disjoint; hamming(0,1) < hamming(0,2).
