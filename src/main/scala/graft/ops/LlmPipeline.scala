@@ -40,9 +40,6 @@ object LlmPipeline {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
   /** MinHash-LSH near-dup over any (doc_id, toks) frame: 64 hashes banded as
     * 32 bands × 2 rows generate candidates (shuffle key = (band, bh), never a
     * pair), then EXACT integer-arithmetic Jaccard >= 0.8 verifies. Public so

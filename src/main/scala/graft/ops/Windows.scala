@@ -20,8 +20,6 @@ import graft.Tables._
   * `win_range_frame` is partitioned by customer.
   */
 object Windows {
-  private def ordersW(s: org.apache.spark.sql.SparkSession, d: String) = orders(s, d)
-
   val ops: Map[String, Q] = Map(
     "win_row_number" -> ((s, d) =>
       orders(s, d)

@@ -113,6 +113,29 @@ class StreamingSuite extends AnyFunSuite {
       s"state did not carry across batches: $finalPerUid")
   }
 
+  test("file-source streaming: readStream discovers files incrementally") {
+    import java.nio.file.Files
+    val sp = s; import sp.implicits._
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    val batch1 = Seq((1L, "click"), (2L, "view")).toDF("event_id", "event_type")
+    batch1.write.mode("append").parquet(dir)
+    val q = sp.readStream.schema("event_id LONG, event_type STRING").parquet(dir)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("filesrc_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val c1 = sp.table("filesrc_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c1 == Map("click" -> 1L, "view" -> 1L))
+      // drop two more files into the directory — the source must pick them up
+      Seq((3L, "click"), (4L, "click")).toDF("event_id", "event_type")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val c2 = sp.table("filesrc_out").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(c2 == Map("click" -> 3L, "view" -> 1L), s"incremental files not picked up: $c2")
+    } finally q.stop()
+  }
+
   test("transformWithState: ValueState running count per key (Spark 4 state API)") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
