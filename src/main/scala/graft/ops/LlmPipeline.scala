@@ -70,6 +70,8 @@ object LlmPipeline {
       }
       (0 until 32).map(b => (b, sig(2 * b) * 1000003L ^ sig(2 * b + 1), id))
     }.toDF("band", "bh", "doc_id")
+    // (no persist: ReuseExchange already shares the signature subplan
+    // between both sides of the self-join within one action)
     // 2. Candidate pairs = same-(band, bh) doc pairs, deduped. This is the
     //    only shuffle that scales with corpus size — never an n² join.
     val ca = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
