@@ -113,6 +113,38 @@ class StreamingSuite extends AnyFunSuite {
       s"state did not carry across batches: $finalPerUid")
   }
 
+  test("foreachBatch sink: custom per-microbatch writer sees every batch") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("uid", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        seen.put(batchId, batch.count()); ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+      mem.addData((3L, 3.0)); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.values.sum == 3, s"foreachBatch missed rows: $seen")
+    assert(seen.size() >= 2, "batches were not delivered separately")
+  }
+
+  test("observe(): named metrics are collected during execution") {
+    val sp = s
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(sp, TestSpark.sf)
+      .observe("order_metrics", count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+      .filter(col("o_totalprice") > 0)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics("order_metrics")
+    assert(metrics.getAs[Long]("n") == Tables.orders(sp, TestSpark.sf).count())
+    assert(metrics.getAs[Double]("total") > 0)
+  }
+
   test("file-source streaming: readStream discovers files incrementally") {
     import java.nio.file.Files
     val sp = s; import sp.implicits._
