@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import graft.Norm._
 import graft.Tables._
 
 /** SURVEY.md §2.A — scans / sources / sinks.
@@ -28,6 +29,40 @@ object Scans {
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy("lang")
+    }),
+
+    // ORC sink + source (the other first-class columnar format).
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val path = tmpDir(d, "orc")
+      supplier(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), moneySum(col("s_acctbal")).as("total_bal"))
+        .orderBy("s_nationkey")
+    }),
+
+    // Plain-text sink + source: one line per document, read back and token-counted.
+    "scan_text_roundtrip" -> ((s, d) => {
+      val path = tmpDir(d, "txt")
+      documents(s, d).select("text").write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(explode(split(col("value"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
+    // Hive-style partitioned layout: written partitioned by event_type, read
+    // back with a partition predicate — the scan must prune to one directory
+    // (asserted in ScaleSuite) and still agree with the unpartitioned oracle.
+    "scan_partitioned_roundtrip" -> ((s, d) => {
+      val path = tmpDir(d, "part")
+      events(s, d).select("event_id", "user_id", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
     }),
 
     // JSON-lines sink + source, same oracle-equivalence trick.
@@ -63,6 +98,17 @@ object Scans {
     "scan_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_orc_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n, ${moneySumSql("s_acctbal")} AS total_bal
+          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "scan_text_roundtrip" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "scan_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY event_type ORDER BY event_type""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
