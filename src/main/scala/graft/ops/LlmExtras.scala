@@ -338,7 +338,8 @@ object LlmExtras {
                FROM documents WHERE doc_id < 100)
          ORDER BY doc_id""",
     "llm_text_token_count" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(ws_toks) AS total_ws, sum(bpe_toks) AS total_bpe,
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(ws_toks) AS BIGINT) AS total_ws,
+                 CAST(sum(bpe_toks) AS BIGINT) AS total_bpe,
           ${d4Sql("avg(CAST(bpe_toks AS DOUBLE) / ws_toks)")} AS bpe_per_ws
           FROM (SELECT lang, len(string_split(text, ' ')) AS ws_toks,
                        list_sum(list_transform(string_split(text, ' '),
@@ -353,9 +354,17 @@ object LlmExtras {
                     (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
                 md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS set_md5
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // head_byte is the first UTF-8 BYTE of the payload (matching the Spark
+    // side's bytes.head), derived from the first codepoint: <0x80 → itself,
+    // <0x800 → 0xC0+cp>>6, <0x10000 → 0xE0+cp>>12, else 0xF0+cp>>18.
     "llm_multimodal_features" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(octet_length(encode(text))) AS total_bytes,
-          ${d4Sql("avg(ascii(substring(text, 1, 1)))")} AS avg_head_byte
+      s"""SELECT lang, count(*) AS n_docs,
+                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          ${d4Sql("""avg(CASE WHEN text = '' THEN 0
+                          WHEN unicode(text) < 128 THEN unicode(text)
+                          WHEN unicode(text) < 2048 THEN 192 + unicode(text) // 64
+                          WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
+                          ELSE 240 + unicode(text) // 262144 END)""")} AS avg_head_byte
           FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

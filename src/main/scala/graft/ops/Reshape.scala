@@ -75,7 +75,7 @@ object Reshape {
   val oracle: Map[String, String] = Map(
     "reshape_pivot" ->
       s"""SELECT user_id % 5 AS bucket,
-          ${eventTypes.map(t => s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(", ")}
+          ${eventTypes.map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(", ")}
           FROM events GROUP BY 1 ORDER BY bucket""",
     "reshape_unpivot" ->
       """WITH src AS (SELECT * FROM lineitem

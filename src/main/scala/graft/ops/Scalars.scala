@@ -114,7 +114,10 @@ object Scalars {
           col("l_linenumber").cast("string").as("ln_str"),
           col("l_quantity").cast("string").cast("double").as("qty_roundtrip"),
           col("l_shipdate").cast("date").as("ship_date"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"))),
+          // decimal cast exercised, then emitted as its canonical string —
+          // scale-2 text ("38.10") is identical on both engines, while a
+          // DECIMAL column would hash by float repr ("38.1") and mismatch.
+          col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_dec"))),
 
     "array_basic" -> ((s, d) =>
       embeddings(s, d)
@@ -225,7 +228,7 @@ object Scalars {
                 CAST(l_linenumber AS VARCHAR) AS ln_str,
                 CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip,
                 CAST(l_shipdate AS DATE) AS ship_date,
-                CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
     "array_basic" ->
       s"""SELECT vec_id, len(embedding) AS n,
@@ -247,7 +250,7 @@ object Scalars {
            SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events WHERE event_id < 25)
          ORDER BY event_id, k""",
     "json_extract" ->
-      s"""SELECT event_type, count(j) AS n, sum(j) AS total,
+      s"""SELECT event_type, count(j) AS n, CAST(sum(j) AS BIGINT) AS total,
           ${d4Sql("avg(j)")} AS avg_k, min(j) AS mn, max(j) AS mx
           FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INTEGER) AS j FROM events)
           GROUP BY event_type ORDER BY event_type""",

@@ -93,7 +93,7 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "scan_csv_roundtrip" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "scan_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users

@@ -62,7 +62,7 @@ class GoldenSuite extends AnyFunSuite {
   test("llm_sim_topk: 5 neighbors per query, cosine within [-1, 1]") {
     val rows = run("llm_sim_topk").collect()
     assert(rows.length == 50)
-    assert(rows.forall(r => math.abs(r.getAs[java.math.BigDecimal]("cosine").doubleValue) <= 1.0001))
+    assert(rows.forall(r => math.abs(r.getAs[Long]("cosine")) <= 10001L)) // basis points
     assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vid")))
   }
 
@@ -132,7 +132,7 @@ class GoldenSuite extends AnyFunSuite {
     val approx = run("agg_approx_percentile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exact = run("agg_percentile").collect()
-      .map(r => r.getString(0) -> r.getAs[java.math.BigDecimal]("p50_qty").doubleValue).toMap
+      .map(r => r.getString(0) -> r.getAs[Long]("p50_qty") / 10000.0).toMap // bp → value
     exact.foreach { case (k, e) =>
       assert(math.abs(approx(k) - e) <= math.max(1.0, 0.1 * e), s"status $k: ${approx(k)} vs $e")
     }

@@ -74,7 +74,7 @@ class PropertySuite extends AnyFunSuite {
     val li = Tables.lineitem(s, TestSpark.sf)
     def total(parts: Int) = li.repartition(parts)
       .agg(Norm.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("t"))
-      .collect().head.getDecimal(0)
+      .collect().head.getLong(0)
     assert(total(1) == total(13), "decimal sum varied with partitioning")
   }
 
