@@ -24,13 +24,15 @@ import graft.Tables._
   */
 object LlmExtras {
   // ---- shared cosine machinery (same fold as LlmPipeline) ----
+  // norms and dots run through the codegen graft_dot Expression — the same
+  // index-order accumulation as the declarative aggregate fold, bit-identical
+  // results, but a primitive loop inside whole-stage codegen.
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private val dotExpr = "graft_dot(va, vb)"
 
   private def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -51,47 +53,31 @@ object LlmExtras {
     }.mkString("concat(", ", ", ")")
 
   val ops: Map[String, Q] = Map(
-    // 64-bit SimHash per document (doc_id < 30 slice): near-identical token
+    // 64-bit SimHash per document (full corpus): near-identical token
     // multisets produce near-identical signatures; grouping/hamming search
     // over the signature is the 100 TB dedup path (one shuffle on simhash).
     "llm_dedup_simhash" -> ((s, d) =>
-      documents(s, d).filter(col("doc_id") < 30)
+      documents(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .groupBy("doc_id")
         .agg(expr(simhashSums("div").head), simhashSums("div").tail.map(expr): _*)
         .select(col("doc_id"), expr(simhashHex).as("simhash"))
         .orderBy("doc_id")),
 
-    // Char-3-gram Jaccard near-dup (threshold 0.7) with an integer
-    // size-ratio prefilter (J >= 0.7 forces 10*min(|A|,|B|) >= 7*max):
-    // the pruning is semantics-preserving, so the result is exact.
-    "llm_dedup_ngram_jaccard" -> ((s, d) => {
-      // Distinct char-3-gram sets; pairs verified in a per-partition loop
-      // against the broadcast gram table (200-doc universe). The size-ratio
-      // prefilter (J >= 0.7 forces 10*min >= 7*max) prunes before set work.
-      val sp = s
-      import sp.implicits._
-      val grams = documents(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
-        .as[(Long, Seq[String])]
-      val bc = s.sparkContext.broadcast(grams.collect().map { case (id, g) => (id, g.toSet) }.sortBy(_._1))
-      grams.flatMap { case (ida, ga) =>
-        val sa = ga.toSet
-        bc.value.iterator.dropWhile(_._1 <= ida).flatMap { case (idb, sb) =>
-          if (math.min(sa.size, sb.size) * 10 < math.max(sa.size, sb.size) * 7) None
-          else {
-            val inter = sa.count(sb.contains)
-            val uni = sa.size + sb.size - inter
-            if (inter * 10 >= uni * 7) Some((ida, idb, inter, uni)) else None
-          }
-        }
-      }.toDF("doc_a", "doc_b", "inter", "uni")
-        .select(col("doc_a"), col("doc_b"),
-          expr("(CAST(inter AS BIGINT) * 10000) div uni").as("jaccard_bp"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Char-3-gram Jaccard near-dup (threshold 0.7) over the FULL corpus.
+    // 3-gram vocabulary is charset-bounded (377 grams here), so the adaptive
+    // path picks the interned-bitmap popcount kernel — candidate pruning
+    // cannot work at this threshold anyway (background gram-set similarity
+    // ≈ 0.6 makes every pruner — LSH bands or rare-prefix — degenerate to
+    // all-pairs; measured at sf0.1), so the design makes each pair cost a
+    // few long-ANDs instead of a shuffled array-pair row.
+    "llm_dedup_ngram_jaccard" -> ((s, d) =>
+      LlmPipeline.nearDupPairs(
+        documents(s, d).select(col("doc_id"),
+          // sorted-distinct layout → IntersectSize O(n+m) merge path
+          sort_array(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("toks")),
+        num = 7, den = 10)),
 
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
@@ -162,7 +148,7 @@ object LlmExtras {
     // Training-data scrubbing: mask URL / email / long-digit shapes (the
     // standard pre-training cleanup pass), report per-doc replacement deltas.
     "llm_text_scrub" -> ((s, d) =>
-      documents(s, d).filter(col("doc_id") < 100)
+      documents(s, d)
         .select(col("doc_id"), col("text"))
         .withColumn("scrubbed",
           regexp_replace(
@@ -184,7 +170,7 @@ object LlmExtras {
     // observed live at sf0.1). So every ratio is emitted as integer basis
     // points via floor division — exact and identical in both engines.
     "llm_text_quality" -> ((s, d) =>
-      documents(s, d).filter(col("doc_id") < 100)
+      documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n"),
           length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
@@ -217,7 +203,7 @@ object LlmExtras {
     // (acc*31 + charcode, mod 1e9+7) and an order-free content fingerprint
     // (md5 of the sorted distinct token set).
     "llm_fingerprint" -> ((s, d) =>
-      documents(s, d).filter(col("doc_id") < 100)
+      documents(s, d)
         .select(col("doc_id"),
           expr("""aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
                             CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""").as("rolling_hash"),
@@ -249,22 +235,28 @@ object LlmExtras {
   val oracle: Map[String, String] = Map(
     "llm_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-                        FROM documents WHERE doc_id < 30),
+                        FROM documents),
                sums AS (SELECT doc_id, ${simhashSums("//").mkString(", ")}
                         FROM toks GROUP BY doc_id)
           SELECT doc_id, $simhashHex AS simhash FROM sums ORDER BY doc_id""",
+    // Exact all-pairs over the FULL corpus; the size-ratio prefilter
+    // (J >= 0.7 forces 10·min >= 7·max) is semantics-preserving pruning.
     "llm_dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, length(text) - 1),
                                                          i -> substring(text, i, 3))) AS gr
-                     FROM documents WHERE doc_id < 200)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 (CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 10000)
-                   // (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) AS jaccard_bp
-          FROM g a JOIN g b ON a.doc_id < b.doc_id
-          WHERE least(len(a.gr), len(b.gr)) * 10 >= greatest(len(a.gr), len(b.gr)) * 7
-            AND len(list_intersect(a.gr, b.gr)) * 10
-                >= (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) * 7
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.gr AS ga, b.gr AS gb
+                        FROM g a JOIN g b ON a.doc_id < b.doc_id
+                         AND len(a.gr) * 10 >= len(b.gr) * 7
+                         AND len(b.gr) * 10 >= len(a.gr) * 7),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ga, gb)) AS inter,
+                            len(ga) + len(gb) AS stot
+                     FROM cand)
+          SELECT doc_a, doc_b,
+                 (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
+          FROM v WHERE inter * 10 >= (stot - inter) * 7
           ORDER BY doc_a, doc_b""",
     "llm_sim_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
@@ -321,7 +313,7 @@ object LlmExtras {
                      regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
                      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
                    '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
-               FROM documents WHERE doc_id < 100)
+               FROM documents)
          ORDER BY doc_id""",
     "llm_text_quality" ->
       """SELECT doc_id, n AS n_toks,
@@ -335,7 +327,7 @@ object LlmExtras {
                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st,
                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
                 CAST(length(text) AS BIGINT) AS len
-               FROM documents WHERE doc_id < 100)
+               FROM documents)
          ORDER BY doc_id""",
     "llm_text_token_count" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(ws_toks) AS BIGINT) AS total_ws,
@@ -353,7 +345,7 @@ object LlmExtras {
                                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
                     (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
                 md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS set_md5
-         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+         FROM documents ORDER BY doc_id""",
     // head_byte is the first UTF-8 BYTE of the payload (matching the Spark
     // side's bytes.head), derived from the first codepoint: <0x80 → itself,
     // <0x800 → 0xC0+cp>>6, <0x10000 → 0xE0+cp>>12, else 0xF0+cp>>18.

@@ -28,36 +28,125 @@ import graft.Tables._
   *     so limit boundaries are deterministic.
   */
 object LlmPipeline {
-  /** Distinct-token sets per document (the dedup universe). */
-  private def tokenSets(s: SparkSession, d: String, cap: Option[Int] = None): DataFrame = {
-    val base = cap.fold(documents(s, d))(c => documents(s, d).filter(col("doc_id") < c))
-    base.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-  }
+  /** Distinct-token sets per document (the dedup universe — full corpus).
+    * Sorted so exact verification hits IntersectSize's O(n+m) two-pointer
+    * path instead of the O(n·m) nested loop. */
+  private def tokenSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
 
-  /** Embeddings as double vectors with precomputed norm (sequential fold). */
+  /** Embeddings as double vectors with precomputed norm. The norm runs
+    * through the codegen `graft_dot` (index-order accumulation, bit-identical
+    * to the declarative `aggregate` fold the oracle mirrors). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
 
-  /** MinHash-LSH near-dup over any (doc_id, toks) frame: 64 hashes banded as
-    * 32 bands × 2 rows generate candidates (shuffle key = (band, bh), never a
-    * pair), then EXACT integer-arithmetic Jaccard >= 0.8 verifies. Public so
-    * the ScalaCheck recall property can drive it with generated corpora.
+  /** Near-duplicate pairs (exact Jaccard >= num/den) over any (doc_id, toks)
+    * frame — ADAPTIVE between the two exact strategies:
+    *
+    *   - **bounded vocabulary** (distinct tokens <= 4096 — always true for
+    *     char-shingles, measured-true for this corpus's word tokens): encode
+    *     each token set as a bitmap over the interned vocabulary and run a
+    *     block-partitioned all-pairs popcount kernel. When background
+    *     similarity sits near the threshold (dup-dense corpora), NO
+    *     candidate pruner can beat Ω(candidate) work — candidates ≈ all
+    *     pairs (measured 12.3M candidates of 12.5M pairs at sf0.1) — so the
+    *     win is making each pair cost ~words(vocab)/64 long-ANDs instead of
+    *     a shuffle-join row carrying two token arrays.
+    *   - **unbounded vocabulary**: MinHash-LSH banding for candidates +
+    *     exact shuffle-join verification ([[lshJaccardPairs]]).
+    *
+    * Both paths emit identical (doc_a, doc_b, jaccard_bp) rows; the choice
+    * is a pure execution-strategy decision (one vocab-count job).
+    */
+  def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    val vocabDf = tokens.select(explode(col("toks")).as("tok")).distinct()
+    val vocabN = vocabDf.count()
+    if (vocabN <= 4096) bitmapJaccardPairs(tokens, vocabDf, vocabN.toInt, num, den)
+    else lshJaccardPairs(tokens, num, den)
+  }
+
+  /** Bounded-vocab exact Jaccard: interned-bitmap sets + block-partitioned
+    * all-pairs popcount kernel. Vocabulary ids come from a distributed
+    * sort + zipWithIndex (deterministic, no driver data); per-task memory is
+    * two id-blocks of (words(v) + 2) longs per doc; only passing pairs are
+    * ever materialized — there is no candidate shuffle at all. */
+  private def bitmapJaccardPairs(tokens: DataFrame, vocabDf: DataFrame, v: Int,
+                                 num: Int, den: Int, blocks: Int = 16): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    val ids = vocabDf.orderBy("tok").as[String].rdd.zipWithIndex().toDF("tok", "tid")
+    val words = (v + 63) / 64
+    val bm = tokens.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(ids), "tok")
+      .groupBy("doc_id").agg(collect_list(col("tid")).as("tids"))
+      .as[(Long, Seq[Long])]
+      .map { case (id, tids) =>
+        val arr = new Array[Long](words)
+        tids.foreach(t => arr((t >> 6).toInt) |= (1L << (t & 63)))
+        var pc = 0
+        var i = 0
+        while (i < words) { pc += java.lang.Long.bitCount(arr(i)); i += 1 }
+        (id, arr, pc)
+      }
+    val aSide = bm.flatMap { t =>
+      val b = (t._1 % blocks).toInt
+      (b until blocks).map(j => (b * blocks + j, t))
+    }
+    val bSide = bm.flatMap { t =>
+      val b = (t._1 % blocks).toInt
+      (0 to b).map(i => (i * blocks + b, t))
+    }
+    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) {
+      (key: Int, as: Iterator[(Int, (Long, Array[Long], Int))], bs: Iterator[(Int, (Long, Array[Long], Int))]) =>
+        val same = (key / blocks) == (key % blocks)
+        val bArr = bs.map(_._2).toArray
+        as.flatMap { a =>
+          val (ida, va, sza) = a._2
+          bArr.iterator.flatMap { case (idb, vb, szb) =>
+            if (same && idb <= ida) None
+            else {
+              var inter = 0
+              var i = 0
+              while (i < words) { inter += java.lang.Long.bitCount(va(i) & vb(i)); i += 1 }
+              val uni = sza + szb - inter
+              if (inter * den >= uni * num)
+                Some((math.min(ida, idb), math.max(ida, idb), inter * 10000L / uni))
+              else None
+            }
+          }
+        }
+    }.toDF("doc_a", "doc_b", "jaccard_bp")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** General-vocabulary path: MinHash-LSH banding (64 hashes as 32 bands ×
+    * 2 rows) generates candidates — shuffle key = (band, bh), never a pair —
+    * then EXACT integer-arithmetic Jaccard >= num/den verifies. Public for
+    * the ScalaCheck recall property and as the 100 TB unbounded-vocab form.
     *
     * Signatures are computed in a tight per-partition loop (deterministic
     * murmur-based hashes) — their values are internal pruning state and never
-    * reach the declared result, so they don't need a cross-engine twin.
-    * Verification joins candidates back to the token sets; the exact Jaccard
-    * (integer intersect/union, one double division) is what the oracle
-    * recomputes over all pairs.
+    * reach the declared result, so they don't need a cross-engine twin. Miss
+    * probability per true pair at J = t is (1 − t²)³²: 6.5e-15 at t=0.8,
+    * 4.3e-10 at t=0.7 — far below one expected miss on any realistic corpus.
+    *
+    * Verification is two SHUFFLE JOINS of the candidate pairs back to the
+    * token table on doc id (no driver-side collect anywhere in the lineage —
+    * at 100 TB the token table never has to fit in any single memory). The
+    * exact intersection size runs through `size(array_intersect(...))`,
+    * which the injected [[graft.plans.RewriteIntersectSize]] rule compiles
+    * to the allocation-free `intersect_size` codegen expression.
     */
-  def nearDupPairs(tokens: DataFrame): DataFrame = {
+  def lshJaccardPairs(tokens: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
     val tokDs = tokens.as[(Long, Seq[String])]
-    // 1. Per-doc 64-hash MinHash signature folded into 32 band keys.
-    val bands = tokDs.flatMap { case (id, toks) =>
+    // 1. Per-doc 64-hash MinHash signature folded into 32 band keys. Each
+    //    bucket row carries the doc's FULL band vector (32 longs — ~300 B).
+    val bandRows = tokDs.map { case (id, toks) =>
       val sig = Array.fill(64)(Long.MaxValue)
       toks.foreach { t =>
         var i = 0
@@ -68,35 +157,110 @@ object LlmPipeline {
           i += 1
         }
       }
-      (0 until 32).map(b => (b, sig(2 * b) * 1000003L ^ sig(2 * b + 1), id))
-    }.toDF("band", "bh", "doc_id")
-    // (no persist: ReuseExchange already shares the signature subplan
-    // between both sides of the self-join within one action)
-    // 2. Candidate pairs = same-(band, bh) doc pairs, deduped. This is the
-    //    only shuffle that scales with corpus size — never an n² join.
-    val ca = bands.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val cb = bands.select(col("band").as("band_b"), col("bh").as("bh_b"), col("doc_id").as("doc_b"))
-    val cand = ca.join(cb,
-        col("band") === col("band_b") && col("bh") === col("bh_b") &&
-        col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    // 3. Exact verification in one per-partition pass against the token sets
-    //    (broadcast here; at 100 TB this becomes two shuffle joins on doc id
-    //    with identical semantics).
-    val bcToks = s.sparkContext.broadcast(
-      tokDs.collect().map { case (id, t) => (id, t.toSet) }.toMap)
-    cand.as[(Long, Long)].map { case (a, b) =>
-      val ta = bcToks.value(a); val tb = bcToks.value(b)
-      val inter = ta.count(tb.contains)
-      (a, b, inter, ta.size + tb.size - inter)
-    }.toDF("doc_a", "doc_b", "inter", "uni")
-      .filter(col("inter") * 5 >= col("uni") * 4)
+      (id, Array.tabulate(32)(b => sig(2 * b) * 1000003L ^ sig(2 * b + 1)))
+    }
+    // 2. Candidate pairs, emitted EXACTLY ONCE globally: a same-bucket pair
+    //    is emitted only when this band is the FIRST band in which the two
+    //    docs collide (checkable locally from the carried band vectors).
+    //    On a dup-dense corpus a true pair collides in most bands, so the
+    //    naive emit-everywhere-then-distinct plan materializes and shuffles
+    //    ~bands× the candidate volume (measured 170M rows → 12M pairs at
+    //    sf0.1, with the distinct dominating the runtime); first-collision
+    //    emission needs NO pair-dedup shuffle at all. The only shuffle that
+    //    scales with corpus size is the (band, bh) groupBy of n·32 rows.
+    val cand = bandRows.flatMap { case (id, bh) =>
+      (0 until 32).map(b => (b, bh(b), id, bh))
+    }.groupByKey(r => (r._1, r._2)).flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Array[Long])]) =>
+      val band = key._1
+      val mem = it.toArray.sortBy(_._3) // (band, bh, doc_id, bandVec) by id
+      // Imperative pair scan: on dup-dense corpora most bucket pairs are
+      // NOT first-collision-here, so the scan must be allocation-free per
+      // visited pair (a closure/Option version of this loop spent its time
+      // in GC at sf0.1 — 170M visited pairs for 12M emitted).
+      new Iterator[(Long, Long)] {
+        private var i = 0
+        private var j = 1
+        private var pair: (Long, Long) = _
+        private def advance(): Unit = {
+          pair = null
+          while (pair == null && i < mem.length - 1) {
+            val a = mem(i)
+            while (pair == null && j < mem.length) {
+              val b = mem(j)
+              var k = 0
+              var clash = -1
+              while (clash < 0 && k <= band) { // they collide at `band`, so k stops
+                if (a._4(k) == b._4(k)) clash = k
+                k += 1
+              }
+              if (clash == band) pair = (a._3, b._3)
+              j += 1
+            }
+            if (pair == null) { i += 1; j = i + 1 }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = pair != null
+        override def next(): (Long, Long) = { val r = pair; advance(); r }
+      }
+    }.toDF("doc_a", "doc_b")
+    // 3. Exact verification: candidates ⋈ tokens ⋈ tokens on doc id.
+    verifyPairs(cand, tokens, num, den)
+  }
+
+  /** Exact integer-Jaccard verification of (doc_a, doc_b) candidates: two
+    * SHUFFLE JOINS back to the token table on doc id (no driver collect),
+    * distinct-element |A∩B| via size(array_intersect) → the injected
+    * intersect_size codegen rule (O(n+m) on the sorted token layout). */
+  private[ops] def verifyPairs(cand: DataFrame, tokens: DataFrame,
+                               num: Int, den: Int): DataFrame = {
+    val ta = tokens.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val tb = tokens.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        (size(col("toks_a")) + size(col("toks_b"))).as("stot"))
+      .filter(col("inter") * den >= (col("stot") - col("inter")) * num)
       // Basis points via integer floor division: inter/uni is a small-
       // denominator rational, so decimal rounding can tie (and engines
       // disagree on ties); integer arithmetic cannot.
       .select(col("doc_a"), col("doc_b"),
-        expr("(CAST(inter AS BIGINT) * 10000) div uni").as("jaccard_bp"))
+        expr("(CAST(inter AS BIGINT) * 10000) div (stot - inter)").as("jaccard_bp"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact prefix-filtered Jaccard self-join (the AllPairs/PPJoin family):
+    * sort each token set under a global (doc-frequency, token) order; a pair
+    * with J >= num/den must share its SMALLEST common element, which the
+    * pigeonhole places inside both sides' first |S| − ⌈(num/den)·|S|⌉ + 1
+    * (i.e. rarest-first prefix) elements — so joining prefixes on the token
+    * generates a candidate superset with NO sketch miss probability.
+    *
+    * This is the right pruner when background similarity sits close to the
+    * threshold: char-3-gram sets share most FREQUENT grams corpus-wide
+    * (measured background J ≈ 0.6 vs threshold 0.7 at sf0.1), which makes
+    * MinHash-LSH buckets degenerate to all-pairs, while rare-gram prefixes
+    * stay selective. Scale shape: one explode+groupBy for document
+    * frequencies (vocab-bounded — 3-gram vocab is fixed — so the df side
+    * broadcasts), one windowed rank per doc, one equi-join on prefix tokens,
+    * then the shared shuffle-join verify.
+    */
+  def prefixJaccardPairs(tokens: DataFrame, num: Int, den: Int): DataFrame = {
+    val docFreq = tokens.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = tokens
+      .select(col("doc_id"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
+      .join(broadcast(docFreq), "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      // prefix length |S| − ⌈(num/den)·|S|⌉ + 1, in exact integers
+      .filter(col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("tok")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyPairs(cand, tokens, num, den)
   }
 
   /** DuckDB twin of the double-precision cosine, operation-for-operation. */
@@ -114,7 +278,7 @@ object LlmPipeline {
         .orderBy("h")),
 
     "llm_dedup_near" -> ((s, d) =>
-      nearDupPairs(tokenSets(s, d, Some(1000)))),
+      nearDupPairs(tokenSets(s, d))),
 
     "llm_sim_cosine_pairs" -> ((s, d) =>
       SimKernel.cosinePairs(s, vecs(s, d), 0.5)
@@ -181,17 +345,24 @@ object LlmPipeline {
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
-    // Exact all-pairs Jaccard — no sketch — over the same capped universe;
-    // integer cross-multiplication keeps the threshold float-free.
+    // Exact all-pairs Jaccard — no sketch — over the FULL corpus; the
+    // size-ratio prefilter (J >= 4/5 forces 5·min(|A|,|B|) >= 4·max) is
+    // semantics-preserving pruning, and integer cross-multiplication keeps
+    // the threshold float-free.
     "llm_dedup_near" ->
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-                     FROM documents WHERE doc_id < 1000)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 (CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) * 10000)
-                   // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard_bp
-          FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.toks, b.toks)) * 5
-                >= (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) * 4
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand)
+          SELECT doc_a, doc_b,
+                 (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
+          FROM v WHERE inter * 5 >= (stot - inter) * 4
           ORDER BY doc_a, doc_b""",
     "llm_sim_cosine_pairs" ->
       s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,

@@ -41,10 +41,15 @@ object Scans {
         .orderBy("s_nationkey")
     }),
 
-    // Plain-text sink + source: one line per document, read back and token-counted.
+    // Plain-text sink + source: one line per document, read back and
+    // token-counted. A text sink is line-delimited by definition, so embedded
+    // newlines are normalized to spaces BEFORE the write (and the oracle
+    // tokenizes the same normalization) — without this, a single multi-line
+    // document would silently split into several rows on read-back.
     "scan_text_roundtrip" -> ((s, d) => {
       val path = tmpDir(d, "txt")
-      documents(s, d).select("text").write.mode("overwrite").text(path)
+      documents(s, d).select(regexp_replace(col("text"), "[\\r\\n]", " ").as("text"))
+        .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(explode(split(col("value"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
@@ -103,7 +108,8 @@ object Scans {
           FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     "scan_text_roundtrip" ->
       """SELECT token, count(*) AS n
-         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         FROM (SELECT unnest(string_split(regexp_replace(text, '[\r\n]', ' ', 'g'), ' ')) AS token
+               FROM documents)
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
     "scan_partitioned_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users

@@ -1,57 +1,78 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Primitive-loop similarity kernels.
+/** Similarity kernels over embedding frames (vec_id, v: array<double>, nrm).
   *
-  * The declared cosine is `aggregate(zip_with(va, vb, _*_), 0.0, _+_) /
-  * (na * nb)` — a sequential left fold. Catalyst evaluates higher-order
-  * functions interpreted, per element, per pair; over an all-pairs join that
-  * dominated the benchmark (~20 s for 2M pairs at sf0.1). These kernels
-  * compute the IDENTICAL float operation sequence (acc += a(i)*b(i) in index
-  * order, then one divide by na*nb) in a tight JVM loop over primitive
-  * arrays, so results are bit-identical to the declarative form while being
-  * ~50× faster.
+  * The declared cosine is `aggregate(zip_with(va, vb, _*_), 0d, _+_) /
+  * (na * nb)` — a sequential left fold in index order. Both kernels compute
+  * the IDENTICAL float operation sequence, so results are bit-identical to
+  * the declarative form:
+  *   - `scoreAgainstQueries` is a declarative broadcast join whose dot runs
+  *     through the codegen `graft_dot` Expression (primitive loop inside
+  *     whole-stage codegen);
+  *   - `cosinePairs` runs the same primitive loop in a cogroup kernel.
   *
-  * Scale design: the smaller side is broadcast and the larger side streams
-  * through flatMap — a block-nested-loop. At 100 TB the broadcast side is
-  * tiled (outer loop over broadcast-sized column blocks) and/or preceded by
-  * LSH bucketing so only candidate blocks multiply; the per-block kernel is
-  * exactly this code.
+  * Scale design (no driver-side collect anywhere):
+  *   - all-pairs is BLOCK-PARTITIONED: vectors are assigned to id-derived
+  *     blocks, every block pair (i <= j) becomes a shuffle key, and each
+  *     cogroup task sees exactly two blocks — per-task memory is bounded by
+  *     the block size (tune `blocks` ≈ n / rows-per-task at 100 TB), total
+  *     shuffle volume is n·(blocks+1) rows, and no executor or the driver
+  *     ever holds the corpus;
+  *   - query scoring broadcasts only the (small) query side and streams the
+  *     corpus linearly.
   */
 object SimKernel {
-  /** All pairs (id_a < id_b) with cosine >= threshold.
+  /** All pairs (vid_a < vid_b) with cosine >= threshold, block-partitioned.
     * Input frame: (vec_id: Long, v: array<double>, nrm: double). */
-  def cosinePairs(s: SparkSession, vecs: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(s: SparkSession, vecs: DataFrame, threshold: Double,
+                  blocks: Int = 16): DataFrame = {
     import s.implicits._
     val ds = vecs.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
-    val bc = s.sparkContext.broadcast(ds.collect().sortBy(_._1))
-    ds.flatMap { case (ida, va, na) =>
-      bc.value.iterator
-        .dropWhile(_._1 <= ida)
-        .flatMap { case (idb, vb, nb) =>
-          val cos = dot(va, vb) / (na * nb)
-          if (cos >= threshold) Some((ida, idb, cos)) else None
+    // Block of an id, and the (i, j) pair keys each vector participates in:
+    // a vector in block b is the A-side of pairs (b, j>=b) and the B-side of
+    // pairs (i<=b, b); a cross-block pair meets in exactly one key.
+    val aSide = ds.flatMap { t =>
+      val b = (t._1 % blocks).toInt
+      (b until blocks).map(j => (b * blocks + j, t))
+    }
+    val bSide = ds.flatMap { t =>
+      val b = (t._1 % blocks).toInt
+      (0 to b).map(i => (i * blocks + b, t))
+    }
+    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) { (key, as, bs) =>
+      val same = (key / blocks) == (key % blocks)
+      val bArr = bs.map(_._2).toArray // one block — bounded by construction
+      as.flatMap { case (_, (ida, va, na)) =>
+        bArr.iterator.flatMap { case (idb, vb, nb) =>
+          // same-block groups hold every member on BOTH sides: keep ida<idb.
+          // cross-block pairs appear once: canonicalize to (min, max).
+          if (same && idb <= ida) None
+          else {
+            val cos = dot(va, vb) / (na * nb)
+            if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
+            else None
+          }
         }
+      }
     }.toDF("vid_a", "vid_b", "cos")
   }
 
   /** For every query (small broadcast side), cosine against every corpus
-    * vector except itself. Returns (qid, vid, cos) — rank/top-k downstream. */
+    * vector except itself. Returns (qid, vid, cos) — rank/top-k downstream.
+    * Declarative: BroadcastNestedLoopJoin + the codegen `graft_dot`. */
   def scoreAgainstQueries(s: SparkSession, corpus: DataFrame, queries: DataFrame): DataFrame = {
-    import s.implicits._
-    val q = queries.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
-    val bc = s.sparkContext.broadcast(q.collect())
-    corpus.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
-      .flatMap { case (vid, vb, nb) =>
-        bc.value.iterator.flatMap { case (qid, va, na) =>
-          if (qid == vid) None
-          else Some((qid, vid, dot(va, vb) / (na * nb)))
-        }
-      }.toDF("qid", "vid", "cos")
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val c = corpus.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+    c.join(broadcast(q), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos"))
   }
 
-  /** Sequential dot product — the same op order as the declared fold. */
+  /** Sequential dot product — the same op order as the declared fold (and as
+    * `graft_dot`'s codegen loop). */
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var i = 0; var acc = 0.0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Norm._
 import graft.Tables._
 
@@ -18,6 +19,19 @@ import graft.Tables._
   * bounded (window count per key, one running accumulator per user).
   */
 object Streaming {
+  /** flatMapGroupsWithState accumulator: event count, exact integer-cent
+    * value sum, last event type in (ts, event_id) order. */
+  case class FmgsAcc(n: Long, cents: Long, lastType: String)
+
+  /** Exact integer cents, mirroring Norm.money's engine path op-for-op:
+    * double → DECIMAL at scale 10 (HALF_UP, like Spark's double→decimal
+    * cast) → HALF_UP at 2 places → ×100. Order-free once integer. */
+  def cents(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
   val ops: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) =>
       events(s, d)
@@ -72,6 +86,35 @@ object Streaming {
         .filter(col("rn") === 1)
         .select("user_id", "event_type", "minute_start", "event_id")
         .orderBy("user_id", "event_type", "minute_start")),
+
+    // flatMapGroupsWithState as a DECLARED operator (not only a suite twin):
+    // per-user state machine folding events in (ts, event_id) order into
+    // (n_events, total value in integer cents, last event type). Runs on the
+    // same code path in batch and readStream; the per-event cents conversion
+    // (exact-decimal HALF_UP at 2 places — identical to Norm.money's cast
+    // semantics) makes the accumulated sum an order-free integer.
+    "stream_flatmap_state" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[FmgsAcc, (Long, Long, Long, String)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String, Double)],
+           state: GroupState[FmgsAcc]) =>
+            val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+            val init = state.getOption.getOrElse(FmgsAcc(0L, 0L, ""))
+            val fin = sorted.foldLeft(init) { (a, r) =>
+              FmgsAcc(a.n + 1, a.cents + cents(r._5), r._4)
+            }
+            state.update(fin)
+            Iterator((uid, fin.n, fin.cents, fin.lastType))
+        }
+        .toDF("user_id", "n_events", "total_cents", "last_type")
+        .orderBy("user_id")
+    }),
 
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
@@ -136,6 +179,23 @@ object Streaming {
                                       ORDER BY ts_s, event_id) AS rn
             FROM (SELECT user_id, event_type, event_id, $tsS AS ts_s FROM events))
           WHERE rn = 1 ORDER BY user_id, event_type, minute_start""",
+    // Batch-equivalent of the flatMapGroupsWithState fold: the per-event
+    // cents conversion is order-free, so a plain GROUP BY reproduces the
+    // final state; last_type comes from a row_number() pick in the same
+    // (ts_s, event_id) order the state fold uses.
+    "stream_flatmap_state" ->
+      s"""WITH e AS (SELECT user_id, event_id, $tsS AS ts_s, event_type, value FROM events),
+               agg AS (SELECT user_id, count(*) AS n_events,
+                              CAST(sum(${moneySql("value")}) AS BIGINT) AS total_cents
+                       FROM e GROUP BY user_id),
+               last AS (SELECT user_id, event_type AS last_type FROM (
+                          SELECT user_id, event_type,
+                                 row_number() OVER (PARTITION BY user_id
+                                                    ORDER BY ts_s DESC, event_id DESC) AS rn
+                          FROM e) WHERE rn = 1)
+          SELECT a.user_id, a.n_events, a.total_cents, l.last_type
+          FROM agg a JOIN last l ON a.user_id = l.user_id
+          ORDER BY a.user_id""",
     "stream_stateful_running" ->
       s"""SELECT user_id, event_id, ts_s,
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value

@@ -91,15 +91,47 @@ object Windows {
         .orderBy("user_id")
     }),
 
-    // Global (unpartitioned) analytic window — the documented 100 TB
-    // exception; at scale this becomes a range-partitioned two-pass rank.
-    "win_percent" -> ((s, d) =>
-      orders(s, d)
+    // Global percent_rank/cume_dist WITHOUT a single-partition global
+    // window: the two-pass bucketed rank. Values are bucketed by a
+    // deterministic function of the value (width_bucket over the broadcast
+    // min/max), per-bucket value-counts aggregate in parallel, bucket
+    // offsets (one number per bucket — metadata-sized) merge on the driver,
+    // and each bucket's groupSorted cumsum runs distributed. percent_rank =
+    // count_lt/(N−1) and cume_dist = count_le/N — the same double divisions
+    // the engines' native window functions perform, so results are
+    // bit-identical to the declarative form at any partition count.
+    "win_percent" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val o = orders(s, d)
+      val nBkt = 64
+      val stats = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+        count(lit(1)).as("n_tot"))
+      // pass 1: per-(bucket, value) counts — one partial-aggregated shuffle.
+      val bv = o.crossJoin(broadcast(stats))
+        .select(expr(s"width_bucket(o_totalprice, lo, hi + 1.0, $nBkt)").as("bkt"),
+          col("o_totalprice").as("v"))
+        .groupBy("bkt", "v").agg(count(lit(1)).as("c"))
+      // bucket totals: nBkt numbers to the driver (metadata, not data).
+      val totals = bv.groupBy("bkt").agg(sum("c").as("t")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val offsets = (1L to nBkt).map(b => b -> (1L until b).map(totals.getOrElse(_, 0L)).sum).toMap
+      val bcOff = s.sparkContext.broadcast(offsets)
+      // pass 2: per-bucket in-memory value sort + running offset (bucket
+      // sizes are bounded by the value-range split, independent of N's
+      // partitioning; bv is deterministic so its recompute here is safe).
+      val ranks = bv.as[(Long, Double, Long)].groupByKey(_._1)
+        .flatMapGroups { (b, it) =>
+          val arr = it.toArray.sortBy(_._2)
+          var lt = bcOff.value(b)
+          arr.iterator.map { case (_, v, c) => val r = (v, lt, lt + c); lt += c; r }
+        }.toDF("v", "lt", "le")
+      o.join(ranks, col("o_totalprice") === col("v")).crossJoin(broadcast(stats))
         .select(col("o_orderkey"), col("o_totalprice"),
-          d4(percent_rank().over(Window.orderBy("o_totalprice"))).as("pct_rank"),
-          d4(cume_dist().over(Window.orderBy("o_totalprice"))).as("cdist"))
+          d4(col("lt").cast("double") / (col("n_tot") - 1).cast("double")).as("pct_rank"),
+          d4(col("le").cast("double") / col("n_tot").cast("double")).as("cdist"))
         .orderBy("o_totalprice", "o_orderkey")
-        .limit(500)),
+        .limit(500)
+    }),
 
     "win_nth_value" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))

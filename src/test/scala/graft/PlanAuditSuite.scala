@@ -79,4 +79,40 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "near-dup must stay on the LSH candidate path")
   }
+
+  test("LSH jaccard path verifies through the injected intersect_size rule") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    val p = {
+      val lsh = graft.ops.LlmPipeline.lshJaccardPairs(toks)
+      lsh.queryExecution.executedPlan.toString() + lsh.queryExecution.toString()
+    }
+    assert(p.contains("intersect_size"),
+      "size(array_intersect) should compile to the codegen intersect_size")
+  }
+
+  test("llm_sim_topk scores through graft_dot over a broadcast of the 10 queries") {
+    val p = plan("llm_sim_topk")
+    assert(p.contains("graft_dot"), "dot must run through the codegen Expression")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+  }
+
+  test("llm_sim_ann_ivf dots run through graft_dot") {
+    assert(plan("llm_sim_ann_ivf").contains("graft_dot"))
+  }
+
+  test("llm_sim_cosine_pairs is block-cogrouped — no cartesian, no full broadcast") {
+    val p = plan("llm_sim_cosine_pairs")
+    assert(p.contains("CoGroup"), "all-pairs must run in the block cogroup kernel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no quadratic join operator in the pair path")
+  }
+
+  test("win_percent plans no single-partition global window") {
+    val p = plan("win_percent")
+    // the physical window operator renders as "Window [..." — distinguish it
+    // from the graft.ops.Windows lambda class names also present in the plan
+    assert(!p.contains("Window ["), s"two-pass rank must not fall back to a window")
+  }
 }

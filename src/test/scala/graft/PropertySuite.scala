@@ -57,7 +57,9 @@ class PropertySuite extends AnyFunSuite {
       val sp = s; import sp.implicits._
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.distinct) }
         .toDF("doc_id", "toks")
-      val got = ops.LlmPipeline.nearDupPairs(df).collect()
+      // exercise the general-vocab LSH path explicitly (the adaptive entry
+      // would pick the bitmap kernel for this tiny vocabulary)
+      val got = ops.LlmPipeline.lshJaccardPairs(df).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
       val sets = docs.map(_.toSet)
       val expected = (for {
