@@ -83,11 +83,14 @@ object Aggregations {
         .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
         .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name")
-      src.createOrReplaceTempView("graft_rollup_src")
+      // per-invocation view name: Verify dumps queries from a thread pool,
+      // and a shared name would be a (today harmless, by-construction) race
+      val vn = s"graft_rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      src.createOrReplaceTempView(vn)
       s.sql(
-        """SELECT r_name, n_name, count(*) AS n_custs FROM graft_rollup_src
-           GROUP BY ROLLUP (r_name, n_name)
-           ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+        s"""SELECT r_name, n_name, count(*) AS n_custs FROM $vn
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
     }),
 
     "agg_cube" -> ((s, d) =>

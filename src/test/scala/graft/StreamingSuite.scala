@@ -232,4 +232,51 @@ class StreamingSuite extends AnyFunSuite {
     assert(sessions.contains(("2024-01-01 10:00:00", "2024-01-01 10:15:00", 7L, 2L)),
       s"two events 5 min apart did not merge into one session: $sessions")
   }
+
+  test("stream_flatmap_state twin: streaming fold over microbatches == declared batch op") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // same accumulator + cents conversion as the declared operator
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ops.Streaming.FmgsAcc, (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Timestamp, String, Double)],
+         state: GroupState[ops.Streaming.FmgsAcc]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3.getTime, r._2))
+          val init = state.getOption.getOrElse(ops.Streaming.FmgsAcc(0L, 0L, ""))
+          val fin = sorted.foldLeft(init) { (a, r) =>
+            ops.Streaming.FmgsAcc(a.n + 1, a.cents + ops.Streaming.cents(r._5), r._4)
+          }
+          state.update(fin)
+          Iterator((uid, fin.n, fin.cents, fin.lastType))
+      }
+      .toDF("user_id", "n_events", "total_cents", "last_type")
+      .writeStream.format("memory").queryName("fmgws_twin_out")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      (7L, 1L, ts("10:00"), "view", 1.115),
+      (7L, 2L, ts("10:05"), "click", 2.675),
+      (8L, 3L, ts("10:01"), "view", 0.005),
+      (7L, 4L, ts("10:10"), "purchase", 10.0),
+      (8L, 5L, ts("10:20"), "error", 38.10))
+    try {
+      mem.addData(rows.take(3): _*) // first microbatch: earlier events
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*) // later events arrive in a second batch
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per user = row with the max event count
+    val streamed = sp.table("fmgws_twin_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == Set((7L, 3L, 112L + 268L + 1000L, "purchase"),
+                           (8L, 2L, 1L + 3810L, "error")),
+      s"streaming final states diverged: $streamed")
+  }
 }
