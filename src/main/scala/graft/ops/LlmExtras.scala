@@ -200,13 +200,13 @@ object LlmExtras {
         .orderBy("lang")),
 
     // Document fingerprints: order-sensitive rolling polynomial hash
-    // (acc*31 + charcode, mod 1e9+7) and an order-free content fingerprint
-    // (md5 of the sorted distinct token set).
+    // (acc*31 + codepoint, mod 1e9+7 — the codegen graft_rolling_hash
+    // Expression, bit-identical to the declarative HOF fold) and an
+    // order-free content fingerprint (md5 of the sorted distinct token set).
     "llm_fingerprint" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
-          expr("""aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-                            CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""").as("rolling_hash"),
+          expr("graft_rolling_hash(text)").as("rolling_hash"),
           md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("set_md5"))
         .orderBy("doc_id")),
 

@@ -62,30 +62,39 @@ object LlmPipeline {
     * is a pure execution-strategy decision (one vocab-count job).
     */
   def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
-    val vocabDf = tokens.select(explode(col("toks")).as("tok")).distinct()
-    val vocabN = vocabDf.count()
-    if (vocabN <= 4096) bitmapJaccardPairs(tokens, vocabDf, vocabN.toInt, num, den)
+    val s = tokens.sparkSession
+    import s.implicits._
+    // one bounded probe job: pulls at most 4097 distinct tokens, so the
+    // result is metadata-sized regardless of corpus size
+    val probe = tokens.select(explode(col("toks")).as("tok")).distinct()
+      .limit(4097).as[String].collect()
+    if (probe.length <= 4096) bitmapJaccardPairs(tokens, probe, num, den)
     else lshJaccardPairs(tokens, num, den)
   }
 
   /** Bounded-vocab exact Jaccard: interned-bitmap sets + block-partitioned
-    * all-pairs popcount kernel. Vocabulary ids come from a distributed
-    * sort + zipWithIndex (deterministic, no driver data); per-task memory is
-    * two id-blocks of (words(v) + 2) longs per doc; only passing pairs are
-    * ever materialized — there is no candidate shuffle at all. */
-  private def bitmapJaccardPairs(tokens: DataFrame, vocabDf: DataFrame, v: Int,
+    * all-pairs popcount kernel. The vocabulary is metadata-sized BY THE
+    * BRANCH CONDITION (<= 4096 entries), so its id map is collected and
+    * broadcast like any other plan constant (same class as win_percent's
+    * bucket totals — bounded regardless of corpus size); the corpus itself
+    * streams through one narrow map. Per-task memory is two id-blocks of
+    * (words(v) + 2) longs per doc; only passing pairs are ever
+    * materialized — there is no candidate shuffle at all. */
+  private def bitmapJaccardPairs(tokens: DataFrame, vocab: Array[String],
                                  num: Int, den: Int, blocks: Int = 16): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
-    val ids = vocabDf.orderBy("tok").as[String].rdd.zipWithIndex().toDF("tok", "tid")
-    val words = (v + 63) / 64
-    val bm = tokens.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(ids), "tok")
-      .groupBy("doc_id").agg(collect_list(col("tid")).as("tids"))
-      .as[(Long, Seq[Long])]
-      .map { case (id, tids) =>
+    val ids: Map[String, Int] = vocab.sorted.zipWithIndex.toMap // <= 4096 entries
+    val bcIds = s.sparkContext.broadcast(ids)
+    val words = (vocab.length + 63) / 64
+    val bm = tokens.as[(Long, Seq[String])]
+      .map { case (id, toks) =>
+        val m = bcIds.value
         val arr = new Array[Long](words)
-        tids.foreach(t => arr((t >> 6).toInt) |= (1L << (t & 63)))
+        toks.foreach { t =>
+          val tid = m(t)
+          arr(tid >> 6) |= (1L << (tid & 63))
+        }
         var pc = 0
         var i = 0
         while (i < words) { pc += java.lang.Long.bitCount(arr(i)); i += 1 }

@@ -31,4 +31,21 @@ class DotProductSuite extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("*("), s"graft_dot fell out of codegen:\n${plan.take(1200)}")
   }
+
+  test("graft_dot null semantics: unequal lengths -> null (zip_with parity)") {
+    val r = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(1.0d))").collect().head
+    assert(r.isNullAt(0), "length mismatch must be NULL like the zip_with fold")
+  }
+
+  test("graft_rolling_hash == declarative HOF fold, including multi-byte text") {
+    val sp = s; import sp.implicits._
+    val docs = Tables.documents(s, TestSpark.sf).select(col("text"))
+      .union(Seq("h\u00e9llo w\u00f6rld", "", "a", "\u4f60\u597d \u4e16\u754c").toDF("text"))
+    val df = docs.select(
+      expr("graft_rolling_hash(text)").as("native"),
+      expr("""aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                        CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fold"))
+    val bad = df.filter(col("native") =!= col("fold"))
+    assert(bad.isEmpty, s"mismatch rows: ${bad.collect().mkString(";")}")
+  }
 }
