@@ -1,8 +1,9 @@
 package graft.ops
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 import graft.Norm._
 import graft.Tables._
 
@@ -32,7 +33,46 @@ object Streaming {
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
 
+  /** transformWithState processor (Spark 4 arbitrary-state API): MapState of
+    * per-event-type counts per user; each input batch increments the map and
+    * emits its current contents. Runs identically in batch (one input batch
+    * = final counts) and readStream (Update-mode running counts). */
+  class TypeCountProcessor extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var st: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long](
+        "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { case (_, et) =>
+        st.updateValue(et, (if (st.containsKey(et)) st.getValue(et) else 0L) + 1L)
+      }
+      st.iterator().map { p => (key, p._1, p._2) }
+    }
+  }
+
   val ops: Map[String, Q] = Map(
+    // The Spark 4 transformWithState state API as a DECLARED operator:
+    // per-user MapState keyed by event type; the batch form's single input
+    // batch makes the emitted map the final per-(user, type) counts.
+    "stream_transform_state" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      // transformWithState requires the RocksDB state store provider even
+      // for its batch execution (same-value set — idempotent across calls),
+      // and the driver StateStoreCoordinator endpoint that only streaming
+      // queries normally bootstrap (see GraftStateStoreBoot).
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      org.apache.spark.sql.execution.streaming.state.GraftStateStoreBoot.ensureCoordinator(s)
+      events(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
+
     "stream_tumbling" -> ((s, d) =>
       events(s, d)
         .select(tsec(col("ts")).as("ts_s"), col("event_type"), col("value"))
@@ -132,6 +172,10 @@ object Streaming {
   private val tsS = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
 
   val oracle: Map[String, String] = Map(
+    "stream_transform_state" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     "stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
                  time_bucket(INTERVAL '1 hour', ts_s) + INTERVAL '1 hour' AS window_end,
