@@ -79,6 +79,44 @@ object LlmExtras {
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("toks")),
         num = 7, den = 10)),
 
+    // Near-dup CLUSTERING — the step a real training-data pipeline runs on
+    // top of pair detection (keep one representative per duplicate cluster):
+    // connected components of the Jaccard>=0.8 pair graph via Pregel-style
+    // hash-min label propagation (the GraphX/Pregel connected-components
+    // algorithm expressed as iterative shuffle joins). Each iteration is one
+    // edges⋈labels shuffle + a min-aggregate; lineage is truncated per
+    // iteration with an eager localCheckpoint, and iterations stop at
+    // fixpoint (duplicate clusters are near-cliques, so diameter — and the
+    // iteration count — is small regardless of corpus size).
+    "llm_dedup_clusters" -> ((s, d) => {
+      val pairs = LlmPipeline.nearDupPairs(
+        documents(s, d).select(col("doc_id"),
+          sort_array(array_distinct(split(col("text"), " "))).as("toks")))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist()
+      try {
+        var labels = documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+        var changed = 1L
+        while (changed > 0) {
+          val nbMin = edges
+            .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+            .groupBy(col("src")).agg(min("nlbl").as("nb_min"))
+          val next = labels
+            .join(nbMin.select(col("src").as("doc_id"), col("nb_min")), Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
+            .localCheckpoint(true)
+          changed = next.select(col("doc_id"), col("lbl").as("new_lbl"))
+            .join(labels, "doc_id")
+            .filter(col("new_lbl") < col("lbl")).count()
+          labels = next
+        }
+        labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
+      } finally edges.unpersist()
+    }),
+
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
     // 2 nearest centroids and exactly rerank only those candidate lists.
@@ -258,6 +296,31 @@ object LlmExtras {
                  (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
           FROM v WHERE inter * 10 >= (stot - inter) * 7
           ORDER BY doc_a, doc_b""",
+    // Connected components in SQL: propagate every label r along edges, but
+    // only onto nodes with a larger id (monotone pruning — the component
+    // minimum still reaches every member); min(r) per node = its component
+    // representative.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                               FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(id, r) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+                 WHERE reach.r < e.a)
+          SELECT id AS doc_id, min(r) AS cluster_rep
+          FROM reach GROUP BY id ORDER BY doc_id""",
     "llm_sim_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
                cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
