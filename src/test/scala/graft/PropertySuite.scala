@@ -135,4 +135,19 @@ class PropertySuite extends AnyFunSuite {
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("all three exact Jaccard strategies agree: bitmap == LSH == prefix-filter") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id"), sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp"))).toSet
+    val bitmap = pairs(ops.LlmPipeline.nearDupPairs(toks)) // 31-word vocab -> bitmap path
+    val lsh = pairs(ops.LlmPipeline.lshJaccardPairs(toks))
+    val prefix = pairs(ops.LlmPipeline.prefixJaccardPairs(toks, 4, 5))
+    assert(bitmap.nonEmpty, "fixture corpus is known to contain near-dups")
+    assert(bitmap == lsh, s"bitmap vs LSH diverged: ${(bitmap diff lsh) ++ (lsh diff bitmap)}")
+    assert(bitmap == prefix, s"bitmap vs prefix diverged: ${(bitmap diff prefix) ++ (prefix diff bitmap)}")
+  }
 }
