@@ -52,6 +52,42 @@ object LlmExtras {
       s"substr('0123456789abcdef', ($digit) + 1, 1)"
     }.mkString("concat(", ", ", ")")
 
+  /** (doc_id, cluster_rep) for every document: connected components of the
+    * exact Jaccard>=0.8 near-dup pair graph via Pregel-style hash-min label
+    * propagation. Each iteration is one edges⋈labels shuffle + a
+    * min-aggregate; lineage is truncated per iteration with an eager
+    * localCheckpoint, and iterations stop at fixpoint (duplicate clusters
+    * are near-cliques, so diameter — and the iteration count — is small
+    * regardless of corpus size). */
+  private def clusterReps(s: SparkSession, d: String): DataFrame = {
+    val pairs = LlmPipeline.nearDupPairs(
+      documents(s, d).select(col("doc_id"),
+        sort_array(array_distinct(split(col("text"), " "))).as("toks")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    try {
+      var labels = documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy(col("src")).agg(min("nlbl").as("nb_min"))
+        val next = labels
+          .join(nbMin.select(col("src").as("doc_id"), col("nb_min")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        changed = next.select(col("doc_id"), col("lbl").as("new_lbl"))
+          .join(labels, "doc_id")
+          .filter(col("new_lbl") < col("lbl")).count()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+    } finally edges.unpersist()
+  }
+
   val ops: Map[String, Q] = Map(
     // 64-bit SimHash per document (full corpus): near-identical token
     // multisets produce near-identical signatures; grouping/hamming search
@@ -88,33 +124,25 @@ object LlmExtras {
     // iteration with an eager localCheckpoint, and iterations stop at
     // fixpoint (duplicate clusters are near-cliques, so diameter — and the
     // iteration count — is small regardless of corpus size).
-    "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = LlmPipeline.nearDupPairs(
-        documents(s, d).select(col("doc_id"),
-          sort_array(array_distinct(split(col("text"), " "))).as("toks")))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist()
-      try {
-        var labels = documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
-        var changed = 1L
-        while (changed > 0) {
-          val nbMin = edges
-            .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
-            .groupBy(col("src")).agg(min("nlbl").as("nb_min"))
-          val next = labels
-            .join(nbMin.select(col("src").as("doc_id"), col("nb_min")), Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
-            .localCheckpoint(true)
-          changed = next.select(col("doc_id"), col("lbl").as("new_lbl"))
-            .join(labels, "doc_id")
-            .filter(col("new_lbl") < col("lbl")).count()
-          labels = next
-        }
-        labels.select(col("doc_id"), col("lbl").as("cluster_rep")).orderBy("doc_id")
-      } finally edges.unpersist()
+    "llm_dedup_clusters" -> ((s, d) =>
+      clusterReps(s, d).orderBy("doc_id")),
+
+    // The end-product of dedup in a real training-data pipeline: ONE kept
+    // document per duplicate cluster, chosen by quality (integer basis
+    // points, ties to the lower doc id), with cluster size attached.
+    // Composes the connected-components labels with the quality signals.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      val reps = clusterReps(s, d)
+      val quality = graft.Pipeline.withQuality(documents(s, d))
+        .select(col("doc_id"), col("quality_bp"))
+      reps.join(quality, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_rep")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cluster_rep").orderBy(col("quality_bp").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+          col("n_members"), col("quality_bp").as("best_quality_bp"))
+        .orderBy("cluster_rep")
     }),
 
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
@@ -145,6 +173,23 @@ object LlmExtras {
         .filter(col("rank") <= 3)
         .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
         .orderBy("qid", "rank")
+    }),
+
+    // k-NN graph over the embedding corpus: every vector's 3 nearest
+    // neighbors by exact cosine (the input to graph-based ANN indexes and
+    // embedding-cluster analyses). All pairs run once through the
+    // block-partitioned cogroup kernel (threshold -2 = emit all), then a
+    // per-source window ranks; ranking happens on the RAW double (mirrored
+    // in the oracle) and only the emitted cosine is basis-point-scaled.
+    "llm_sim_knn" -> ((s, d) => {
+      val half = SimKernel.cosinePairs(s, vecs(s, d), -2.0)
+      val both = half.select(col("vid_a").as("src"), col("vid_b").as("dst"), col("cos"))
+        .union(half.select(col("vid_b").as("src"), col("vid_a").as("dst"), col("cos")))
+      both.withColumn("rank", row_number().over(
+          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), d4(col("cos")).as("cosine"), col("rank"))
+        .orderBy("src", "rank")
     }),
 
     // Embedding-cosine near-dup: vectors whose cosine >= 0.55 form duplicate
@@ -342,6 +387,52 @@ object LlmExtras {
             FROM probes p JOIN assign a ON p.cid = a.cid AND a.vid <> p.qid
             JOIN v q ON q.vec_id = p.qid JOIN v t ON t.vec_id = a.vid)
           WHERE rank <= 3 ORDER BY qid, rank""",
+    // Same recursive-CTE labels as llm_dedup_clusters, joined to the
+    // llm_text_quality basis-point formula; best = row_number pick.
+    "llm_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                               FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(id, r) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+                 WHERE reach.r < e.a),
+               labels AS (SELECT id AS doc_id, min(r) AS cluster_rep
+                          FROM reach GROUP BY id),
+               q AS (SELECT doc_id,
+                            (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+                     FROM (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                            CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a'))) AS BIGINT) AS st,
+                            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                            CAST(length(text) AS BIGINT) AS len
+                           FROM documents)),
+               j AS (SELECT l.cluster_rep, l.doc_id, q.quality_bp,
+                            row_number() OVER (PARTITION BY l.cluster_rep
+                                               ORDER BY q.quality_bp DESC, l.doc_id) AS rn,
+                            CAST(count(*) OVER (PARTITION BY l.cluster_rep) AS BIGINT) AS n_members
+                     FROM labels l JOIN q USING (doc_id))
+          SELECT cluster_rep, doc_id AS kept_doc, n_members, quality_bp AS best_quality_bp
+          FROM j WHERE rn = 1 ORDER BY cluster_rep""",
+    "llm_sim_knn" ->
+      s"""SELECT src, dst, cosine, rank FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   ${d4Sql(cosSql("a.embedding", "b.embedding"))} AS cosine,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+          WHERE rank <= 3 ORDER BY src, rank""",
     "llm_dedup_embed" ->
       s"""WITH losers AS (
             SELECT DISTINCT b.vec_id AS vec_id
