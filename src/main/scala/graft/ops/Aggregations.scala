@@ -87,10 +87,14 @@ object Aggregations {
       // and a shared name would be a (today harmless, by-construction) race
       val vn = s"graft_rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       src.createOrReplaceTempView(vn)
-      s.sql(
+      // sql() analyzes eagerly (the view is bound into the plan), so the
+      // view can be dropped immediately — no catalog entry leaks per call
+      val df = s.sql(
         s"""SELECT r_name, n_name, count(*) AS n_custs FROM $vn
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+      s.catalog.dropTempView(vn)
+      df
     }),
 
     "agg_cube" -> ((s, d) =>

@@ -67,6 +67,8 @@ object LlmExtras {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     try {
+      // superseded iterations' checkpoint blocks are reclaimed by Spark's
+      // ContextCleaner once the old `labels` reference drops out of scope
       var labels = documents(s, d)
         .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint(true)
       var changed = 1L
@@ -110,9 +112,16 @@ object LlmExtras {
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       LlmPipeline.nearDupPairs(
         documents(s, d).select(col("doc_id"),
-          // sorted-distinct layout → IntersectSize O(n+m) merge path
+          // sorted-distinct layout → IntersectSize O(n+m) merge path.
+          // Texts shorter than 3 chars have NO grams: guarded explicitly,
+          // because Spark's sequence(1, 0) counts DOWN ([1, 0]) while the
+          // oracle's range(1, len-1) is empty — and docs are dropped from
+          // the pair universe (both sides) so a 0-gram set can never reach
+          // the Jaccard division.
           sort_array(array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("toks")),
+            """if(length(text) < 3, array_repeat('', 0),
+                  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"""))).as("toks"))
+          .filter(size(col("toks")) > 0),
         num = 7, den = 10)),
 
     // Near-dup CLUSTERING — the step a real training-data pipeline runs on
@@ -328,7 +337,8 @@ object LlmExtras {
       s"""WITH g AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, length(text) - 1),
                                                          i -> substring(text, i, 3))) AS gr
-                     FROM documents),
+                     FROM documents
+                     WHERE length(text) >= 3),
                cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                a.gr AS ga, b.gr AS gb
                         FROM g a JOIN g b ON a.doc_id < b.doc_id

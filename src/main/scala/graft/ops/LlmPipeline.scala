@@ -100,33 +100,15 @@ object LlmPipeline {
         while (i < words) { pc += java.lang.Long.bitCount(arr(i)); i += 1 }
         (id, arr, pc)
       }
-    val aSide = bm.flatMap { t =>
-      val b = (t._1 % blocks).toInt
-      (b until blocks).map(j => (b * blocks + j, t))
-    }
-    val bSide = bm.flatMap { t =>
-      val b = (t._1 % blocks).toInt
-      (0 to b).map(i => (i * blocks + b, t))
-    }
-    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) {
-      (key: Int, as: Iterator[(Int, (Long, Array[Long], Int))], bs: Iterator[(Int, (Long, Array[Long], Int))]) =>
-        val same = (key / blocks) == (key % blocks)
-        val bArr = bs.map(_._2).toArray
-        as.flatMap { a =>
-          val (ida, va, sza) = a._2
-          bArr.iterator.flatMap { case (idb, vb, szb) =>
-            if (same && idb <= ida) None
-            else {
-              var inter = 0
-              var i = 0
-              while (i < words) { inter += java.lang.Long.bitCount(va(i) & vb(i)); i += 1 }
-              val uni = sza + szb - inter
-              if (inter * den >= uni * num)
-                Some((math.min(ida, idb), math.max(ida, idb), inter * 10000L / uni))
-              else None
-            }
-          }
-        }
+    SimKernel.blockAllPairs(bm, blocks)(_._1) {
+      case ((ida, va, sza), (idb, vb, szb)) =>
+        var inter = 0
+        var i = 0
+        while (i < words) { inter += java.lang.Long.bitCount(va(i) & vb(i)); i += 1 }
+        val uni = sza + szb - inter
+        if (inter * den >= uni * num)
+          Some((math.min(ida, idb), math.max(ida, idb), inter * 10000L / uni))
+        else None
     }.toDF("doc_a", "doc_b", "jaccard_bp")
       .orderBy("doc_a", "doc_b")
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity kernels over embedding frames (vec_id, v: array<double>, nrm).
@@ -25,38 +25,49 @@ import org.apache.spark.sql.functions._
   *     corpus linearly.
   */
 object SimKernel {
+  /** Block-partitioned all-pairs scaffolding, shared by the cosine kernel
+    * here and the bitmap-Jaccard kernel in LlmPipeline. Each element with
+    * id-derived block b is the A-side of block-pair keys (b, j >= b) and the
+    * B-side of keys (i <= b, b), so every unordered element pair meets in
+    * EXACTLY one cogroup: cross-block pairs in their (minBlock, maxBlock)
+    * key; same-block pairs deduped by the id order guard. `pairFn` sees
+    * (a, b) exactly once per unordered pair (canonicalize ids inside it).
+    * Per-task memory is two blocks; total shuffle is n·(blocks+1) rows. */
+  def blockAllPairs[T, R](ds: Dataset[T], blocks: Int)(idOf: T => Long)(
+      pairFn: (T, T) => Option[R])(
+      implicit keyedEnc: Encoder[(Int, T)], rEnc: Encoder[R],
+      ct: scala.reflect.ClassTag[T]): Dataset[R] = {
+    val aSide = ds.flatMap { t =>
+      val b = (idOf(t) % blocks).toInt
+      (b until blocks).map(j => (b * blocks + j, t))
+    }
+    val bSide = ds.flatMap { t =>
+      val b = (idOf(t) % blocks).toInt
+      (0 to b).map(i => (i * blocks + b, t))
+    }
+    aSide.groupByKey(_._1)(Encoders.scalaInt)
+      .cogroup(bSide.groupByKey(_._1)(Encoders.scalaInt)) { (key, as, bs) =>
+        val same = (key / blocks) == (key % blocks)
+        val bArr = bs.map(_._2).toArray // one block — bounded by construction
+        as.flatMap { a =>
+          val av = a._2
+          bArr.iterator.flatMap { bv =>
+            if (same && idOf(bv) <= idOf(av)) None else pairFn(av, bv)
+          }
+        }
+      }
+  }
+
   /** All pairs (vid_a < vid_b) with cosine >= threshold, block-partitioned.
     * Input frame: (vec_id: Long, v: array<double>, nrm: double). */
   def cosinePairs(s: SparkSession, vecs: DataFrame, threshold: Double,
                   blocks: Int = 16): DataFrame = {
     import s.implicits._
     val ds = vecs.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
-    // Block of an id, and the (i, j) pair keys each vector participates in:
-    // a vector in block b is the A-side of pairs (b, j>=b) and the B-side of
-    // pairs (i<=b, b); a cross-block pair meets in exactly one key.
-    val aSide = ds.flatMap { t =>
-      val b = (t._1 % blocks).toInt
-      (b until blocks).map(j => (b * blocks + j, t))
-    }
-    val bSide = ds.flatMap { t =>
-      val b = (t._1 % blocks).toInt
-      (0 to b).map(i => (i * blocks + b, t))
-    }
-    aSide.groupByKey(_._1).cogroup(bSide.groupByKey(_._1)) { (key, as, bs) =>
-      val same = (key / blocks) == (key % blocks)
-      val bArr = bs.map(_._2).toArray // one block — bounded by construction
-      as.flatMap { case (_, (ida, va, na)) =>
-        bArr.iterator.flatMap { case (idb, vb, nb) =>
-          // same-block groups hold every member on BOTH sides: keep ida<idb.
-          // cross-block pairs appear once: canonicalize to (min, max).
-          if (same && idb <= ida) None
-          else {
-            val cos = dot(va, vb) / (na * nb)
-            if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
-            else None
-          }
-        }
-      }
+    blockAllPairs(ds, blocks)(_._1) { case ((ida, va, na), (idb, vb, nb)) =>
+      val cos = dot(va, vb) / (na * nb)
+      if (cos >= threshold) Some((math.min(ida, idb), math.max(ida, idb), cos))
+      else None
     }.toDF("vid_a", "vid_b", "cos")
   }
 
