@@ -150,4 +150,18 @@ class PropertySuite extends AnyFunSuite {
     assert(bitmap == lsh, s"bitmap vs LSH diverged: ${(bitmap diff lsh) ++ (lsh diff bitmap)}")
     assert(bitmap == prefix, s"bitmap vs prefix diverged: ${(bitmap diff prefix) ++ (prefix diff bitmap)}")
   }
+
+  test("blockAllPairs visits every unordered pair exactly once, for any block count") {
+    val sp = s; import sp.implicits._
+    val n = 37
+    val ds = sp.createDataset((0 until n).map(i => (i.toLong * 13 + 5, i)))
+    for (blocks <- Seq(1, 4, 7, 16)) {
+      val pairs = ops.SimKernel.blockAllPairs(ds, blocks)(_._1) { (a, b) =>
+        Some((math.min(a._1, b._1), math.max(a._1, b._1)))
+      }.collect()
+      assert(pairs.length == n * (n - 1) / 2, s"blocks=$blocks: ${pairs.length} pairs")
+      assert(pairs.toSet.size == pairs.length, s"blocks=$blocks: duplicate pairs")
+      assert(pairs.forall { case (a, b) => a < b }, s"blocks=$blocks: uncanonical pair")
+    }
+  }
 }
