@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Norm._
 import graft.Tables._
@@ -102,6 +103,19 @@ object Aggregations {
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Modal value per group (the classic ETL "most frequent" aggregate):
+    // count-then-rank with a deterministic (count desc, value asc) tiebreak.
+    "agg_mode" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("modal_priority"), col("n"))
+        .orderBy("o_orderstatus")),
 
     // Deterministic arg-max: ties on acctbal break on the higher custkey via
     // lexicographic struct ordering (same total order as the oracle SQL).
@@ -213,6 +227,13 @@ object Aggregations {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_mode" ->
+      """SELECT o_orderstatus, modal_priority, n FROM (
+           SELECT o_orderstatus, o_orderpriority AS modal_priority, count(*) AS n,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY count(*) DESC, o_orderpriority) AS rn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority)
+         WHERE rn = 1 ORDER BY o_orderstatus""",
     "agg_minmax_by" ->
       s"""SELECT n_name, c_name AS top_customer, ${moneySql("mx")} AS top_acctbal
           FROM (SELECT n_name, c_name, max(c_acctbal) OVER (PARTITION BY n_name) AS mx,

@@ -132,6 +132,35 @@ object Joins {
         .orderBy("user_id", "event_id")
     }),
 
+    // Nearest as-of: for each purchase, the click (either direction) with the
+    // smallest time distance; ties resolve to the PRECEDING click. Distance
+    // is integer seconds, so no float can disagree between engines.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), tsec(col("ts")).as("ts_s"))
+      val wPrev = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts_s")), ignoreNulls = true).over(wPrev))
+        .withColumn("next_click_ts",
+          first(when(col("event_type") === "click", col("ts_s")), ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_click_ts",
+          when(col("last_click_ts").isNull, col("next_click_ts"))
+            .when(col("next_click_ts").isNull, col("last_click_ts"))
+            .when(unix_timestamp(col("ts_s")) - unix_timestamp(col("last_click_ts"))
+              <= unix_timestamp(col("next_click_ts")) - unix_timestamp(col("ts_s")),
+              col("last_click_ts"))
+            .otherwise(col("next_click_ts")))
+        .withColumn("dist_s",
+          abs(unix_timestamp(col("nearest_click_ts")) - unix_timestamp(col("ts_s"))))
+        .select("user_id", "event_id", "ts_s", "nearest_click_ts", "dist_s")
+        .orderBy("user_id", "event_id")
+    }),
+
     // TPC-H Q5 shape: the three dimension legs are broadcast; only
     // customer⋈orders⋈lineitem shuffles.
     "join_multiway" -> ((s, d) =>
@@ -210,6 +239,31 @@ object Joins {
                         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
                  FROM events WHERE event_type IN ('click','purchase')))
          WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    // Nearest = closer of the two directional as-ofs; ties → preceding.
+    // epoch() distances are integral seconds on date_trunc'd timestamps.
+    "join_asof_nearest" ->
+      """SELECT user_id, event_id, ts_s, nearest_click_ts,
+                CAST(abs(epoch(nearest_click_ts) - epoch(ts_s)) AS BIGINT) AS dist_s
+         FROM (
+           SELECT user_id, event_id, ts_s,
+                  CASE WHEN last_click_ts IS NULL THEN next_click_ts
+                       WHEN next_click_ts IS NULL THEN last_click_ts
+                       WHEN epoch(ts_s) - epoch(last_click_ts)
+                            <= epoch(next_click_ts) - epoch(ts_s) THEN last_click_ts
+                       ELSE next_click_ts END AS nearest_click_ts
+           FROM (
+             SELECT user_id, event_id, event_type, ts_s,
+                    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts,
+                    first_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ts
+             FROM (SELECT event_id, user_id, event_type,
+                          CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+                   FROM events WHERE event_type IN ('click','purchase')))
+           WHERE event_type = 'purchase')
+         ORDER BY user_id, event_id""",
     "join_asof_forward" ->
       """SELECT user_id, event_id, ts_s, next_click_ts FROM (
            SELECT user_id, event_id, event_type, ts_s,
