@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is one of the engine's declared operators applied in
   * sequence, so the pipeline inherits their scale properties: the quality
-  * filter is a narrow projection (no shuffle), dedup shuffles only on LSH
-  * band keys, stats are partial-aggregated, and the sink is partitioned by
-  * `lang` so downstream consumers prune.
+  * filter is a narrow projection (no shuffle); dedup is the adaptive exact
+  * path (bitmap popcount kernel on bounded vocabularies, MinHash-LSH band
+  * keys + shuffle-join verify otherwise — never a driver collect); stats
+  * are partial-aggregated; and the sink is partitioned by `lang` so
+  * downstream consumers prune.
   */
 object Pipeline {
   /** Documents with integer-basis-point quality signals attached. */

@@ -157,6 +157,9 @@ object LlmExtras {
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
     // 2 nearest centroids and exactly rerank only those candidate lists.
+    // (The vecs() subtree appears 4x in this one plan; a production caller
+    // at scale would persist its vector table once — the declared op stays
+    // self-contained and re-derives it, trading scans for statelessness.)
     "llm_sim_ann_ivf" -> ((s, d) => {
       val cent = vecs(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
