@@ -148,4 +148,38 @@ class GoldenSuite extends AnyFunSuite {
       assert(math.abs(approx(k) - e).toDouble / e <= 0.05, s"flag $k: approx ${approx(k)} vs exact $e")
     }
   }
+
+  test("llm_dedup_clusters: labels form a valid partition with min-id representatives") {
+    val rows = run("llm_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep")))
+    val byRep = rows.groupBy(_._2)
+    assert(rows.map(_._1).distinct.length == rows.length, "every doc labeled once")
+    assert(byRep.forall { case (rep, mem) => mem.map(_._1).min == rep },
+      "representative must be the cluster's min doc id")
+    // pair-connected docs must share a label
+    val pairs = run("llm_dedup_near").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val lbl = rows.toMap
+    assert(pairs.forall { case (a, b) => lbl(a) == lbl(b) },
+      "near-dup pair split across clusters")
+  }
+
+  test("llm_dedup_keep_best: kept docs are cluster members, sizes sum to corpus") {
+    val kept = run("llm_dedup_keep_best").collect()
+      .map(r => (r.getAs[Long]("cluster_rep"), r.getAs[Long]("kept_doc"), r.getAs[Long]("n_members")))
+    val lbl = run("llm_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep"))).toMap
+    assert(kept.forall { case (rep, doc, _) => lbl(doc) == rep }, "kept doc outside its cluster")
+    assert(kept.map(_._3).sum == lbl.size, "cluster sizes must sum to corpus size")
+    assert(kept.map(_._1).distinct.length == kept.length, "one kept doc per cluster")
+  }
+
+  test("llm_sim_knn: 3 neighbors per vector, no self-edges, ranks contiguous") {
+    val rows = run("llm_sim_knn").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Int]("rank")))
+    assert(rows.forall { case (s0, d0, _) => s0 != d0 })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3), "each source needs ranks 1..3")
+    }
+  }
 }

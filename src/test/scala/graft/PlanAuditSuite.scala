@@ -115,4 +115,10 @@ class PlanAuditSuite extends AnyFunSuite {
     // from the graft.ops.Windows lambda class names also present in the plan
     assert(!p.contains("Window ["), s"two-pass rank must not fall back to a window")
   }
+
+  test("llm_sim_knn runs in the block cogroup — no cartesian, no full broadcast") {
+    val p = plan("llm_sim_knn")
+    assert(p.contains("CoGroup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
