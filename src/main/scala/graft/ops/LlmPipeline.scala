@@ -64,12 +64,17 @@ object LlmPipeline {
   def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
+    // materialize the token frame once — the vocab probe and the chosen
+    // kernel would otherwise each recompute the tokenization (measured ~2 s
+    // per extra pass on char-3-gram arrays at sf0.1); superseded blocks are
+    // reclaimed by the ContextCleaner
+    val toks = tokens.localCheckpoint(true)
     // one bounded probe job: pulls at most 4097 distinct tokens, so the
     // result is metadata-sized regardless of corpus size
-    val probe = tokens.select(explode(col("toks")).as("tok")).distinct()
+    val probe = toks.select(explode(col("toks")).as("tok")).distinct()
       .limit(4097).as[String].collect()
-    if (probe.length <= 4096) bitmapJaccardPairs(tokens, probe, num, den)
-    else lshJaccardPairs(tokens, num, den)
+    if (probe.length <= 4096) bitmapJaccardPairs(toks, probe, num, den)
+    else lshJaccardPairs(toks, num, den)
   }
 
   /** Bounded-vocab exact Jaccard: interned-bitmap sets + block-partitioned
