@@ -289,6 +289,24 @@ object LlmPipeline {
         .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
         .orderBy("qid", "rank")),
 
+    // Deterministic stratified sampling — the reproducible corpus-sampling
+    // primitive (every engine run and every engine AGREES on the sample,
+    // because membership is a pure function of the stable doc id): doc is
+    // sampled iff the first 32 bits of md5(doc_id) taken mod 5 are 0
+    // (≈20%). Per-language totals audit the rate.
+    "llm_sample_stratified" -> ((s, d) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 5")
+      documents(s, d)
+        .withColumn("sampled", bucket === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          min(when(col("sampled"), col("doc_id"))).as("first_sampled"),
+          max(when(col("sampled"), col("doc_id"))).as("last_sampled"))
+        .orderBy("lang")
+    }),
+
     "llm_text_wordcount" -> ((s, d) =>
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
@@ -374,6 +392,15 @@ object LlmPipeline {
                                       ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
             FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
           WHERE rank <= 5 ORDER BY qid, rank""",
+    "llm_sample_stratified" ->
+      """SELECT lang, count(*) AS n_total,
+                CAST(sum(CASE WHEN smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                min(CASE WHEN smp THEN doc_id END) AS first_sampled,
+                max(CASE WHEN smp THEN doc_id END) AS last_sampled
+         FROM (SELECT lang, doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0 AS smp
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
     "llm_text_wordcount" ->
       """SELECT token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
