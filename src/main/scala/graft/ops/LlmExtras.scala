@@ -90,17 +90,55 @@ object LlmExtras {
     } finally edges.unpersist()
   }
 
+  /** (doc_id, simhash hex) for every document — the shared construction
+    * behind the signature and hamming-search ops. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("doc_id")
+      .agg(expr(simhashSums("div").head), simhashSums("div").tail.map(expr): _*)
+      .select(col("doc_id"), expr(simhashHex).as("simhash"))
+
   val ops: Map[String, Q] = Map(
     // 64-bit SimHash per document (full corpus): near-identical token
-    // multisets produce near-identical signatures; grouping/hamming search
-    // over the signature is the 100 TB dedup path (one shuffle on simhash).
+    // multisets produce near-identical signatures.
     "llm_dedup_simhash" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .groupBy("doc_id")
-        .agg(expr(simhashSums("div").head), simhashSums("div").tail.map(expr): _*)
-        .select(col("doc_id"), expr(simhashHex).as("simhash"))
-        .orderBy("doc_id")),
+      simhashSigs(s, d).orderBy("doc_id")),
+
+    // The SimHash SEARCH step: all pairs within hamming distance 3. The
+    // banding is EXACT by pigeonhole (distance <= 3 over 64 bits means at
+    // least one of the four 16-bit bands is identical — no sketch miss
+    // probability), candidates are emitted once via the first-equal-band
+    // check, and verification is a popcount on the carried signatures —
+    // the whole op is one groupBy shuffle of n·4 rows.
+    "llm_dedup_simhash_pairs" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val sigL = simhashSigs(s, d).as[(Long, String)]
+        .map { case (id, hex) => (id, java.lang.Long.parseUnsignedLong(hex, 16)) }
+      sigL.flatMap { case (id, sig) =>
+        (0 until 4).map(b => (b, (sig >>> (16 * b)) & 0xffffL, id, sig))
+      }.groupByKey(r => (r._1, r._2))
+        .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+          val band = key._1
+          val mem = it.toArray.sortBy(_._3)
+          mem.indices.iterator.flatMap { i =>
+            val (_, _, ida, sa) = mem(i)
+            (i + 1 until mem.length).iterator.flatMap { j =>
+              val (_, _, idb, sb) = mem(j)
+              // first band in which the two signatures agree — emit only there
+              var k = 0
+              var first = -1
+              while (first < 0 && k <= band) {
+                if (((sa >>> (16 * k)) & 0xffffL) == ((sb >>> (16 * k)) & 0xffffL)) first = k
+                k += 1
+              }
+              val ham = java.lang.Long.bitCount(sa ^ sb)
+              if (first == band && ham <= 3) Some((ida, idb, ham.toLong)) else None
+            }
+          }
+        }.toDF("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Char-3-gram Jaccard near-dup (threshold 0.7) over the FULL corpus.
     // 3-gram vocabulary is charset-bounded (377 grams here), so the adaptive
@@ -334,6 +372,25 @@ object LlmExtras {
                sums AS (SELECT doc_id, ${simhashSums("//").mkString(", ")}
                         FROM toks GROUP BY doc_id)
           SELECT doc_id, $simhashHex AS simhash FROM sums ORDER BY doc_id""",
+    // Exact all-pairs hamming over the same signature construction: per hex
+    // position, xor the decoded nibbles and look the popcount up in the
+    // 16-entry table '0112122312232334'.
+    "llm_dedup_simhash_pairs" -> {
+      def nibOf(side: String, p: Int) =
+        s"(instr('0123456789abcdef', substr($side.sig, $p, 1)) - 1)"
+      val hamming = (1 to 16).map(p =>
+        s"CAST(substr('0112122312232334', xor(${nibOf("a", p)}, ${nibOf("b", p)}) + 1, 1) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                        FROM documents),
+               sums AS (SELECT doc_id, ${simhashSums("//").mkString(", ")}
+                        FROM toks GROUP BY doc_id),
+               sigs AS (SELECT doc_id, $simhashHex AS sig FROM sums)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+          WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+    },
     // Exact all-pairs over the FULL corpus; the size-ratio prefilter
     // (J >= 0.7 forces 10·min >= 7·max) is semantics-preserving pruning.
     "llm_dedup_ngram_jaccard" ->
