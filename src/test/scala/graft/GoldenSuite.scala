@@ -182,4 +182,22 @@ class GoldenSuite extends AnyFunSuite {
       assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3), "each source needs ranks 1..3")
     }
   }
+
+  test("llm_dedup_simhash_pairs == brute-force hamming over the signature table") {
+    val sigs = run("llm_dedup_simhash").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        java.lang.Long.parseUnsignedLong(r.getAs[String]("simhash"), 16)))
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      ham = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if ham <= 3
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b), ham.toLong)
+    }).toSet
+    val got = run("llm_dedup_simhash_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+    assert(got == expected,
+      s"banding missed/invented pairs: ${(expected diff got) ++ (got diff expected)}")
+  }
 }
