@@ -76,10 +76,20 @@ object LlmExtras {
         val nbMin = edges
           .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy(col("src")).agg(min("nlbl").as("nb_min"))
-        val next = labels
+        val next0 = labels
           .join(nbMin.select(col("src").as("doc_id"), col("nb_min")), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        // pointer jump: also adopt the label OF the label (labels are node
+        // ids, monotone non-increasing) — propagates minima two hops per
+        // edge-join round, cutting an iteration on chain-shaped clusters
+        // (measured 5 → 4 rounds at sf0.1)
+        val next = next0
+          .join(next0.select(col("doc_id").as("pid"), col("lbl").as("plbl")),
+            next0("lbl") === col("pid"), "left")
+          .select(next0("doc_id"),
+            least(next0("lbl"), coalesce(col("plbl"), next0("lbl"))).as("lbl"))
           .localCheckpoint(true)
         changed = next.select(col("doc_id"), col("lbl").as("new_lbl"))
           .join(labels, "doc_id")
