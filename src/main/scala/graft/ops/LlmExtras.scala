@@ -60,12 +60,16 @@ object LlmExtras {
     * are near-cliques, so diameter — and the iteration count — is small
     * regardless of corpus size). */
   private def clusterReps(s: SparkSession, d: String): DataFrame = {
+    // connected components don't need the pair ordering (skip the 3M-row
+    // sort), and caching the half-size undirected pair set beats caching
+    // the doubled edge list — the union projections are narrow
     val pairs = LlmPipeline.nearDupPairs(
       documents(s, d).select(col("doc_id"),
-        sort_array(array_distinct(split(col("text"), " "))).as("toks")))
+        sort_array(array_distinct(split(col("text"), " "))).as("toks")),
+      sorted = false)
+      .select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
     try {
       // superseded iterations' checkpoint blocks are reclaimed by Spark's
       // ContextCleaner once the old `labels` reference drops out of scope
@@ -97,7 +101,7 @@ object LlmExtras {
         labels = next
       }
       labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
-    } finally edges.unpersist()
+    } finally pairs.unpersist()
   }
 
   /** (doc_id, simhash hex) for every document — the shared construction

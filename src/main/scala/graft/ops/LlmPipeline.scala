@@ -61,7 +61,8 @@ object LlmPipeline {
     * Both paths emit identical (doc_a, doc_b, jaccard_bp) rows; the choice
     * is a pure execution-strategy decision (one vocab-count job).
     */
-  def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+  def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5,
+                   sorted: Boolean = true): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
     // materialize the token frame once — the vocab probe and the chosen
@@ -73,8 +74,13 @@ object LlmPipeline {
     // result is metadata-sized regardless of corpus size
     val probe = toks.select(explode(col("toks")).as("tok")).distinct()
       .limit(4097).as[String].collect()
-    if (probe.length <= 4096) bitmapJaccardPairs(toks, probe, num, den)
-    else lshJaccardPairs(toks, num, den)
+    val pairs =
+      if (probe.length <= 4096) bitmapJaccardPairs(toks, probe, num, den)
+      else lshJaccardPairs(toks, num, den)
+    // consumers like connected components don't need the total order —
+    // skipping it skips a full sort of the (possibly multi-million-row)
+    // pair set
+    if (sorted) pairs.orderBy("doc_a", "doc_b") else pairs
   }
 
   /** Bounded-vocab exact Jaccard: interned-bitmap sets + block-partitioned
@@ -115,7 +121,6 @@ object LlmPipeline {
           Some((math.min(ida, idb), math.max(ida, idb), inter * 10000L / uni))
         else None
     }.toDF("doc_a", "doc_b", "jaccard_bp")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** General-vocabulary path: MinHash-LSH banding (64 hashes as 32 bands ×
