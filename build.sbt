@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures `sbt "runMain graft.Bench"` stdout and JSON-parses
+// the final line. sbt's default LoggedOutput prefixes every forked line with
+// "[info] " and appends "[success] Total time: …" — both break the parse
+// (BENCH_r01/r02 recorded "parsed": null). Inherit stdout raw and drop the
+// epilogue so the bench total JSON is the genuine last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
