@@ -14,7 +14,11 @@ object Bench {
     // Untimed warmup: JVM/codegen/parquet-reader init lands here, not on
     // whichever query happens to run first.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted timing while
+    // iterating (driver runs with it unset = full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
