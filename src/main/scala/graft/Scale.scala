@@ -39,7 +39,22 @@ object Scale {
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
   /** Persist `df` bucketed by `key` so equi-joins and aggregations on `key`
-    * between co-bucketed tables plan with zero Exchange. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * between co-bucketed tables plan with zero Exchange.
+    *
+    * The default in-memory catalog forgets tables across JVMs while their
+    * warehouse directories persist, and CTAS refuses a pre-existing
+    * location — so drop both the catalog entry and any orphaned directory
+    * before writing. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(wh, table.toLowerCase)
+    if (loc.exists) rm(loc)
     df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }

@@ -178,6 +178,39 @@ object Joins {
         .groupBy("n_name")
         .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("n_name")),
+
+    // Skew-defeating equi-join: the fact side carries a deterministic salt,
+    // the dimension side is replicated once per salt bucket, so a hot
+    // supplier key spreads over 8 reducers instead of one. Semantics are
+    // identical to the plain join (Scale.saltedEquiJoin) — the oracle is the
+    // unsalted SQL join.
+    "join_skew_salted" -> ((s, d) =>
+      graft.Scale.saltedEquiJoin(lineitem(s, d), supplier(s, d),
+          "l_suppkey", "s_suppkey", buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+        .orderBy("s_nationkey")),
+
+    // Bucketed co-located join: both fact tables are persisted bucketed on
+    // the join key (Scale.writeBucketed), so the join itself plans with ZERO
+    // Exchange — the 100 TB layout for repeated fact-fact joins, where the
+    // one-time bucketed write amortizes every later join/aggregation on the
+    // key. Plan asserted shuffle-free in PlanAuditSuite.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val tag = (d.hashCode & 0x7fffffff).toString
+      val ot = s"graft_bkt_orders_$tag"
+      val lt = s"graft_bkt_lineitem_$tag"
+      graft.Scale.writeBucketed(
+        orders(s, d).select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 8)
+      graft.Scale.writeBucketed(
+        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt, "l_orderkey", 8)
+      s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +318,16 @@ object Joins {
           WHERE r_name = 'ASIA'
             AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
           GROUP BY n_name ORDER BY n_name""",
+    // Salting is execution-strategy only — the oracle is the plain join.
+    "join_skew_salted" ->
+      s"""SELECT s_nationkey, count(*) AS n, ${moneySumSql("l_extendedprice")} AS total
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // Bucketing is storage-layout only — the oracle is the plain join.
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+                 ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }

@@ -417,6 +417,18 @@ object LlmExtras {
           d4(avg("head_byte")).as("avg_head_byte"))
         .orderBy("lang")
     }),
+
+    // The composed training-data pipeline as one declared op: quality
+    // filter (integer basis points) → near-dedup keep-lowest-id →
+    // lang-partitioned parquet sink → per-language summary read back off
+    // the sink. Every stage is an already-declared operator, so the
+    // composition inherits their scale shapes (narrow quality projection,
+    // adaptive exact dedup, partial-aggregated stats, pruned layout).
+    "llm_pipeline_e2e" -> ((s, d) => {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pipe_${d.hashCode & 0x7fffffff}").getAbsolutePath
+      graft.Pipeline.run(s, d, out)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -636,5 +648,38 @@ object LlmExtras {
                           WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
                           ELSE 240 + unicode(text) // 262144 END)""")} AS avg_head_byte
           FROM documents GROUP BY lang ORDER BY lang""",
+    // Pipeline.run, stage for stage: quality_bp (pure integer arithmetic,
+    // Pipeline.withQuality op-for-op), filter >= 9000, drop the larger id
+    // of every exact-Jaccard>=0.8 pair among the SURVIVORS, then the
+    // per-language summary.
+    "llm_pipeline_e2e" ->
+      s"""WITH q AS (
+            SELECT doc_id, text, lang, n_chars,
+                   len(string_split(text, ' ')) AS q_n,
+                   len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS q_st,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS q_np,
+                   length(text) AS q_len
+            FROM documents),
+          f AS (
+            SELECT doc_id, text, lang, n_chars FROM q
+            WHERE (100 * (least(q_n, 50) * q_n * q_len + 30 * (q_n - q_st) * q_len
+                          + 20 * (q_len - q_np) * q_n)) // (q_n * q_len) >= 9000),
+          t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM f),
+          v AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.toks, b.toks)) AS inter,
+                   len(a.toks) + len(b.toks) AS stot
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+             AND len(a.toks) * 5 >= len(b.toks) * 4
+             AND len(b.toks) * 5 >= len(a.toks) * 4),
+          losers AS (
+            SELECT DISTINCT db AS doc_id FROM v
+            WHERE inter * 5 >= (stot - inter) * 4),
+          kept AS (
+            SELECT * FROM f WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                 ${moneySumSql("CAST(n_chars AS DOUBLE)")} AS total_chars
+          FROM kept GROUP BY lang ORDER BY lang""",
   )
 }

@@ -149,6 +149,32 @@ object Windows {
             Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")),
+
+    // Batch log sessionization, gaps-and-islands form (the Hadoop-era
+    // "sessionize the clickstream" job): a session breaks after a >30 min
+    // gap; the running sum of break flags numbers each user's sessions.
+    // Complements stream_session (session_window): this form also yields
+    // per-user session ORDINALS and arbitrary per-session aggregates.
+    // Scale: both windows and the final groupBy share one hash partitioning
+    // on user_id — a single shuffle end to end. Gap ties can't diverge
+    // between engines: rows tied on (ts_s) see a 0 gap from their sibling
+    // whatever the tie order, and (ts_s, event_id) makes the order unique
+    // anyway.
+    "win_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"), col("value"))
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            col("ts_s") - col("prev_ts") > expr("INTERVAL 30 MINUTE"), 1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_seq")
+        .agg(min("ts_s").as("session_start"), max("ts_s").as("session_end"),
+          count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_seq")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -210,5 +236,27 @@ object Windows {
                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // Same gaps-and-islands construction, window for window.
+    "win_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+                            CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
+                     FROM events),
+               flagged AS (
+                 SELECT user_id, event_id, ts_s, value,
+                        CASE WHEN lag(ts_s) OVER w IS NULL
+                               OR ts_s - lag(ts_s) OVER w > INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+               sessions AS (
+                 SELECT user_id, ts_s, value,
+                        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS session_seq
+                 FROM flagged)
+          SELECT user_id, session_seq, min(ts_s) AS session_start,
+                 max(ts_s) AS session_end, count(*) AS n_events,
+                 ${moneySumSql("value")} AS total_value
+          FROM sessions GROUP BY user_id, session_seq
+          ORDER BY user_id, session_seq""",
   )
 }

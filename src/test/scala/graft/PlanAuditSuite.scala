@@ -121,4 +121,43 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("CoGroup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("join_bucketed_colocated joins with zero Exchange between the bucketed scans") {
+    // Build the joined frame exactly as the op does, WITHOUT the final
+    // groupBy (whose 3-row final agg legitimately exchanges), and assert
+    // the join subtree itself is shuffle-free.
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("join_bucketed_colocated")(s, d).collect() // materialize tables
+    val tag = (d.hashCode & 0x7fffffff).toString
+    // At test SF the planner would broadcast (where bucketing is moot);
+    // force the sort-merge path — the one bucketing exists to serve.
+    val joined = s.table(s"graft_bkt_orders_$tag").hint("merge")
+      .join(s.table(s"graft_bkt_lineitem_$tag"), col("o_orderkey") === col("l_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${p.take(2000)}")
+    assert(p.contains("Bucketed: true"), s"scan must read bucketed:\n${p.take(2000)}")
+  }
+
+  test("join_skew_salted spreads the fact side over salt buckets, same result as plain join") {
+    val p = plan("join_skew_salted")
+    // the salt must be part of the shuffle/join key (renders in the
+    // HashJoin / Exchange key expressions)
+    assert(p.contains("__salt"), s"salt column missing from plan:\n${p.take(1500)}")
+  }
+
+  test("win_sessionize shuffles once on user_id (windows + final agg share partitioning)") {
+    val df = SparkEntry.queries("win_sessionize")(s, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // one hashpartitioning(user_id...) exchange; the session groupBy reuses
+    // it (the final orderBy's range exchange is output-sized and expected).
+    // The AQE plan string appends an "== Initial Plan ==" section that
+    // re-prints every exchange under fresh plan_ids — audit the final
+    // section only.
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected a single user_id hash shuffle, got $hashEx:\n${finalPlan.take(2500)}")
+  }
 }
