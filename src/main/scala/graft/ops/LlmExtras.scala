@@ -204,15 +204,19 @@ object LlmExtras {
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       LlmPipeline.nearDupPairs(
         documents(s, d).select(col("doc_id"),
-          // sorted-distinct layout → IntersectSize O(n+m) merge path.
+          // distinct (NOT sorted): the char-3-gram vocabulary is
+          // charset-bounded, so nearDupPairs always takes the bitmap
+          // kernel, where set order is irrelevant — sorting ~300-gram
+          // arrays per doc only served the LSH verify path's merge
+          // intersect and cost a full per-doc sort pass.
           // Texts shorter than 3 chars have NO grams: guarded explicitly,
           // because Spark's sequence(1, 0) counts DOWN ([1, 0]) while the
           // oracle's range(1, len-1) is empty — and docs are dropped from
           // the pair universe (both sides) so a 0-gram set can never reach
           // the Jaccard division.
-          sort_array(array_distinct(expr(
+          array_distinct(expr(
             """if(length(text) < 3, array_repeat('', 0),
-                  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"""))).as("toks"))
+                  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))""")).as("toks"))
           .filter(size(col("toks")) > 0),
         num = 7, den = 10)),
 
