@@ -283,6 +283,40 @@ object LlmExtras {
         .orderBy("qid", "rank")
     }),
 
+    // LSH-bucketed ANN — the OTHER scale path next to IVF: sign-of-dot
+    // projections against 16 data-derived hyperplanes (first 16 vectors —
+    // deterministic and oracle-mirrorable, like IVF's centroids) give every
+    // vector a 16-bit signature, banded 4×4 bits; a query's candidates are
+    // the vectors sharing ANY band value (same-bucket join on (band, bval)
+    // — the only join in the plan, never corpus×corpus), then exact cosine
+    // reranks. At 100 TB: signatures are one broadcast×16 pass, buckets
+    // shuffle on (band, bval), and rerank touches only candidates.
+    "llm_sim_ann_lsh" -> ((s, d) => {
+      val all = vecs(s, d)
+      val hyp = all.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("hid"), col("v").as("hv"))
+      def bands(src: org.apache.spark.sql.DataFrame, idCol: String) = src
+        .select(col("vec_id").as(idCol), col("v").as("vv"))
+        .join(broadcast(hyp), lit(true))
+        .select(col(idCol), expr("CAST(hid div 4 AS INT)").as("band"),
+          expr("IF(graft_dot(vv, hv) >= 0.0d, shiftleft(1L, CAST(hid % 4 AS INT)), 0L)").as("bitval"))
+        .groupBy(idCol, "band").agg(sum("bitval").as("bval"))
+      val cb = bands(all, "vid")
+      val qb = bands(all.filter(col("vec_id") < 10), "qid")
+      val cand = qb.join(cb, Seq("band", "bval"))
+        .filter(col("qid") =!= col("vid"))
+        .select("qid", "vid").distinct()
+      val q = all.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      val t = all.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+      cand.join(q, "qid").join(t, "vid")
+        .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // k-NN graph over the embedding corpus: every vector's 3 nearest
     // neighbors by exact cosine (the input to graph-based ANN indexes and
     // embedding-cluster analyses). All pairs run once through the
@@ -526,6 +560,29 @@ object LlmExtras {
                                       ORDER BY ${cosSql("q.embedding", "t.embedding")} DESC, a.vid) AS rank
             FROM probes p JOIN assign a ON p.cid = a.cid AND a.vid <> p.qid
             JOIN v q ON q.vec_id = p.qid JOIN v t ON t.vec_id = a.vid)
+          WHERE rank <= 3 ORDER BY qid, rank""",
+    // Same 16-hyperplane sign signatures, 4x4-bit banding, bucket join,
+    // exact rerank — dot folds mirrored op-for-op.
+    "llm_sim_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+               h AS (SELECT vec_id AS hid, embedding AS hv FROM v WHERE vec_id < 16),
+               bits AS (
+                 SELECT v.vec_id, CAST(h.hid // 4 AS INT) AS band,
+                        CASE WHEN list_sum(list_transform(list_zip(v.embedding, h.hv),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0.0
+                             THEN 1 << CAST(h.hid % 4 AS INT) ELSE 0 END AS bitval
+                 FROM v CROSS JOIN h),
+               bands AS (SELECT vec_id, band, CAST(sum(bitval) AS BIGINT) AS bval
+                         FROM bits GROUP BY 1, 2),
+               cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+                        FROM bands q JOIN bands c ON q.band = c.band AND q.bval = c.bval
+                        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+          SELECT qid, vid, cosine, rank FROM (
+            SELECT cand.qid, cand.vid,
+                   ${d4Sql(cosSql("q.embedding", "t.embedding"))} AS cosine,
+                   row_number() OVER (PARTITION BY cand.qid
+                                      ORDER BY ${cosSql("q.embedding", "t.embedding")} DESC, cand.vid) AS rank
+            FROM cand JOIN v q ON q.vec_id = cand.qid JOIN v t ON t.vec_id = cand.vid)
           WHERE rank <= 3 ORDER BY qid, rank""",
     // Same recursive-CTE labels as llm_dedup_clusters, joined to the
     // llm_text_quality basis-point formula; best = row_number pick.
