@@ -456,6 +456,57 @@ object LlmExtras {
         .orderBy("lang")
     }),
 
+    // Multimodal frame sampling: the video/audio "take every k-th frame"
+    // primitive over an opaque binary payload — decode (UTF-8 here; a real
+    // codec would replace it), then sample an 8-char frame every 32 chars
+    // in one imperative per-partition pass (the mapInPandas batch shape).
+    // Fingerprint + counts make the sample auditable. Char-indexed on the
+    // DECODED payload, so the oracle needs no ASCII/byte-offset assumption.
+    "llm_multimodal_framesample" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val sb = new java.lang.StringBuilder
+          var p = 0
+          var nf = 0
+          while (p < decoded.length) {
+            sb.append(decoded, p, math.min(p + 8, decoded.length))
+            nf += 1
+            p += 32
+          }
+          (id, nf, sb.toString)
+        })
+        .toDF("doc_id", "n_frames", "sample")
+        .select(col("doc_id"), col("n_frames"),
+          length(col("sample")).as("sample_chars"), md5(col("sample")).as("sample_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Character-level Shannon entropy (nats) per document — the classic
+    // gibberish/boilerplate quality signal. The per-doc histogram fold runs
+    // over the CHAR-SORTED (char, count) list, so the double summation
+    // order is deterministic and mirrored element-for-element in the
+    // oracle (ln, not log2: ln's cross-engine parity is already proven by
+    // llm_text_tfidf). entropy = ln(n) − Σ c·ln(c) / n.
+    "llm_text_entropy" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("hist"))
+        .select(col("doc_id"),
+          expr("aggregate(hist, 0L, (a, x) -> a + x.cnt)").as("n"),
+          size(col("hist")).as("n_distinct_chars"),
+          expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x.cnt AS DOUBLE) * ln(CAST(x.cnt AS DOUBLE)))").as("acc"))
+        .select(col("doc_id"), col("n").as("n_chars_counted"), col("n_distinct_chars"),
+          d4(expr("ln(CAST(n AS DOUBLE)) - acc / CAST(n AS DOUBLE)")).as("entropy_nats_bp"))
+        .orderBy("doc_id")),
+
     // The composed training-data pipeline as one declared op: quality
     // filter (integer basis points) → near-dedup keep-lowest-id →
     // lang-partitioned parquet sink → per-language summary read back off
@@ -709,6 +760,40 @@ object LlmExtras {
                           WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
                           ELSE 240 + unicode(text) // 262144 END)""")} AS avg_head_byte
           FROM documents GROUP BY lang ORDER BY lang""",
+    // Frame sampling mirrored char-for-char on the decoded payload (UTF-8
+    // roundtrips exactly, so DuckDB samples the text directly).
+    "llm_multimodal_framesample" ->
+      """SELECT doc_id,
+                CAST((length(text) + 31) // 32 AS INT) AS n_frames,
+                length(coalesce(smp, '')) AS sample_chars,
+                md5(coalesce(smp, '')) AS sample_md5
+         FROM (SELECT doc_id, text,
+                      list_aggregate(
+                        list_transform(range(0, CAST((length(text) + 31) // 32 AS INT)),
+                                       i -> substring(text, 1 + i * 32, 8)),
+                        'string_agg', '') AS smp
+               FROM documents)
+         ORDER BY doc_id""",
+    // Same char-sorted histogram, same sequential ln fold.
+    "llm_text_entropy" ->
+      """WITH chars AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) + 1),
+                                         i -> substring(text, i, 1))) AS ch
+            FROM documents),
+          hist AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+          h AS (SELECT doc_id,
+                       list(cnt ORDER BY ch) AS cnts,
+                       count(*) AS n_distinct_chars,
+                       CAST(sum(cnt) AS BIGINT) AS n
+                FROM hist GROUP BY doc_id)
+          SELECT doc_id, n AS n_chars_counted, n_distinct_chars,
+                 CAST(ROUND(CAST(ln(CAST(n AS DOUBLE)) -
+                      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                          list_transform(cnts, c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))),
+                          (a, x) -> a + x) / CAST(n AS DOUBLE)
+                      AS DECIMAL(28,10)), 4) * 10000 AS BIGINT) AS entropy_nats_bp
+          FROM h ORDER BY doc_id""",
     // Pipeline.run, stage for stage: quality_bp (pure integer arithmetic,
     // Pipeline.withQuality op-for-op), filter >= 9000, drop the larger id
     // of every exact-Jaccard>=0.8 pair among the SURVIVORS, then the
