@@ -80,6 +80,37 @@ object Scans {
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
         .orderBy("event_type")
     }),
+    // Codec-conversion roundtrip (the Hadoop "recompress the dataset"
+    // utility): parquet re-written under zstd, read back and aggregated.
+    // Compression is storage-layout only, so the oracle queries the
+    // original snappy parquet — a hash match proves losslessness.
+    "scan_zstd_roundtrip" -> ((s, d) => {
+      val path = tmpDir(d, "zstd")
+      orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("compression", "zstd").parquet(path)
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Small-files compaction (the classic HDFS hygiene job): the events
+    // table is first exploded into many small files (one per user bucket),
+    // then compacted to 4 with a single repartition, and the compacted copy
+    // is aggregated. The file-count collapse is asserted in ScaleSuite; the
+    // oracle proves the data survived both rewrites byte-for-byte.
+    "sink_compacted" -> ((s, d) => {
+      val small = tmpDir(d, "smallfiles")
+      val packed = tmpDir(d, "compacted")
+      val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+      ev.repartition(64, col("user_id")).write.mode("overwrite").parquet(small)
+      s.read.parquet(small).repartition(4).write.mode("overwrite").parquet(packed)
+      s.read.parquet(packed)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -100,6 +131,12 @@ object Scans {
     "scan_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_zstd_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${moneySumSql("o_totalprice")} AS total
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_compacted" ->
+      s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
     "scan_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",

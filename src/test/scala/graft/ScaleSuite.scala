@@ -58,4 +58,16 @@ class ScaleSuite extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS cust_b")
     }
   }
+
+  test("sink_compacted collapses the small-files explosion to 4 files") {
+    SparkEntry.queries("sink_compacted")(s, d).collect() // runs both writes
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length
+    val base = System.getProperty("java.io.tmpdir")
+    val tag = Math.abs(d.hashCode)
+    val small = parquetFiles(s"$base/graft_smallfiles$tag")
+    val packed = parquetFiles(s"$base/graft_compacted$tag")
+    assert(small > packed, s"compaction did not reduce file count ($small -> $packed)")
+    assert(packed == 4, s"expected 4 compacted files, got $packed")
+  }
 }
