@@ -487,25 +487,44 @@ object LlmExtras {
     }),
 
     // Character-level Shannon entropy (nats) per document — the classic
-    // gibberish/boilerplate quality signal. The per-doc histogram fold runs
-    // over the CHAR-SORTED (char, count) list, so the double summation
-    // order is deterministic and mirrored element-for-element in the
-    // oracle (ln, not log2: ln's cross-engine parity is already proven by
-    // llm_text_tfidf). entropy = ln(n) − Σ c·ln(c) / n.
-    "llm_text_entropy" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("hist"))
-        .select(col("doc_id"),
-          expr("aggregate(hist, 0L, (a, x) -> a + x.cnt)").as("n"),
-          size(col("hist")).as("n_distinct_chars"),
-          expr("aggregate(hist, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x.cnt AS DOUBLE) * ln(CAST(x.cnt AS DOUBLE)))").as("acc"))
-        .select(col("doc_id"), col("n").as("n_chars_counted"), col("n_distinct_chars"),
-          d4(expr("ln(CAST(n AS DOUBLE)) - acc / CAST(n AS DOUBLE)")).as("entropy_nats_bp"))
-        .orderBy("doc_id")),
+    // gibberish/boilerplate quality signal. A per-document SCALAR, so it
+    // runs as one narrow per-partition pass (no explode, no corpus×chars
+    // shuffle — the right shape at any corpus size). The histogram fold
+    // runs in ascending-codepoint order (TreeMap), which equals the
+    // oracle's binary string order (UTF-8 preserves codepoint order), and
+    // uses StrictMath.log — the same function behind Spark SQL's `ln`,
+    // whose cross-engine parity llm_text_tfidf already proves.
+    // entropy = ln(n) − Σ c·ln(c) / n; empty docs drop (as an explode
+    // would drop them, and as the oracle's unnest does).
+    "llm_text_entropy" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val counts = new java.util.TreeMap[Integer, Long]()
+          var i = 0
+          var n = 0L
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            counts.merge(cp, 1L, (a, b) => a + b)
+            n += 1
+            i += Character.charCount(cp)
+          }
+          var acc = 0.0
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val c = it.next().toDouble
+            acc += c * StrictMath.log(c)
+          }
+          val ent = if (n == 0L) 0.0 else StrictMath.log(n.toDouble) - acc / n.toDouble
+          (id, n, counts.size, ent)
+        })
+        .filter(_._2 > 0L)
+        .toDF("doc_id", "n_chars_counted", "n_distinct_chars", "ent")
+        .select(col("doc_id"), col("n_chars_counted"), col("n_distinct_chars"),
+          d4(col("ent")).as("entropy_nats_bp"))
+        .orderBy("doc_id")
+    }),
 
     // The composed training-data pipeline as one declared op: quality
     // filter (integer basis points) → near-dedup keep-lowest-id →
