@@ -49,6 +49,21 @@ object Scalars {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")),
 
+    // Edit-distance fuzzy matching (record-linkage primitive). Distance to
+    // the previous name within each nation: the window partitions on
+    // s_nationkey, so no global sort — and levenshtein is the identical
+    // integer DP on both engines, no rounding surface at all.
+    "str_levenshtein" -> ((s, d) =>
+      supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          lag(col("s_name"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("s_nationkey").orderBy("s_suppkey")).as("prev_name"),
+          col("s_name"))
+        .select(col("s_suppkey"), col("s_nationkey"),
+          coalesce(levenshtein(col("s_name"), col("prev_name")), lit(-1)).as("dist_prev"))
+        .orderBy("s_suppkey")),
+
     "date_parts" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -180,6 +195,11 @@ object Scalars {
                 regexp_replace(p_brand, '[0-9]', '#', 'g') AS masked,
                 regexp_matches(p_type, 'ECONOMY') AS is_economy
          FROM part ORDER BY p_partkey LIMIT 50""",
+    "str_levenshtein" ->
+      """SELECT s_suppkey, s_nationkey,
+                coalesce(levenshtein(s_name,
+                    lag(s_name) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey)), -1) AS dist_prev
+         FROM supplier ORDER BY s_suppkey""",
     "str_split_pos" ->
       """SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos,
                 unnest(string_split(text, ' ')) AS token
