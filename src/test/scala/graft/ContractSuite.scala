@@ -38,4 +38,56 @@ class ContractSuite extends AnyFunSuite {
     val plan = SparkEntry.entry(s).queryExecution.analyzed.toString()
     assert(!plan.contains("graft_dot"))
   }
+
+  test("win_sessionize conserves events and orders sessions") {
+    import org.apache.spark.sql.functions._
+    val sess = SparkEntry.queries("win_sessionize")(s, d).cache()
+    try {
+      val totalEvents = Tables.events(s, d).count()
+      val sessionEvents = sess.agg(sum("n_events")).collect().head.getLong(0)
+      assert(sessionEvents == totalEvents, "sessions must partition the event set")
+      assert(sess.filter(col("session_start") > col("session_end")).isEmpty)
+      // per-user ordinals are contiguous 1..k
+      val badSeq = sess.groupBy("user_id")
+        .agg(count(lit(1)).as("k"), max("session_seq").as("mx"), min("session_seq").as("mn"))
+        .filter(col("mx") =!= col("k") || col("mn") =!= lit(1))
+      assert(badSeq.isEmpty, "session_seq must be contiguous from 1 per user")
+    } finally { sess.unpersist(); () }
+  }
+
+  test("llm_text_entropy stays within the [0, ln(distinct)] information bound") {
+    import org.apache.spark.sql.functions._
+    val e = SparkEntry.queries("llm_text_entropy")(s, d)
+    val bad = e.filter(col("entropy_nats_bp") < 0 ||
+      col("entropy_nats_bp").cast("double") / 10000.0 >
+        log(col("n_distinct_chars").cast("double")) + lit(1e-6))
+    assert(bad.isEmpty, "entropy outside its information-theoretic bounds")
+  }
+
+  test("llm_sim_ann_lsh candidates really share a signature band with the query") {
+    import org.apache.spark.sql.functions._
+    val res = SparkEntry.queries("llm_sim_ann_lsh")(s, d).cache()
+    try {
+      assert(res.filter(col("rank") < 1 || col("rank") > 3).isEmpty)
+      assert(res.filter(col("cosine") < -10000 || col("cosine") > 10000).isEmpty,
+        "cosine basis points out of [-1, 1]")
+      // every (qid, vid) result pair must agree on at least one of the four
+      // 4-bit sign bands (recompute signatures independently of the op)
+      val emb = Tables.embeddings(s, d)
+      val hyp = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("hid"), col("embedding").as("hv"))
+      val bands = emb.select(col("vec_id"), col("embedding").as("vv"))
+        .join(broadcast(hyp), lit(true))
+        .select(col("vec_id"), expr("CAST(hid div 4 AS INT)").as("band"),
+          expr("""IF(aggregate(zip_with(vv, hv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                     CAST(0 AS DOUBLE), (a, p) -> a + p) >= 0.0d,
+                  shiftleft(1L, CAST(hid % 4 AS INT)), 0L)""").as("bitval"))
+        .groupBy("vec_id", "band").agg(sum("bitval").as("bval"))
+      val qb = bands.select(col("vec_id").as("qid"), col("band"), col("bval"))
+      val cb = bands.select(col("vec_id").as("vid"), col("band"), col("bval"))
+      val sharing = qb.join(cb, Seq("band", "bval")).select("qid", "vid").distinct()
+      assert(res.select("qid", "vid").except(sharing).isEmpty,
+        "an ANN result pair shares no band — candidate generation broken")
+    } finally { res.unpersist(); () }
+  }
 }
