@@ -59,6 +59,36 @@ class ScaleSuite extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels chains, cliques, and isolated nodes with the component min") {
+    import s.implicits._
+    // chain 0-1-2-...-11 (phase-1 star can't merge a long chain in one step,
+    // so the contracted graph is non-empty and the phase-3 fixpoint loop
+    // must actually iterate), a 4-clique {20..23}, an edge {30,31}, and
+    // isolated nodes 40..42
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val clique = for (a <- 20L to 23L; b <- (a + 1) to 23L) yield (a, b)
+    val pairs = (chain ++ clique :+ ((30L, 31L))).toDF("doc_a", "doc_b")
+    val nodes = ((0L to 11L) ++ (20L to 23L) ++ (30L to 31L) ++ (40L to 42L))
+      .toDF("doc_id")
+    val got = Scale.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    (0L to 11L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    (20L to 23L).foreach(i => assert(got(i) == 20L, s"clique node $i"))
+    (30L to 31L).foreach(i => assert(got(i) == 30L, s"edge node $i"))
+    (40L to 42L).foreach(i => assert(got(i) == i, s"isolated node $i"))
+  }
+
+  test("connectedComponents handles reversed-id edges and an all-in-one component") {
+    import s.implicits._
+    // edges given large-first and a topology whose min is reached only
+    // through several contraction-graph hops: star arms meeting at high ids
+    val pairs = Seq((9L, 3L), (3L, 7L), (7L, 1L), (8L, 2L), (2L, 6L), (6L, 1L), (5L, 4L), (4L, 1L))
+      .toDF("doc_a", "doc_b")
+    val nodes = (1L to 9L).toDF("doc_id")
+    val got = Scale.connectedComponents(nodes, pairs).as[(Long, Long)].collect().toMap
+    (1L to 9L).foreach(i => assert(got(i) == 1L, s"node $i labeled ${got(i)}"))
+  }
+
   test("sink_compacted collapses the small-files explosion to 4 files") {
     SparkEntry.queries("sink_compacted")(s, d).collect() // runs both writes
     def parquetFiles(p: String) =
