@@ -72,13 +72,60 @@ object LlmExtras {
   }
 
   /** (doc_id, simhash hex) for every document — the shared construction
-    * behind the signature and hamming-search ops. */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .groupBy("doc_id")
-      .agg(expr(simhashSums("div").head), simhashSums("div").tail.map(expr): _*)
-      .select(col("doc_id"), expr(simhashHex).as("simhash"))
+    * behind the signature and hamming-search ops.
+    *
+    * A per-document scalar, so it runs as ONE narrow per-partition pass
+    * (no explode, no doc×token shuffle, no 64-expression aggregate): for
+    * each distinct token, the first 16 hex nibbles of md5(tok) vote ±1 on
+    * 64 bit counters — numerically identical to the SQL construction the
+    * oracle uses (`simhashSums`/`simhashHex`, kept as the cross-engine
+    * spec), since java MessageDigest md5 == Spark md5 == DuckDB md5. */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counters = new Array[Int](64)
+          val seen = new java.util.HashSet[String]()
+          val toks = text.split(" ", -1)
+          var ti = 0
+          while (ti < toks.length) {
+            val t = toks(ti)
+            if (seen.add(t)) {
+              md.reset()
+              val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var p = 0 // hex-nibble index 0..15 == SQL positions 1..16
+              while (p < 16) {
+                val b = dig(p / 2) & 0xff
+                val nib = if (p % 2 == 0) b >> 4 else b & 15
+                var bi = 0
+                while (bi < 4) {
+                  counters(p * 4 + bi) += (if (((nib >> bi) & 1) == 1) 1 else -1)
+                  bi += 1
+                }
+                p += 1
+              }
+            }
+            ti += 1
+          }
+          val sb = new java.lang.StringBuilder(16)
+          var p = 0
+          while (p < 16) {
+            var digit = 0
+            var bi = 0
+            while (bi < 4) {
+              if (counters(p * 4 + bi) > 0) digit |= (1 << bi)
+              bi += 1
+            }
+            sb.append("0123456789abcdef".charAt(digit))
+            p += 1
+          }
+          (id, sb.toString)
+        }
+      }.toDF("doc_id", "simhash")
+  }
 
   val ops: Map[String, Q] = Map(
     // 64-bit SimHash per document (full corpus): near-identical token
