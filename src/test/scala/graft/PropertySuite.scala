@@ -151,6 +151,32 @@ class PropertySuite extends AnyFunSuite {
     assert(bitmap == prefix, s"bitmap vs prefix diverged: ${(bitmap diff prefix) ++ (prefix diff bitmap)}")
   }
 
+  test("connectedComponents == driver-side union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 36)
+      m <- Gen.chooseNum(0, n * 2)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, es.distinct)
+    for ((n, es) <- samples(edgeGen, 8)) {
+      val sp = s; import sp.implicits._
+      // reference: plain union-find with min-id representatives
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = es.toDF("doc_a", "doc_b")
+      val got = Scale.connectedComponents(nodes, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$es:\n got=$got\n exp=$expected")
+    }
+  }
+
   test("blockAllPairs visits every unordered pair exactly once, for any block count") {
     val sp = s; import sp.implicits._
     val n = 37
