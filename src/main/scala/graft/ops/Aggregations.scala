@@ -117,6 +117,19 @@ object Aggregations {
         .select(col("o_orderstatus"), col("o_orderpriority").as("modal_priority"), col("n"))
         .orderBy("o_orderstatus")),
 
+    // Value histogram with FIXED bounds (literals, so bucketing is a pure
+    // per-row function — no min/max pre-pass whose float aggregation order
+    // could differ between engines). width_bucket returns BIGINT on both.
+    "agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .select(expr("width_bucket(o_totalprice, 0.0d, 600000.0d, 20)").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", ((col("bucket") - 1) * 30000).cast("long"))
+        .withColumn("hi", (col("bucket") * 30000).cast("long"))
+        .select("bucket", "lo", "hi", "n")
+        .orderBy("bucket")),
+
     // Deterministic arg-max: ties on acctbal break on the higher custkey via
     // lexicographic struct ordering (same total order as the oracle SQL).
     "agg_minmax_by" -> ((s, d) =>
@@ -234,6 +247,15 @@ object Aggregations {
                                      ORDER BY count(*) DESC, o_orderpriority) AS rn
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1 ORDER BY o_orderstatus""",
+    // DuckDB 1.0 has no width_bucket — mirror Spark's formula explicitly:
+    // bucket = floor((v - lo) / ((hi - lo)/n)) + 1. The width 30000.0 is
+    // binary-exact, so both engines floor the same double.
+    "agg_histogram" ->
+      """SELECT bucket, CAST((bucket - 1) * 30000 AS BIGINT) AS lo,
+                CAST(bucket * 30000 AS BIGINT) AS hi, count(*) AS n
+         FROM (SELECT CAST(floor(o_totalprice / ((600000.0 - 0.0) / 20)) AS BIGINT) + 1 AS bucket
+               FROM orders)
+         GROUP BY bucket ORDER BY bucket""",
     "agg_minmax_by" ->
       s"""SELECT n_name, c_name AS top_customer, ${moneySql("mx")} AS top_acctbal
           FROM (SELECT n_name, c_name, max(c_acctbal) OVER (PARTITION BY n_name) AS mx,
