@@ -33,6 +33,12 @@ object SetOps {
     "set_intersect" -> ((s, d) => a(s, d).intersect(b(s, d)).orderBy("custkey")),
     "set_except" -> ((s, d) => a(s, d).except(b(s, d)).orderBy("custkey")),
     "set_intersect_all" -> ((s, d) => a(s, d).intersectAll(b(s, d)).orderBy("custkey")),
+    // EXCEPT ALL needs a true multiset on the left to mean anything: event
+    // user_ids (with duplicates) minus the distinct ordering customers —
+    // multiplicity-aware anti-difference.
+    "set_except_all" -> ((s, d) =>
+      events(s, d).select(col("user_id").as("custkey"))
+        .exceptAll(b(s, d)).orderBy("custkey")),
 
     "dedup_distinct" -> ((s, d) =>
       events(s, d)
@@ -56,6 +62,8 @@ object SetOps {
     "set_intersect" -> s"($aSql) INTERSECT ($bSql) ORDER BY custkey",
     "set_except" -> s"($aSql) EXCEPT ($bSql) ORDER BY custkey",
     "set_intersect_all" -> s"($aSql) INTERSECT ALL ($bSql) ORDER BY custkey",
+    "set_except_all" ->
+      s"(SELECT user_id AS custkey FROM events) EXCEPT ALL ($bSql) ORDER BY custkey",
     "dedup_distinct" ->
       "SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id",
     "dedup_keep_first" ->
