@@ -175,24 +175,35 @@ object LlmExtras {
     // ≈ 0.6 makes every pruner — LSH bands or rare-prefix — degenerate to
     // all-pairs; measured at sf0.1), so the design makes each pair cost a
     // few long-ANDs instead of a shuffled array-pair row.
-    "llm_dedup_ngram_jaccard" -> ((s, d) =>
-      LlmPipeline.nearDupPairs(
-        documents(s, d).select(col("doc_id"),
-          // distinct (NOT sorted): the char-3-gram vocabulary is
-          // charset-bounded, so nearDupPairs always takes the bitmap
-          // kernel, where set order is irrelevant — sorting ~300-gram
-          // arrays per doc only served the LSH verify path's merge
-          // intersect and cost a full per-doc sort pass.
-          // Texts shorter than 3 chars have NO grams: guarded explicitly,
-          // because Spark's sequence(1, 0) counts DOWN ([1, 0]) while the
-          // oracle's range(1, len-1) is empty — and docs are dropped from
-          // the pair universe (both sides) so a 0-gram set can never reach
-          // the Jaccard division.
-          array_distinct(expr(
-            """if(length(text) < 3, array_repeat('', 0),
-                  transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))""")).as("toks"))
-          .filter(size(col("toks")) > 0),
-        num = 7, den = 10)),
+    "llm_dedup_ngram_jaccard" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      // Distinct 3-gram set per doc in ONE narrow imperative pass (the
+      // declarative transform+array_distinct built a ~1000-element array
+      // per doc first). Codepoint-indexed windows, matching the oracle's
+      // substring semantics on any input, not just ASCII. Unsorted: the
+      // charset-bounded gram vocabulary always routes nearDupPairs to the
+      // bitmap kernel, where set order is irrelevant. Docs with no grams
+      // (len < 3) drop from the pair universe on both sides, so a 0-gram
+      // set can never reach the Jaccard division.
+      val grams = documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val set = new java.util.LinkedHashSet[String]()
+          val n = text.codePointCount(0, text.length)
+          var start = 0 // UTF-16 index of codepoint window start
+          var k = 0
+          while (k + 3 <= n) {
+            val end = text.offsetByCodePoints(start, 3)
+            set.add(text.substring(start, end))
+            start = text.offsetByCodePoints(start, 1)
+            k += 1
+          }
+          (id, set.toArray(Array.empty[String]).toSeq)
+        })
+        .filter(_._2.nonEmpty)
+        .toDF("doc_id", "toks")
+      LlmPipeline.nearDupPairs(grams, num = 7, den = 10)
+    }),
 
     // Near-dup CLUSTERING — the step a real training-data pipeline runs on
     // top of pair detection (keep one representative per duplicate cluster):
