@@ -133,6 +133,11 @@ object Scale {
     * location — so drop both the catalog entry and any orphaned directory
     * before writing. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // The orphan cleanup below recursively deletes <warehouse>/<table>, so
+    // refuse any name that could resolve outside its own table directory.
+    require(
+      table.nonEmpty && table.forall(c => c.isLetterOrDigit || c == '_'),
+      s"writeBucketed: table name must be [A-Za-z0-9_]+, got '$table'")
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath

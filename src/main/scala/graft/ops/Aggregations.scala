@@ -247,13 +247,18 @@ object Aggregations {
                                      ORDER BY count(*) DESC, o_orderpriority) AS rn
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1 ORDER BY o_orderstatus""",
-    // DuckDB 1.0 has no width_bucket — mirror Spark's formula explicitly:
-    // bucket = floor((v - lo) / ((hi - lo)/n)) + 1. The width 30000.0 is
-    // binary-exact, so both engines floor the same double.
+    // DuckDB 1.0 has no width_bucket — mirror Spark's WidthBucket
+    // (MathExpressions.computeBucketNumber) op-for-op: v < lo → 0,
+    // v >= hi → n+1, else floor(n·(v−lo)/(hi−lo)) + 1 — the SAME double
+    // expression Spark evaluates, including the range clamps, so any value
+    // outside [0, 600000) or within 1 ulp of a boundary buckets identically.
     "agg_histogram" ->
       """SELECT bucket, CAST((bucket - 1) * 30000 AS BIGINT) AS lo,
                 CAST(bucket * 30000 AS BIGINT) AS hi, count(*) AS n
-         FROM (SELECT CAST(floor(o_totalprice / ((600000.0 - 0.0) / 20)) AS BIGINT) + 1 AS bucket
+         FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                           WHEN o_totalprice >= 600000.0 THEN 21
+                           ELSE CAST(floor(20.0 * (o_totalprice - 0.0) / (600000.0 - 0.0)) AS BIGINT) + 1
+                      END AS bucket
                FROM orders)
          GROUP BY bucket ORDER BY bucket""",
     "agg_minmax_by" ->

@@ -445,8 +445,10 @@ object LlmExtras {
     // primitive over an opaque binary payload — decode (UTF-8 here; a real
     // codec would replace it), then sample an 8-char frame every 32 chars
     // in one imperative per-partition pass (the mapInPandas batch shape).
-    // Fingerprint + counts make the sample auditable. Char-indexed on the
-    // DECODED payload, so the oracle needs no ASCII/byte-offset assumption.
+    // Fingerprint + counts make the sample auditable. CODEPOINT-indexed on
+    // the DECODED payload (offsetByCodePoints, as llm_dedup_ngram_jaccard's
+    // gram builder) so frames match the oracle's codepoint substring() even
+    // on non-BMP text and never split a surrogate pair.
     "llm_multimodal_framesample" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -456,12 +458,17 @@ object LlmExtras {
         .mapPartitions(_.map { case (id, bytes) =>
           val decoded = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           val sb = new java.lang.StringBuilder
-          var p = 0
+          val total = decoded.codePointCount(0, decoded.length)
+          var cp = 0 // codepoint cursor
+          var u16 = 0 // matching UTF-16 offset
           var nf = 0
-          while (p < decoded.length) {
-            sb.append(decoded, p, math.min(p + 8, decoded.length))
+          while (cp < total) {
+            val frameEnd = decoded.offsetByCodePoints(u16, math.min(8, total - cp))
+            sb.append(decoded, u16, frameEnd)
             nf += 1
-            p += 32
+            val step = math.min(32, total - cp)
+            u16 = decoded.offsetByCodePoints(u16, step)
+            cp += step
           }
           (id, nf, sb.toString)
         })
