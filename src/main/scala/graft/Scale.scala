@@ -136,7 +136,7 @@ object Scale {
     // The orphan cleanup below recursively deletes <warehouse>/<table>, so
     // refuse any name that could resolve outside its own table directory.
     require(
-      table.nonEmpty && table.forall(c => c.isLetterOrDigit || c == '_'),
+      table.matches("[A-Za-z0-9_]+"),
       s"writeBucketed: table name must be [A-Za-z0-9_]+, got '$table'")
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS $table")

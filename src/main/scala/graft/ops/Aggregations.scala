@@ -248,7 +248,8 @@ object Aggregations {
            FROM orders GROUP BY o_orderstatus, o_orderpriority)
          WHERE rn = 1 ORDER BY o_orderstatus""",
     // DuckDB 1.0 has no width_bucket — mirror Spark's WidthBucket
-    // (MathExpressions.computeBucketNumber) op-for-op: v < lo → 0,
+    // (o.a.s.sql.catalyst.expressions.WidthBucket.computeBucketNumber)
+    // op-for-op: v < lo → 0,
     // v >= hi → n+1, else floor(n·(v−lo)/(hi−lo)) + 1 — the SAME double
     // expression Spark evaluates, including the range clamps, so any value
     // outside [0, 600000) or within 1 ulp of a boundary buckets identically.

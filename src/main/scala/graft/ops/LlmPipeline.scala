@@ -32,16 +32,11 @@ object LlmPipeline {
     * Sorted so exact verification hits IntersectSize's O(n+m) two-pointer
     * path instead of the O(n·m) nested loop. */
   private def tokenSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"),
-      sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+    Shared.tokenSets(s, d)
 
-  /** Embeddings as double vectors with precomputed norm. The norm runs
-    * through the codegen `graft_dot` (index-order accumulation, bit-identical
-    * to the declarative `aggregate` fold the oracle mirrors). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  /** Embeddings as double vectors with precomputed norm, memoized +
+    * checkpointed once per (app, sfDir) in [[Shared]]. */
+  private def vecs(s: SparkSession, d: String): DataFrame = Shared.vecs(s, d)
 
   /** Near-duplicate pairs (exact Jaccard >= num/den) over any (doc_id, toks)
     * frame — ADAPTIVE between the two exact strategies:
@@ -278,8 +273,11 @@ object LlmPipeline {
         .filter(col("n_docs") > 1)
         .orderBy("h")),
 
+    // The pair set itself comes from the Shared memo (one computation per
+    // process, reused by clusters/keep_best); only the declared total order
+    // is applied here.
     "llm_dedup_near" -> ((s, d) =>
-      nearDupPairs(tokenSets(s, d))),
+      Shared.wordPairs(s, d).orderBy("doc_a", "doc_b")),
 
     "llm_sim_cosine_pairs" -> ((s, d) =>
       SimKernel.cosinePairs(s, vecs(s, d), 0.5)

@@ -151,6 +151,53 @@ class PropertySuite extends AnyFunSuite {
     assert(bitmap == prefix, s"bitmap vs prefix diverged: ${(bitmap diff prefix) ++ (prefix diff bitmap)}")
   }
 
+  test("charGrams emits strictly increasing UTF-8 order, incl. non-BMP codepoints") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+FFFD sorts ABOVE U+1F600 in UTF-16 code-unit order but BELOW it in
+    // codepoint/UTF-8 order — exactly the case java's String order gets
+    // wrong and IntersectSize's strictly-increasing probe checks.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a😀b�c😁d", // 😀, U+FFFD, 😁 interleaved
+      "aaaa", "ab", "")
+    texts.foreach { t =>
+      val g = ops.LlmExtras.charGrams(t)
+      assert(g.distinct == g, s"duplicate grams for '$t'")
+      g.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0,
+            s"'$x' !< '$y' in UTF-8 order for text '$t'")
+        case _ => ()
+      }
+      // same gram SET as the naive codepoint-window spec
+      val cps = t.codePoints.toArray
+      val expected = cps.sliding(3).filter(_.length == 3)
+        .map(w => new String(w, 0, 3)).toSet
+      assert(g.toSet == expected, s"gram set mismatch for '$t'")
+    }
+  }
+
+  test("nearDupPairs routes a >4096-token vocabulary to LSH and stays exact") {
+    val sp = s; import sp.implicits._
+    // 35 base docs of 121 fresh tokens each (vocab 4235 > 4096 forces the
+    // MinHash-LSH route at the nearDupPairs branch point) + a near-copy of
+    // each missing its last 12 tokens (J = 109/121 ≈ 0.90 >= 0.8); token
+    // namespaces are disjoint across bases, so those ARE all true pairs.
+    val docs = (0 until 35).flatMap { i =>
+      val toks = (0 until 121).map(t => f"tok${i * 121 + t}%05d")
+      Seq((2L * i, toks.sorted), (2L * i + 1, toks.dropRight(12).sorted))
+    }
+    val vocab = docs.flatMap(_._2).distinct.size
+    assert(vocab > 4096, s"test corpus vocab $vocab must exceed the bitmap bound")
+    val got = ops.LlmPipeline.nearDupPairs(docs.toDF("doc_id", "toks")).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_bp"))).toSet
+    val expected = (0 until 35)
+      .map(i => (2L * i, 2L * i + 1, 109L * 10000 / 121)).toSet
+    assert(got == expected,
+      s"LSH-route pairs diverged: ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("connectedComponents == driver-side union-find on random graphs") {
     val edgeGen = for {
       n <- Gen.chooseNum(2, 36)

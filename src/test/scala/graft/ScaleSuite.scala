@@ -29,6 +29,40 @@ class ScaleSuite extends AnyFunSuite {
     assert(hot > 1, "salting never split any key's rows")
   }
 
+  test("salted join caps the hot key's reducer input at ~1/buckets (AQE off)") {
+    val sp = s; import sp.implicits._
+    // Manufactured skew: 40k rows on one key vs ~40 rows per other key.
+    // With AQE and broadcast disabled, the plain shuffle join puts every
+    // hot-key row through ONE reducer; the salted join must spread them.
+    val large = ((0 until 40000).map(i => (1L, i.toLong)) ++
+      (0 until 4000).map(i => ((i % 100 + 2).toLong, i.toLong))).toDF("k", "payload")
+    val small = (1L to 101L).map(k => (k, s"dim$k")).toDF("dk", "name")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      // reducer input proxy: per-output-partition row counts of the join
+      // (join output partitioning == the shuffle's reducer assignment when
+      // AQE can't coalesce or split)
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+      val plainMax = partSizes(large.join(small, col("k") === col("dk"))).max
+      val saltedMax = partSizes(
+        Scale.saltedEquiJoin(large, small, "k", "dk", 8)).max
+      assert(plainMax >= 40000L,
+        s"skew fixture broken: hot key not concentrated (max=$plainMax)")
+      assert(saltedMax * 3 <= plainMax,
+        s"salting did not defeat the skew: max task $saltedMax vs plain $plainMax")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val path = s"$tmp/events_by_type"
     Scale.writePartitioned(
