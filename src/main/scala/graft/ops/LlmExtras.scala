@@ -228,6 +228,22 @@ object LlmExtras {
       LlmPipeline.nearDupPairs(grams, num = 7, den = 10)
     }),
 
+    // The THIRD exact-Jaccard strategy (AllPairs/PPJoin prefix filtering)
+    // as a declared end-to-end op, next to the bitmap kernel and MinHash-LSH
+    // banding: word-token Jaccard >= 0.9 over the doc_id < 1000 slice (the
+    // full corpus at the sf0.01 driver gate). The candidate pruner is pure
+    // execution strategy — the oracle is exact all-pairs SQL — and the
+    // rarest-first prefix join is THE selective pruner on natural
+    // heavy-tailed corpora; this synthetic clone-dense corpus defeats every
+    // pruner (measured: 11.3M of 12.5M possible pairs are prefix candidates
+    // at sf0.1 even at J>=0.9 — same degeneracy as the 12.3M/12.5M LSH
+    // measurement that justified the bitmap kernel), so the slice keeps the
+    // quadratic demo bounded while nearDupPairs stays the corpus-adaptive
+    // scale path. See SCALE_TUNING.md (prefix length knob).
+    "llm_dedup_prefix_jaccard" -> ((s, d) =>
+      LlmPipeline.prefixJaccardPairs(
+        Shared.tokenSets(s, d).filter(col("doc_id") < 1000), num = 9, den = 10)),
+
     // Near-dup CLUSTERING — the step a real training-data pipeline runs on
     // top of pair detection (keep one representative per duplicate cluster):
     // connected components of the Jaccard>=0.8 pair graph via Pregel-style
@@ -599,6 +615,25 @@ object LlmExtras {
           SELECT doc_a, doc_b,
                  (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
           FROM v WHERE inter * 10 >= (stot - inter) * 7
+          ORDER BY doc_a, doc_b""",
+    // Exact all-pairs over the slice; the size-ratio prefilter (J >= 0.9
+    // forces 10·min >= 9·max) is semantics-preserving pruning. The Spark
+    // side's rarest-first prefix join is invisible here by design — a
+    // candidate pruner must never change the declared result.
+    "llm_dedup_prefix_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents WHERE doc_id < 1000),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 10 >= len(b.toks) * 9
+                         AND len(b.toks) * 10 >= len(a.toks) * 9),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand)
+          SELECT doc_a, doc_b,
+                 (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
+          FROM v WHERE inter * 10 >= (stot - inter) * 9
           ORDER BY doc_a, doc_b""",
     // Connected components in SQL: propagate every label r along edges, but
     // only onto nodes with a larger id (monotone pruning — the component

@@ -149,6 +149,12 @@ class PropertySuite extends AnyFunSuite {
     assert(bitmap.nonEmpty, "fixture corpus is known to contain near-dups")
     assert(bitmap == lsh, s"bitmap vs LSH diverged: ${(bitmap diff lsh) ++ (lsh diff bitmap)}")
     assert(bitmap == prefix, s"bitmap vs prefix diverged: ${(bitmap diff prefix) ++ (prefix diff bitmap)}")
+    // and at the declared llm_dedup_prefix_jaccard threshold (9/10), where
+    // prefixes are shortest and the pruner is most aggressive
+    val bitmap910 = pairs(ops.LlmPipeline.nearDupPairs(toks, num = 9, den = 10))
+    val prefix910 = pairs(ops.LlmPipeline.prefixJaccardPairs(toks, 9, 10))
+    assert(bitmap910 == prefix910,
+      s"9/10 bitmap vs prefix diverged: ${(bitmap910 diff prefix910) ++ (prefix910 diff bitmap910)}")
   }
 
   test("charGrams emits strictly increasing UTF-8 order, incl. non-BMP codepoints") {

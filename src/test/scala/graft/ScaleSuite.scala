@@ -123,6 +123,63 @@ class ScaleSuite extends AnyFunSuite {
     (1L to 9L).foreach(i => assert(got(i) == 1L, s"node $i labeled ${got(i)}"))
   }
 
+  test("ANN candidate recall vs exact top-5 is quantified (and below 100% on this corpus)") {
+    // The recall accounting behind a design decision (VERDICT r4 item 8):
+    // an `llm_sim_topk_ann` op with an EXACT top-k oracle is only honest if
+    // the index's candidate set provably contains every true top-5 neighbor.
+    // Measured here (and in DuckDB at sf0.01/sf0.1 during round 5): true
+    // top-5 cosines sit at 0.26-0.49 (theta 60-75deg), where sign-LSH bit
+    // agreement is ~0.6 — 4x4-bit banding recalls 50-56%, and IVF@2-of-8
+    // probes 80-90%; even 16-of-32 probes (half the corpus as candidates)
+    // missed 4/50 at sf0.01. No selective index reaches 100% here, so the
+    // exact-oracle variant does NOT ship; this test pins the measured floors
+    // and trips if the corpus ever changes enough to revisit.
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val exact = ops.SimKernel.scoreAgainstQueries(s, emb, emb.filter(col("vec_id") < 10))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rank") <= 5).select("qid", "vid").cache()
+    try {
+      val nExact = exact.count()
+      assert(nExact == 50L, s"expected 10 queries x top-5, got $nExact")
+      // LSH candidates: 16 sign hyperplanes, 4 bands x 4 bits, any-band match
+      val hyp = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("hid"), col("v").as("hv"))
+      val bands = emb.select(col("vec_id"), col("v").as("vv"))
+        .join(broadcast(hyp), lit(true))
+        .select(col("vec_id"), expr("CAST(hid div 4 AS INT)").as("band"),
+          expr("IF(graft_dot(vv, hv) >= 0.0d, shiftleft(1L, CAST(hid % 4 AS INT)), 0L)").as("bitval"))
+        .groupBy("vec_id", "band").agg(sum("bitval").as("bval"))
+      val lshCand = bands.select(col("vec_id").as("qid"), col("band"), col("bval"))
+        .join(bands.select(col("vec_id").as("vid"), col("band"), col("bval")), Seq("band", "bval"))
+        .filter(col("qid") < 10 && col("qid") =!= col("vid"))
+        .select("qid", "vid").distinct()
+      // IVF candidates: 8 coarse centroids, 2-probe
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
+      def nearest(src: org.apache.spark.sql.DataFrame, idCol: String, k: Int) = src
+        .select(col("vec_id").as(idCol), col("v").as("va"), col("nrm").as("na"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+            .orderBy((expr("graft_dot(va, vb)") / (col("na") * col("nb"))).desc, col("cid"))))
+        .filter(col("rn") <= k).select(idCol, "cid")
+      val ivfCand = nearest(emb.filter(col("vec_id") < 10), "qid", 2)
+        .join(nearest(emb, "vid", 1), "cid")
+        .filter(col("qid") =!= col("vid")).select("qid", "vid").distinct()
+      val lshHit = exact.intersect(lshCand).count()
+      val ivfHit = exact.intersect(ivfCand).count()
+      assert(lshHit * 2 >= nExact, s"LSH recall collapsed: $lshHit/$nExact (floor 50%)")
+      assert(ivfHit * 5 >= nExact * 4, s"IVF recall collapsed: $ivfHit/$nExact (floor 80%)")
+      assert(lshHit < nExact && ivfHit < nExact,
+        s"an index reached 100% recall (LSH $lshHit, IVF $ivfHit of $nExact) — " +
+          "the exact-oracle llm_sim_topk_ann design is back on the table; revisit VERDICT r4 item 8")
+    } finally { exact.unpersist(); () }
+  }
+
   test("sink_compacted collapses the small-files explosion to 4 files") {
     SparkEntry.queries("sink_compacted")(s, d).collect() // runs both writes
     def parquetFiles(p: String) =
