@@ -7,6 +7,8 @@ import org.apache.spark.sql.Column
 /** Scale techniques that don't fit a single SURVEY §2 op key but are part of
   * the 100 TB design surface: skew-salted joins, partitioned layout writers,
   * and bucketed (shuffle-free) join layouts. Exercised by `ScaleSuite`.
+  * Sizing rules for every knob here (salt buckets, bucket counts, CC
+  * checkpoint cadence) are centralized in SCALE_TUNING.md.
   */
 object Scale {
   /** Equi-join with the large side salted to defeat key skew.

@@ -54,7 +54,8 @@ object LlmPipeline {
     *     exact shuffle-join verification ([[lshJaccardPairs]]).
     *
     * Both paths emit identical (doc_a, doc_b, jaccard_bp) rows; the choice
-    * is a pure execution-strategy decision (one vocab-count job).
+    * is a pure execution-strategy decision (one vocab-count job). The vocab
+    * bound and the band/row recall math live in SCALE_TUNING.md.
     */
   def nearDupPairs(tokens: DataFrame, num: Int = 4, den: Int = 5,
                    sorted: Boolean = true): DataFrame = {

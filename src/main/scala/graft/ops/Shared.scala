@@ -22,7 +22,8 @@ import graft.Tables._
   * At 100 TB this is exactly the "stage result reuse" a production pipeline
   * gets from persisting the dedup pair table once and feeding all downstream
   * consumers from it — the memo makes the declared ops behave like that
-  * pipeline while each op stays individually callable.
+  * pipeline while each op stays individually callable (SCALE_TUNING.md,
+  * "Shared memo checkpoints").
   *
   * Thread safety: `Verify` dumps queries from a 4-thread pool, so memos use
   * `ConcurrentHashMap.computeIfAbsent` (exactly-once evaluation). One map

@@ -32,7 +32,8 @@ object SimKernel {
     * EXACTLY one cogroup: cross-block pairs in their (minBlock, maxBlock)
     * key; same-block pairs deduped by the id order guard. `pairFn` sees
     * (a, b) exactly once per unordered pair (canonicalize ids inside it).
-    * Per-task memory is two blocks; total shuffle is n·(blocks+1) rows. */
+    * Per-task memory is two blocks; total shuffle is n·(blocks+1) rows —
+    * sizing rule for `blocks` in SCALE_TUNING.md. */
   def blockAllPairs[T, R](ds: Dataset[T], blocks: Int)(idOf: T => Long)(
       pairFn: (T, T) => Option[R])(
       implicit keyedEnc: Encoder[(Int, T)], rEnc: Encoder[R],
