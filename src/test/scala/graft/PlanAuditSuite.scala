@@ -147,6 +147,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("__salt"), s"salt column missing from plan:\n${p.take(1500)}")
   }
 
+  test("llm_dedup_prefix_jaccard broadcasts the doc-frequency side, no quadratic join") {
+    val p = plan("llm_dedup_prefix_jaccard")
+    // df is vocab-bounded metadata — it must broadcast, not shuffle the
+    // exploded token table a second time
+    assert(p.contains("BroadcastHashJoin"), "doc-frequency join should broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix candidate generation must stay an equi-join on prefix tokens")
+    // exact verify runs through the injected codegen intersect_size rule
+    assert(p.contains("intersect_size"),
+      "size(array_intersect) should compile to the codegen intersect_size")
+  }
+
   test("win_sessionize shuffles once on user_id (windows + final agg share partitioning)") {
     val df = SparkEntry.queries("win_sessionize")(s, d)
     df.collect()
