@@ -230,7 +230,7 @@ object LlmExtras {
 
     // The THIRD exact-Jaccard strategy (AllPairs/PPJoin prefix filtering)
     // as a declared end-to-end op, next to the bitmap kernel and MinHash-LSH
-    // banding: word-token Jaccard >= 0.9 over the doc_id < 1000 slice (the
+    // banding: word-token Jaccard >= 0.9 over the doc_id < 500 slice (the
     // full corpus at the sf0.01 driver gate). The candidate pruner is pure
     // execution strategy — the oracle is exact all-pairs SQL — and the
     // rarest-first prefix join is THE selective pruner on natural
@@ -238,11 +238,14 @@ object LlmExtras {
     // pruner (measured: 11.3M of 12.5M possible pairs are prefix candidates
     // at sf0.1 even at J>=0.9 — same degeneracy as the 12.3M/12.5M LSH
     // measurement that justified the bitmap kernel), so the slice keeps the
-    // quadratic demo bounded while nearDupPairs stays the corpus-adaptive
-    // scale path. See SCALE_TUNING.md (prefix length knob).
+    // quadratic demo bounded (a 1000-doc slice benched 9.9 s at sf0.1 —
+    // candidate rows carrying two full token arrays dominate, exactly the
+    // shuffle shape the bitmap kernel exists to avoid) while nearDupPairs
+    // stays the corpus-adaptive scale path. See SCALE_TUNING.md (prefix
+    // length knob).
     "llm_dedup_prefix_jaccard" -> ((s, d) =>
       LlmPipeline.prefixJaccardPairs(
-        Shared.tokenSets(s, d).filter(col("doc_id") < 1000), num = 9, den = 10)),
+        Shared.tokenSets(s, d).filter(col("doc_id") < 500), num = 9, den = 10)),
 
     // Near-dup CLUSTERING — the step a real training-data pipeline runs on
     // top of pair detection (keep one representative per duplicate cluster):
@@ -622,7 +625,7 @@ object LlmExtras {
     // candidate pruner must never change the declared result.
     "llm_dedup_prefix_jaccard" ->
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-                     FROM documents WHERE doc_id < 1000),
+                     FROM documents WHERE doc_id < 500),
                cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                                a.toks AS ta, b.toks AS tb
                         FROM t a JOIN t b ON a.doc_id < b.doc_id
