@@ -277,6 +277,35 @@ object LlmExtras {
         .orderBy("cluster_rep")
     }),
 
+    // Benchmark DECONTAMINATION — the cross-corpus overlap check every
+    // training pipeline runs before the dedup'd corpus ships: flag training
+    // documents sharing any 8-token shingle with the eval/benchmark set
+    // (docs >= 400 here — the deterministic demo split, langid-style).
+    // Scale shape: shingles are one narrow transform pass; the EVAL side is
+    // benchmark-sized by nature, so its distinct shingles BROADCAST and the
+    // train corpus streams through a broadcast join — no corpus-sized
+    // shuffle at all. (If the eval side ever outgrew broadcast, dropping
+    // the hint degrades gracefully to a shingle-keyed shuffle join with
+    // identical semantics.) Counts are exact string-equality aggregates —
+    // no hashing reaches the declared result.
+    "llm_decontaminate" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))"))
+          .as("shingle"))
+      val train = sh.filter(col("doc_id") < 400).distinct()
+      val eval_ = sh.filter(col("doc_id") >= 400)
+        .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+      train.join(broadcast(eval_), "shingle")
+        .groupBy("doc_id")
+        .agg(countDistinct("shingle").as("n_shingles_hit"),
+          countDistinct("eval_doc").as("n_eval_docs"),
+          min("eval_doc").as("first_eval_doc"))
+        .orderBy("doc_id")
+    }),
+
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
     // 2 nearest centroids and exactly rerank only those candidate lists.
@@ -663,6 +692,22 @@ object LlmExtras {
                  WHERE reach.r < e.a)
           SELECT id AS doc_id, min(r) AS cluster_rep
           FROM reach GROUP BY id ORDER BY doc_id""",
+    // Same 8-token shingling (DuckDB list slices are end-inclusive:
+    // toks[i:i+7] = 8 tokens; Spark's slice(toks, i+1, 8) matches).
+    "llm_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 6),
+                                        i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 8),
+         tr AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id < 400),
+         ev AS (SELECT DISTINCT shingle, doc_id AS eval_doc FROM sh WHERE doc_id >= 400)
+         SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_shingles_hit,
+                count(DISTINCT ev.eval_doc) AS n_eval_docs,
+                min(ev.eval_doc) AS first_eval_doc
+         FROM tr JOIN ev USING (shingle)
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
     "llm_sim_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
                cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),

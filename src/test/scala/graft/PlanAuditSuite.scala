@@ -159,6 +159,13 @@ class PlanAuditSuite extends AnyFunSuite {
       "size(array_intersect) should compile to the codegen intersect_size")
   }
 
+  test("llm_decontaminate broadcasts the eval shingle set — no corpus-sized shuffle join") {
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark-sized eval side must broadcast against the streaming train corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("win_sessionize shuffles once on user_id (windows + final agg share partitioning)") {
     val df = SparkEntry.queries("win_sessionize")(s, d)
     df.collect()
