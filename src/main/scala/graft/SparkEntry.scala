@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.ops ++ Filters.ops ++ Aggregations.ops ++ Joins.ops ++
       Windows.ops ++ Sorts.ops ++ SetOps.ops ++ Scalars.ops ++ LlmPipeline.ops ++
-      Streaming.ops ++ Extensions.ops ++ LlmExtras.ops ++ Reshape.ops
+      Streaming.ops ++ Extensions.ops ++ LlmExtras.ops ++ Reshape.ops ++
+      Subqueries.ops ++ LlmCuration.ops
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Filters.oracle ++ Aggregations.oracle ++ Joins.oracle ++
       Windows.oracle ++ Sorts.oracle ++ SetOps.oracle ++ Scalars.oracle ++ LlmPipeline.oracle ++
-      Streaming.oracle ++ Extensions.oracle ++ LlmExtras.oracle ++ Reshape.oracle
+      Streaming.oracle ++ Extensions.oracle ++ LlmExtras.oracle ++ Reshape.oracle ++
+      Subqueries.oracle ++ LlmCuration.oracle
 }

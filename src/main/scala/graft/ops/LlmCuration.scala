@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2.O — training-data curation (round-5 continuation): the four
+  * corpus-preparation stages a pre-training pipeline runs after dedup —
+  * repetition-based quality scoring (the Gopher filters' repetition family),
+  * benchmark-contamination screening by n-gram overlap, deterministic
+  * domain-mix resampling, and token-budget sequence packing for the trainer.
+  *
+  * Tokenization is the project-wide space-split convention (shared with
+  * llm_text_wordcount / llm_text_ngrams); every fixture doc has ≥10 words at
+  * all scale factors, so 5-gram windows always exist. All ratio outputs are
+  * integer basis points via `10000 · x div y` (Norm doctrine: no doubles in
+  * hashed columns).
+  */
+object LlmCuration {
+  /** Distinct word-5-grams per doc. One explode per doc of (len−4) grams —
+    * narrow, then the distinct is the only shuffle (keyed on (doc_id, g)). */
+  private def grams5(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(expr(
+      """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 4),
+                   (x, i) -> concat_ws(' ', x, split(text, ' ')[i + 1],
+                                       split(text, ' ')[i + 2], split(text, ' ')[i + 3],
+                                       split(text, ' ')[i + 4]))"""))
+      .as("g")).distinct()
+
+  val ops: Map[String, Q] = Map(
+    // Per-doc repetition profile: duplicate-word fraction and top-word
+    // fraction in basis points. One explode → (doc_id, word) partial-agg →
+    // per-doc agg; both shuffles are keyed on doc_id-bearing keys, so the
+    // plan is two map-side-combinable aggregations — no corpus×vocab join.
+    "llm_quality_repetition" -> ((s, d) => {
+      val pw = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      pw.groupBy("doc_id").agg(
+          sum("c").as("n_words"), count(lit(1)).as("n_uniq"), max("c").as("max_w"))
+        .select(col("doc_id"), col("n_words"),
+          expr("10000 * (n_words - n_uniq) div n_words").as("dup_word_bp"),
+          expr("10000 * max_w div n_words").as("top_word_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark-contamination screen: docs with doc_id ≡ 0 (mod 20) stand in
+    // for the held-out benchmark; every other doc reports how many of its
+    // distinct word-5-grams appear in ANY benchmark doc. The benchmark gram
+    // set is corpus/20-sized and broadcast, so the corpus-sized side never
+    // shuffles for the membership probe — at 100 TB the benchmark (a real
+    // eval suite) is tiny by construction and this stays a broadcast semi
+    // probe + one doc_id-keyed count.
+    "llm_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      // Slice filters sit BELOW gram construction, so each branch explodes
+      // only its own docs (the benchmark leg is corpus/20-sized), and both
+      // per-doc counts come from ONE aggregation over one broadcast left
+      // join — no second pass over the corpus grams, no totals⋈shared join.
+      val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
+      val corpus = grams5(docs.filter(col("doc_id") % 20 =!= 0))
+      corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          when(col("n_shared") > 0, 1L).otherwise(0L).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic domain-mix resampling: per-language keep-rates applied
+    // by md5(doc_id) bucket (the llm_sample_stratified hash convention —
+    // engine- and run-independent, no RNG state). Narrow map + one lang agg.
+    "llm_domain_mix" -> ((s, d) => {
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      val rate = expr(
+        "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
+          "WHEN 'es' THEN 30 ELSE 15 END")
+      documents(s, d)
+        .withColumn("kept", bucket < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_bp", expr("10000 * n_kept div n_total"))
+        .orderBy("lang")
+    }),
+
+    // Token-budget sequence packing: concatenate the corpus in doc_id order
+    // and cut fixed 512-token training sequences; each doc reports the
+    // sequence span it lands in. The global running offset is computed in
+    // two phases so no stage ever sees a single-partition corpus-sized
+    // window: an in-bucket cumulative sum (window PARTITIONED by the
+    // doc_id div 100 bucket) plus bucket base offsets from a window over the
+    // ~n/100-row bucket-total frame — the only unpartitioned ordering is
+    // over bucket summaries, which stay driver-trivial at any corpus size.
+    "llm_pack_sequences" -> ((s, d) => {
+      val L = 512
+      val toks = documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id div 100").as("bkt"))
+      val inBkt = toks.withColumn("in_off",
+        coalesce(sum("n_tokens").over(
+          Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val bktOff = toks.groupBy("bkt").agg(sum("n_tokens").as("bkt_sum"))
+        .withColumn("bkt_off",
+          coalesce(sum("bkt_sum").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "bkt_off")
+      inBkt.join(broadcast(bktOff), "bkt")
+        .withColumn("off", col("bkt_off") + col("in_off"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"off div $L").as("first_seq"),
+          expr(s"(off + n_tokens - 1) div $L").as("last_seq"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              pw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+              a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                           count(*) AS n_uniq, max(c) AS max_w
+                    FROM pw GROUP BY 1)
+         SELECT doc_id, n_words,
+                CAST(10000 * (n_words - n_uniq) // n_words AS BIGINT) AS dup_word_bp,
+                CAST(10000 * max_w // n_words AS BIGINT) AS top_word_bp
+         FROM a ORDER BY doc_id""",
+    "llm_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT DISTINCT doc_id, concat_ws(' ', w1, w2, w3, w4, w5) AS g FROM (
+                SELECT doc_id,
+                       unnest(t[1:len(t)-4]) AS w1, unnest(t[2:len(t)-3]) AS w2,
+                       unnest(t[3:len(t)-2]) AS w3, unnest(t[4:len(t)-1]) AS w4,
+                       unnest(t[5:len(t)]) AS w5
+                FROM toks)),
+              bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+              corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+              tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+              sh AS (SELECT c.doc_id, count(*) AS n_shared
+                     FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1)
+         SELECT tot.doc_id, n_grams,
+                COALESCE(n_shared, 0) AS n_shared,
+                CAST(CASE WHEN COALESCE(n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         FROM tot LEFT JOIN sh ON tot.doc_id = sh.doc_id
+         ORDER BY tot.doc_id""",
+    "llm_domain_mix" ->
+      """WITH k AS (SELECT lang,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                        < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45
+                                    WHEN 'es' THEN 30 ELSE 15 END AS kept
+                    FROM documents)
+         SELECT lang, count(*) AS n_total,
+                CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(10000 * sum(CASE WHEN kept THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS kept_bp
+         FROM k GROUP BY lang ORDER BY lang""",
+    "llm_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+                CAST(off // 512 AS BIGINT) AS first_seq,
+                CAST((off + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+         FROM (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      COALESCE(CAST(sum(len(string_split(text, ' '))) OVER
+                        (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT), 0) AS off
+               FROM documents)
+         ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Norm._
+
+/** SURVEY.md §2.N — SQL subquery & CTE surface (round-5 continuation).
+  *
+  * The capability under test is Catalyst DECORRELATION, so each op is
+  * declared as SQL text and planned by Catalyst rather than hand-lowered:
+  * uncorrelated IN → left semi join, NOT EXISTS → left anti join, a
+  * correlated scalar COUNT → aggregate + outer join with the COUNT-bug
+  * null→0 patch, scalar aggregates → one-row broadcast subquery reuse.
+  * The physical plans are therefore exactly the §2.C join shapes
+  * (broadcast- or shuffle-hash), never a per-outer-row re-execution of the
+  * inner query — asserted by the plan audit in CurationSuite.
+  *
+  * Each SQL body is single-sourced in the ANSI subset both engines parse:
+  * the Spark side binds `@table` markers to per-invocation temp views
+  * (Verify dumps from a thread pool — same pattern as agg_rollup), and the
+  * DuckDB oracle receives the identical text with the markers stripped.
+  * Numeric outputs follow the Norm doctrine: integer cents via moneySql /
+  * moneySumSql; the scalar-average threshold is the exact cross-multiply
+  * `price_cents · n > total_cents` so no double division is compared.
+  */
+object Subqueries {
+  /** Analyze `sql` with each `@tbl` marker bound to a fresh uniquely-named
+    * temp view of `<d>/<tbl>.parquet`. sql() analyzes eagerly (views are
+    * bound into the plan), so the views are dropped before returning. */
+  private def viaSql(s: SparkSession, d: String, sql: String, tables: String*): DataFrame = {
+    val views = tables.map { tbl =>
+      val vn = s"graft_sub_${tbl}_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.Tables.t(s, d, tbl).createOrReplaceTempView(vn)
+      tbl -> vn
+    }
+    val df = s.sql(views.foldLeft(sql) { case (q, (t, vn)) => q.replace("@" + t, vn) })
+    views.foreach { case (_, vn) => s.catalog.dropTempView(vn) }
+    df
+  }
+
+  // Orders priced above the corpus mean. The mean compare is exact integer
+  // cross-multiply (cents·n > Σcents); the two scalar subqueries plan as
+  // one-row broadcast joins over a single shared scan of orders.
+  private val SUB_SCALAR =
+    s"""SELECT o_orderkey, ${moneySql("o_totalprice")} AS price_c
+        FROM @orders
+        WHERE ${moneySql("o_totalprice")} * (SELECT count(*) FROM @orders)
+              > (SELECT ${moneySumSql("o_totalprice")} FROM @orders)
+        ORDER BY o_orderkey LIMIT 100"""
+
+  // Uncorrelated IN — decorrelates to a left semi join on c_custkey.
+  private val SUB_IN =
+    """SELECT c_custkey, c_name FROM @customer
+       WHERE c_custkey IN (SELECT o_custkey FROM @orders WHERE o_totalprice > 300000)
+       ORDER BY c_custkey"""
+
+  // Correlated EXISTS — left semi join with the extra inner predicate
+  // pushed below the join (qty ≥ 49 prunes lineitem before the shuffle).
+  private val SUB_EXISTS =
+    """SELECT o_orderkey, o_orderpriority FROM @orders o
+       WHERE EXISTS (SELECT 1 FROM @lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+       ORDER BY o_orderkey"""
+
+  // Correlated NOT EXISTS — left anti join. The inner predicate keeps the
+  // result non-empty at every scale factor (every fixture customer has
+  // SOME order, but 1-URGENT coverage has holes: 18 rows at sf0.001).
+  private val SUB_NOT_EXISTS =
+    """SELECT c_custkey, c_mktsegment FROM @customer c
+       WHERE NOT EXISTS (SELECT 1 FROM @orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey"""
+
+  // Correlated scalar COUNT — the classic COUNT-bug shape: orders with no
+  // qualifying lineitem must read 0, not NULL, which forces the decorrelated
+  // plan to patch the outer join's misses after the aggregate.
+  private val SUB_SCALAR_CORR =
+    """SELECT o_orderkey,
+              (SELECT count(*) FROM @lineitem l
+               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 25) AS n_big_items
+       FROM @orders o
+       ORDER BY o_orderkey LIMIT 200"""
+
+  // One CTE consumed four times (three scalar subqueries + the outer
+  // aggregate) — the groupBy runs once and is reused, not re-planned.
+  private val SUB_CTE_REUSE =
+    s"""WITH per_cust AS (
+          SELECT o_custkey, count(*) AS n_orders,
+                 ${moneySumSql("o_totalprice")} AS total_c
+          FROM @orders GROUP BY o_custkey)
+        SELECT (SELECT max(n_orders) FROM per_cust) AS max_orders,
+               (SELECT min(n_orders) FROM per_cust) AS min_orders,
+               (SELECT max(total_c)  FROM per_cust) AS max_total_c,
+               count(*) AS n_cust
+        FROM per_cust"""
+
+  val ops: Map[String, Q] = Map(
+    "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
+    "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
+    "sub_exists"      -> ((s, d) => viaSql(s, d, SUB_EXISTS, "orders", "lineitem")),
+    "sub_not_exists"  -> ((s, d) => viaSql(s, d, SUB_NOT_EXISTS, "customer", "orders")),
+    "sub_scalar_corr" -> ((s, d) => viaSql(s, d, SUB_SCALAR_CORR, "orders", "lineitem")),
+    "sub_cte_reuse"   -> ((s, d) => viaSql(s, d, SUB_CTE_REUSE, "orders")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sub_scalar"      -> SUB_SCALAR.replace("@", ""),
+    "sub_in"          -> SUB_IN.replace("@", ""),
+    "sub_exists"      -> SUB_EXISTS.replace("@", ""),
+    "sub_not_exists"  -> SUB_NOT_EXISTS.replace("@", ""),
+    "sub_scalar_corr" -> SUB_SCALAR_CORR.replace("@", ""),
+    "sub_cte_reuse"   -> SUB_CTE_REUSE.replace("@", ""),
+  )
+}
