@@ -81,18 +81,22 @@ object Subqueries {
        FROM @orders o
        ORDER BY o_orderkey LIMIT 200"""
 
-  // One CTE consumed four times (three scalar subqueries + the outer
-  // aggregate) — the groupBy runs once and is reused, not re-planned.
-  private val SUB_CTE_REUSE =
+  // Chained CTEs (stats reads per_cust). Deliberately NOT the
+  // "one CTE referenced N times" shape: Spark inlines deterministic CTEs
+  // into every reference, so a multi-referenced aggregate CTE re-plans per
+  // reference (verified on the scalar-subquery variant of this query — 4
+  // full orders scans); the chain keeps the whole thing one scan + one
+  // aggregation pipeline, which is the plan a user should want.
+  private val SUB_CTE_CHAIN =
     s"""WITH per_cust AS (
           SELECT o_custkey, count(*) AS n_orders,
                  ${moneySumSql("o_totalprice")} AS total_c
-          FROM @orders GROUP BY o_custkey)
-        SELECT (SELECT max(n_orders) FROM per_cust) AS max_orders,
-               (SELECT min(n_orders) FROM per_cust) AS min_orders,
-               (SELECT max(total_c)  FROM per_cust) AS max_total_c,
-               count(*) AS n_cust
-        FROM per_cust"""
+          FROM @orders GROUP BY o_custkey),
+        stats AS (
+          SELECT max(n_orders) AS max_orders, min(n_orders) AS min_orders,
+                 max(total_c) AS max_total_c, count(*) AS n_cust
+          FROM per_cust)
+        SELECT max_orders, min_orders, max_total_c, n_cust FROM stats"""
 
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
@@ -100,7 +104,7 @@ object Subqueries {
     "sub_exists"      -> ((s, d) => viaSql(s, d, SUB_EXISTS, "orders", "lineitem")),
     "sub_not_exists"  -> ((s, d) => viaSql(s, d, SUB_NOT_EXISTS, "customer", "orders")),
     "sub_scalar_corr" -> ((s, d) => viaSql(s, d, SUB_SCALAR_CORR, "orders", "lineitem")),
-    "sub_cte_reuse"   -> ((s, d) => viaSql(s, d, SUB_CTE_REUSE, "orders")),
+    "sub_cte_chain"   -> ((s, d) => viaSql(s, d, SUB_CTE_CHAIN, "orders")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -109,6 +113,6 @@ object Subqueries {
     "sub_exists"      -> SUB_EXISTS.replace("@", ""),
     "sub_not_exists"  -> SUB_NOT_EXISTS.replace("@", ""),
     "sub_scalar_corr" -> SUB_SCALAR_CORR.replace("@", ""),
-    "sub_cte_reuse"   -> SUB_CTE_REUSE.replace("@", ""),
+    "sub_cte_chain"   -> SUB_CTE_CHAIN.replace("@", ""),
   )
 }

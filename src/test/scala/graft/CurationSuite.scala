@@ -55,8 +55,9 @@ class CurationSuite extends AnyFunSuite {
     assert(df.collect().toSeq == expect.collect().toSeq)
   }
 
-  test("sub_cte_reuse agrees with direct aggregation") {
-    val row = SparkEntry.queries("sub_cte_reuse")(s, d).collect()(0)
+  test("sub_cte_chain agrees with direct aggregation and stays one scan") {
+    val df = SparkEntry.queries("sub_cte_chain")(s, d)
+    val row = df.collect()(0)
     val per = Tables.orders(s, d).groupBy("o_custkey").agg(count(lit(1)).as("n"))
     val n = per.count()
     val mx = per.agg(max("n")).collect()(0).getLong(0)
@@ -64,6 +65,14 @@ class CurationSuite extends AnyFunSuite {
     assert(row.getAs[Long]("max_orders") == mx)
     assert(row.getAs[Long]("min_orders") == mn)
     assert(row.getAs[Long]("n_cust") == n)
+    // the chained-CTE shape must collapse to a single scan of orders —
+    // the multi-referenced-CTE variant re-planned it 4× (see Subqueries).
+    // After execution AQE's toString appends an "== Initial Plan ==" copy;
+    // count scans only in the final-plan section.
+    val scans = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 orders scan, saw $scans")
   }
 
   // --- §2.O curation invariants -----------------------------------------
