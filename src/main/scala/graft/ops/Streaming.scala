@@ -156,6 +156,35 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // Stream-stream interval join as a DECLARED operator: click→view
+    // attribution — each click joined to the same user's views in the
+    // preceding 2 hours (sized so the fixture yields a dense result; the
+    // streaming twin in StreamingSuite exercises the same shape at 10 min). This is Spark's watermarked stream-stream inner
+    // join shape (equi-key user_id + event-time range bound between the two
+    // sides); in readStream the range bound is what lets the runtime evict
+    // join state older than watermark−lookback, so state stays bounded. The
+    // batch form plans as ONE user_id-keyed shuffle join with the range
+    // predicate evaluated join-side — the same key-locality the streaming
+    // state store exploits. True streaming twin (two MemoryStreams, both
+    // watermarked, late view dropped) in StreamingSuite.
+    "stream_join_interval" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        tsec(col("ts")).as("ts_s"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_s").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts_s").as("view_ts"))
+      clicks.join(views,
+          col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 2 HOURS") &&
+          col("view_ts") <= col("click_ts"))
+        .groupBy("click_id", "user_id", "click_ts")
+        .agg(count(lit(1)).as("n_views"), min("view_id").as("first_view_id"))
+        .orderBy("click_id")
+    }),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -240,6 +269,16 @@ object Streaming {
           SELECT a.user_id, a.n_events, a.total_cents, l.last_type
           FROM agg a JOIN last l ON a.user_id = l.user_id
           ORDER BY a.user_id""",
+    "stream_join_interval" ->
+      s"""WITH e AS (SELECT event_id, user_id, $tsS AS ts_s, event_type FROM events)
+          SELECT c.event_id AS click_id, c.user_id, c.ts_s AS click_ts,
+                 count(*) AS n_views, min(v.event_id) AS first_view_id
+          FROM e c JOIN e v
+            ON c.event_type = 'click' AND v.event_type = 'view'
+           AND v.user_id = c.user_id
+           AND v.ts_s >= c.ts_s - INTERVAL '2 hours' AND v.ts_s <= c.ts_s
+          GROUP BY 1, 2, 3
+          ORDER BY click_id""",
     "stream_stateful_running" ->
       s"""SELECT user_id, event_id, ts_s,
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value

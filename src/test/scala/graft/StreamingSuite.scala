@@ -279,4 +279,43 @@ class StreamingSuite extends AnyFunSuite {
                            (8L, 2L, 1L + 3810L, "error")),
       s"streaming final states diverged: $streamed")
   }
+
+  test("stream-stream interval join twin: streaming matches == batch, late view dropped") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // the declared stream_join_interval shape: clicks ⋈ views per user,
+    // view within the 10 minutes before the click, both sides watermarked
+    val clicks = MemoryStream[(Long, Long, Timestamp)] // (click_id, user_id, ts)
+    val views = MemoryStream[(Long, Long, Timestamp)]  // (view_id, user_id, ts)
+    val cDf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val vDf = views.toDF().toDF("view_id", "v_user", "view_ts")
+      .withWatermark("view_ts", "10 minutes")
+    val q = cDf.join(vDf,
+        col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "view_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // on-time data: user 1 has two views in the lookback of click 100,
+      // user 2's view is outside the window (25 min before the click)
+      views.addData((10L, 1L, ts("10:00")), (11L, 1L, ts("10:07")),
+        (12L, 2L, ts("10:00")))
+      clicks.addData((100L, 1L, ts("10:09")), (200L, 2L, ts("10:25")))
+      q.processAllAvailable()
+      // advance both watermarks far past 11:00 so the 10:xx state is evicted
+      views.addData((90L, 9L, ts("15:00")))
+      clicks.addData((900L, 9L, ts("15:00")))
+      q.processAllAvailable()
+      // a LATE view that would have matched click 100 — must be dropped
+      views.addData((13L, 1L, ts("10:08")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((100L, 1L, 10L), (100L, 1L, 11L), (900L, 9L, 90L)),
+      s"interval-join output diverged (late view joined, or window bound wrong): $streamed")
+  }
 }
