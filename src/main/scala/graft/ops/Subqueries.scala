@@ -81,6 +81,21 @@ object Subqueries {
        FROM @orders o
        ORDER BY o_orderkey LIMIT 200"""
 
+  // Correlated LATERAL derived table with ORDER BY + LIMIT — top-2
+  // lineitems per order. Spark decorrelates the per-order LIMIT into
+  // WindowGroupLimit (partial map-side top-k, then final after the
+  // l_orderkey shuffle) + one equi-join — the scalable lowering of a
+  // per-outer-row subquery. Output columns are deterministic even when the
+  // top-2 boundary ties: tied rows agree on every projected column, and
+  // the outer ORDER BY carries all three output columns.
+  private val SUB_LATERAL =
+    """SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+       FROM @orders o, LATERAL (
+         SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS l_quantity
+         FROM @lineitem l WHERE l.l_orderkey = o.o_orderkey
+         ORDER BY l_quantity DESC, l_linenumber LIMIT 2) t
+       ORDER BY o.o_orderkey, t.l_linenumber, t.l_quantity LIMIT 500"""
+
   // Chained CTEs (stats reads per_cust). Deliberately NOT the
   // "one CTE referenced N times" shape: Spark inlines deterministic CTEs
   // into every reference, so a multi-referenced aggregate CTE re-plans per
@@ -105,6 +120,7 @@ object Subqueries {
     "sub_not_exists"  -> ((s, d) => viaSql(s, d, SUB_NOT_EXISTS, "customer", "orders")),
     "sub_scalar_corr" -> ((s, d) => viaSql(s, d, SUB_SCALAR_CORR, "orders", "lineitem")),
     "sub_cte_chain"   -> ((s, d) => viaSql(s, d, SUB_CTE_CHAIN, "orders")),
+    "sub_lateral"     -> ((s, d) => viaSql(s, d, SUB_LATERAL, "orders", "lineitem")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -114,5 +130,6 @@ object Subqueries {
     "sub_not_exists"  -> SUB_NOT_EXISTS.replace("@", ""),
     "sub_scalar_corr" -> SUB_SCALAR_CORR.replace("@", ""),
     "sub_cte_chain"   -> SUB_CTE_CHAIN.replace("@", ""),
+    "sub_lateral"     -> SUB_LATERAL.replace("@", ""),
   )
 }

@@ -75,6 +75,17 @@ class CurationSuite extends AnyFunSuite {
     assert(scans == 1, s"expected 1 orders scan, saw $scans")
   }
 
+  test("sub_lateral lowers the per-order LIMIT to WindowGroupLimit top-k, not a loop") {
+    val p = physical("sub_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group LIMIT should prune via WindowGroupLimit:\n${p.take(1500)}")
+    assert(!p.contains("CorrelatedScalarSubquery"))
+    // spot-check: every order contributes at most 2 rows
+    val over = SparkEntry.queries("sub_lateral")(s, d)
+      .groupBy("o_orderkey").count().filter(col("count") > 2).count()
+    assert(over == 0, "an order contributed more than 2 lateral rows")
+  }
+
   // --- §2.O curation invariants -----------------------------------------
 
   test("llm_quality_repetition: bp bounds and dup==0 ⟺ every word unique") {
