@@ -81,6 +81,22 @@ object Joins {
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")),
 
+    // Null-safe equality (<=>): NULL keys MATCH each other instead of
+    // vanishing — the semantic a plain equi-join cannot express (DuckDB:
+    // IS NOT DISTINCT FROM). Each side first reduces to its ≤12 distinct
+    // NULLIF'd discount values, so the null-safe join runs on
+    // metadata-sized inputs and the NULL×NULL match stays 1×1 — the shape
+    // to keep at scale, since null-heavy keys make <=> a skew hazard.
+    "join_null_safe" -> ((s, d) => {
+      def side(parity: Int) = lineitem(s, d)
+        .filter(col("l_orderkey") % 2 === parity)
+        .select(nullif(col("l_discount"), lit(0.0)).as("k")).distinct()
+      side(0).as("a").join(side(1).as("b"), col("a.k") <=> col("b.k"))
+        .groupBy(money(col("a.k")).as("k_cents"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k_cents").asc_nulls_first)
+    }),
+
     // Equi key + theta residual: the equi part hashes, the theta part is a
     // post-probe filter — no nested-loop explosion.
     "join_theta" -> ((s, d) =>
@@ -251,6 +267,12 @@ object Joins {
          ORDER BY c_custkey""",
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_null_safe" ->
+      s"""WITH a AS (SELECT DISTINCT NULLIF(l_discount, 0.0) AS k FROM lineitem WHERE l_orderkey % 2 = 0),
+               b AS (SELECT DISTINCT NULLIF(l_discount, 0.0) AS k FROM lineitem WHERE l_orderkey % 2 = 1)
+          SELECT ${moneySql("a.k")} AS k_cents, count(*) AS n
+          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+          GROUP BY 1 ORDER BY k_cents NULLS FIRST""",
     "join_theta" ->
       """SELECT p_brand, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
