@@ -19,14 +19,16 @@ import graft.Tables._
   */
 object LlmCuration {
   /** Distinct word-5-grams per doc. One explode per doc of (len−4) grams —
-    * narrow, then the distinct is the only shuffle (keyed on (doc_id, g)). */
+    * narrow, then the distinct is the only shuffle (keyed on (doc_id, g)).
+    * The token array is materialized ONCE per row before the transform:
+    * writing `split(text)[i+k]` inside the lambda would re-run the O(len)
+    * split on every element access (O(len²) per doc). */
   private def grams5(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(expr(
-      """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 4),
-                   (x, i) -> concat_ws(' ', x, split(text, ' ')[i + 1],
-                                       split(text, ' ')[i + 2], split(text, ' ')[i + 3],
-                                       split(text, ' ')[i + 4]))"""))
-      .as("g")).distinct()
+    df.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(t, 1, size(t) - 4),
+                     (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2], t[i + 3], t[i + 4]))"""))
+        .as("g")).distinct()
 
   val ops: Map[String, Q] = Map(
     // Per-doc repetition profile: duplicate-word fraction and top-word

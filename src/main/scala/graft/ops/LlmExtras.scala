@@ -407,10 +407,11 @@ object LlmExtras {
     // docs 250..349 classified by INTEGER dot-product score (ties → lang asc);
     // output is the confusion matrix.
     "llm_text_langid" -> ((s, d) => {
-      def bigrams(df: DataFrame) = df.select(col("doc_id"), col("lang"),
-        explode(expr(
-          """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                       (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))""")).as("bg"))
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(slice(t, 1, size(t) - 1),
+                       (x, i) -> concat(x, ' ', t[i + 1]))""")).as("bg"))
       val train = bigrams(documents(s, d).filter(col("doc_id") < 250))
         .groupBy(col("lang").as("lang_cand"), col("bg")).agg(count(lit(1)).as("w"))
       val test = bigrams(documents(s, d).filter(col("doc_id") >= 250 && col("doc_id") < 350))

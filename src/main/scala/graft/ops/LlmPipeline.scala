@@ -336,11 +336,14 @@ object LlmPipeline {
         .limit(100)
     }),
 
+    // (token array materialized once per row — `split(text)[i+1]` inside
+    // the lambda would re-run the O(len) split per element access)
     "llm_text_ngrams" -> ((s, d) =>
       documents(s, d)
+        .select(split(col("text"), " ").as("t"))
         .select(explode(expr(
-          """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                       (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"""))
+          """transform(slice(t, 1, size(t) - 1),
+                       (x, i) -> concat(x, ' ', t[i + 1]))"""))
           .as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
