@@ -111,6 +111,56 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Schema evolution across file generations: gen-1 files lack the column
+    // gen-2 adds; `mergeSchema` unifies the footers and gen-1 rows read NULL
+    // for the new column. At scale this is the append-only ingestion reality
+    // (old partitions never rewritten when the schema grows a field).
+    "scan_schema_evolution" -> ((s, d) => {
+      val path = tmpDir(d, "evo")
+      supplier(s, d).filter(col("s_suppkey") % 2 === 0)
+        .select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      supplier(s, d).filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          money(col("s_acctbal")).as("bal_cents"))
+        .write.mode("overwrite").parquet(s"$path/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/gen1", s"$path/gen2")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bal_cents").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce(col("bal_cents"), lit(0L))).as("bal_cents_sum"))
+        .orderBy("s_nationkey")
+    }),
+
+    // MERGE-style dimension refresh without a table format: base ⟗ updates
+    // full-outer on the key, COALESCE(update, base) per column — the batch
+    // form of MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT.
+    // The merged dimension is written to a parquet sink and the summary is
+    // read OFF THE SINK, so the oracle also proves the write survived. The
+    // updates side derives deterministically from customer: +100.00 to every
+    // key ≡0 (mod 10), plus fresh keys (+1e6) for the ≡0 (mod 100) slice.
+    "sink_upsert" -> ((s, d) => {
+      val path = tmpDir(d, "upsert")
+      val b = customer(s, d)
+        .select(col("c_custkey").as("b_k"), money(col("c_acctbal")).as("b_bal"))
+      val u = customer(s, d).filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("u_k"),
+          (money(col("c_acctbal")) + 10000L).as("u_bal"))
+        .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("u_k"), lit(0L).as("u_bal")))
+      b.join(u, col("b_k") === col("u_k"), "full_outer")
+        .select(coalesce(col("u_k"), col("b_k")).as("c_custkey"),
+          coalesce(col("u_bal"), col("b_bal")).as("bal_cents"),
+          when(col("b_k").isNull, "inserted")
+            .when(col("u_k").isNull, "kept")
+            .otherwise("updated").as("action"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents_sum"))
+        .orderBy("action")
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -152,6 +202,31 @@ object Scans {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY event_type ORDER BY event_type""",
+    "scan_schema_evolution" ->
+      s"""WITH m AS (
+            SELECT s_suppkey, s_nationkey, CAST(NULL AS BIGINT) AS bal_cents
+            FROM supplier WHERE s_suppkey % 2 = 0
+            UNION ALL
+            SELECT s_suppkey, s_nationkey, ${moneySql("s_acctbal")} AS bal_cents
+            FROM supplier WHERE s_suppkey % 2 = 1)
+          SELECT s_nationkey, count(*) AS n,
+                 CAST(sum(CASE WHEN bal_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+                 CAST(sum(COALESCE(bal_cents, 0)) AS BIGINT) AS bal_cents_sum
+          FROM m GROUP BY 1 ORDER BY 1""",
+    "sink_upsert" ->
+      s"""WITH base AS (SELECT c_custkey AS b_k, ${moneySql("c_acctbal")} AS b_bal FROM customer),
+               upd AS (SELECT c_custkey AS u_k, ${moneySql("c_acctbal")} + 10000 AS u_bal
+                       FROM customer WHERE c_custkey % 10 = 0
+                       UNION ALL
+                       SELECT c_custkey + 1000000 AS u_k, 0 AS u_bal
+                       FROM customer WHERE c_custkey % 100 = 0),
+               m AS (SELECT COALESCE(u_bal, b_bal) AS bal_cents,
+                            CASE WHEN b_k IS NULL THEN 'inserted'
+                                 WHEN u_k IS NULL THEN 'kept'
+                                 ELSE 'updated' END AS action
+                     FROM base FULL OUTER JOIN upd ON b_k = u_k)
+          SELECT action, count(*) AS n, CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+          FROM m GROUP BY 1 ORDER BY 1""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
