@@ -161,6 +161,28 @@ object Scans {
         .orderBy("action")
     }),
 
+    // Dynamic partition pruning: the fact copy is partitioned by
+    // event_type and joined to a dim whose qualifying keys exist only at
+    // RUNTIME (top-2 types by count — an aggregate + rank, nothing static
+    // pruning could fold), so the fact scan must receive a
+    // dynamicpruningexpression partition filter from the dim's broadcast —
+    // at 100 TB this is the difference between scanning 2/5 of the
+    // partitions and all of them. Plan-audited in PlanAuditSuite.
+    "scan_dynamic_pruning" -> ((s, d) => {
+      val path = tmpDir(d, "dpp")
+      val ev = events(s, d).select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val dim = ev.groupBy(col("event_type").as("et")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("et"))))
+        .filter(col("rn") <= 2).select("et")
+      s.read.parquet(path)
+        .join(dim, col("event_type") === col("et"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -227,6 +249,14 @@ object Scans {
                      FROM base FULL OUTER JOIN upd ON b_k = u_k)
           SELECT action, count(*) AS n, CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
           FROM m GROUP BY 1 ORDER BY 1""",
+    "scan_dynamic_pruning" ->
+      s"""WITH dim AS (SELECT event_type FROM (
+                         SELECT event_type,
+                                row_number() OVER (ORDER BY count(*) DESC, event_type) AS rn
+                         FROM events GROUP BY event_type) WHERE rn <= 2)
+          SELECT e.event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
+          FROM events e JOIN dim ON e.event_type = dim.event_type
+          GROUP BY 1 ORDER BY 1""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

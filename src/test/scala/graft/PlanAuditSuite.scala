@@ -42,6 +42,12 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("scan_dynamic_pruning receives a dynamicpruning partition filter") {
+    val p = plan("scan_dynamic_pruning")
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan not dynamically pruned:\n${p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")}")
+  }
+
   test("join_multiway broadcasts the dimension legs") {
     val p = plan("join_multiway")
     assert(p.contains("BroadcastHashJoin"), "dimension joins should broadcast")
