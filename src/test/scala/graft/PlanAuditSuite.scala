@@ -42,6 +42,38 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("runtime bloom filter: selective dim side injects might_contain on the fact scan") {
+    // The row-level runtime filter (Spark 3.3+): a selective filter on the
+    // build side of a shuffle join materializes a bloom_filter_agg and the
+    // probe side gains a might_contain() pre-filter — at 100 TB this skips
+    // fact rows before the shuffle. Size thresholds are tuned down so the
+    // feature fires at test scale; results must equal the unfiltered join.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val q = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.optimizedPlan.toString().contains("might_contain"),
+        "no runtime bloom filter was injected")
+      val n = q.collect()(0).getLong(1)
+      confs.keys.foreach(s.conf.unset); saved.foreach { case (k, Some(v)) => s.conf.set(k, v); case _ => }
+      val expected = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected, s"bloom-filtered join changed the result: $n != $expected")
+    } finally {
+      confs.keys.foreach(s.conf.unset)
+      saved.foreach { case (k, Some(v)) => s.conf.set(k, v); case _ => }
+    }
+  }
+
   test("scan_dynamic_pruning receives a dynamicpruning partition filter") {
     val p = plan("scan_dynamic_pruning")
     assert(p.contains("dynamicpruningexpression"),
