@@ -89,6 +89,35 @@ object LlmCuration {
         .orderBy("lang")
     }),
 
+    // Greedy boundary-preserving packing (first-fit in doc_id order): docs
+    // are never split; a doc that would overflow the 512-token budget opens
+    // a new bin. Greedy packing is inherently sequential, so the corpus is
+    // cut into independent packing domains (doc_id div 100 buckets): each
+    // bucket folds locally over its ≤100 sorted docs inside flatMapGroups,
+    // bins are namespaced bkt·1000+bin, and no global order, driver state,
+    // or cross-bucket dependency exists — buckets pack in parallel at any
+    // scale. Doc-boundary-preserving complement of llm_pack_sequences
+    // (which concatenates the token stream and cuts mid-doc).
+    "llm_pack_greedy" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr("doc_id div 100").as("bkt"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._3)
+        .flatMapGroups { (bkt: Long, rows: Iterator[(Long, Long, Long)]) =>
+          val sorted = rows.toArray.sortBy(_._1)
+          var bin = 0L; var fill = 0L
+          sorted.iterator.map { case (id, n, _) =>
+            if (fill + n > 512 && fill > 0) { bin += 1; fill = n } else fill += n
+            (id, n, bkt * 1000 + bin)
+          }
+        }
+        .toDF("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    }),
+
     // Token-budget sequence packing: concatenate the corpus in doc_id order
     // and cut fixed 512-token training sequences; each doc reports the
     // sequence span it lands in. The global running offset is computed in
@@ -160,6 +189,24 @@ object LlmCuration {
                 CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(10000 * sum(CASE WHEN kept THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS kept_bp
          FROM k GROUP BY lang ORDER BY lang""",
+    // Same greedy fold as a per-bucket recursive CTE: base case = each
+    // bucket's first doc (bin 0, fill = its tokens), step joins row rn+1.
+    "llm_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  doc_id // 100 AS bkt,
+                  row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+           FROM documents),
+         packed AS (
+           SELECT doc_id, n_tokens, bkt, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.doc_id, t.n_tokens, t.bkt, t.rn,
+                  CASE WHEN p.fill + t.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+                  CASE WHEN p.fill + t.n_tokens > 512 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+           FROM packed p JOIN t ON t.bkt = p.bkt AND t.rn = p.rn + 1)
+         SELECT doc_id, n_tokens, bkt * 1000 + bin AS bin_id
+         FROM packed ORDER BY doc_id""",
     "llm_pack_sequences" ->
       """SELECT doc_id, n_tokens,
                 CAST(off // 512 AS BIGINT) AS first_seq,

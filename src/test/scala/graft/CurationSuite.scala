@@ -139,6 +139,30 @@ class CurationSuite extends AnyFunSuite {
     assert(off > 0)
   }
 
+  test("llm_pack_greedy: bins respect the budget and are greedily tight") {
+    val rows = SparkEntry.queries("llm_pack_greedy")(s, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("bin_id")))
+    assert(rows.nonEmpty)
+    // docs stay whole and in doc_id order within namespaced bins
+    val byBin = rows.groupBy(_._3)
+    byBin.foreach { case (bin, ds) =>
+      val fill = ds.map(_._2).sum
+      assert(fill <= 512 || ds.length == 1, s"bin $bin over budget with ${ds.length} docs: $fill")
+    }
+    // greedy tightness: the first doc of bin k+1 would NOT have fit in bin k
+    rows.groupBy(_._3 / 1000).foreach { case (bkt, ds) =>
+      val bins = ds.groupBy(_._3).toSeq.sortBy(_._1)
+      bins.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_._2).sum
+          val firstNext = next.minBy(_._1)._2
+          assert(prevFill + firstNext > 512,
+            s"bucket $bkt: doc of ${firstNext} tokens should have joined the previous bin (fill $prevFill)")
+        case _ =>
+      }
+    }
+  }
+
   test("llm_pack_sequences two-phase offsets equal the naive global window") {
     val naive = Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
