@@ -148,9 +148,72 @@ object LlmCuration {
           expr(s"(off + n_tokens - 1) div $L").as("last_seq"))
         .orderBy("doc_id")
     }),
+
+    // The curation family composed end-to-end — the corpus-preparation run
+    // a pre-training pipeline executes: repetition-quality gate
+    // (dup_word_bp < 5000, ~half the corpus at every sf) → benchmark-
+    // contamination screen (drop docs sharing ANY 5-gram with the
+    // benchmark slice) → deterministic domain-mix resampling → per-language
+    // training-yield summary (docs, tokens, 512-token sequence budget).
+    // Every stage is the same shape as its standalone op, so the composed
+    // plan inherits their scale properties (broadcast benchmark probe, two
+    // doc_id-keyed aggs, narrow mix filter).
+    "llm_curation_e2e" -> ((s, d) => {
+      val docs = documents(s, d)
+      val rep = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang").agg(sum("c").as("n_words"), count(lit(1)).as("n_uniq"))
+        .filter(expr("10000 * (n_words - n_uniq) div n_words < 5000"))
+      val g = grams5(docs)
+      val bench = g.filter(col("doc_id") % 20 === 0).select("g").distinct()
+      val contaminated = g.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), "g").select("doc_id").distinct()
+      val bucket = expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+      val rate = expr(
+        "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
+          "WHEN 'es' THEN 30 ELSE 15 END")
+      rep.filter(col("doc_id") % 20 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(bucket < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
+        .withColumn("n_seqs", expr("(total_tokens + 511) div 512"))
+        .orderBy("lang")
+    }),
   )
 
-  val oracle: Map[String, String] = Map(
+  private val curationOracleExtra: Map[String, String] = Map(
+    "llm_curation_e2e" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+              pw AS (SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY 1, 2, 3),
+              rep AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_uniq
+                      FROM pw GROUP BY 1, 2),
+              kept AS (SELECT doc_id, lang, n_words FROM rep
+                       WHERE 10000 * (n_words - n_uniq) // n_words < 5000),
+              toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              grams AS (SELECT DISTINCT doc_id, concat_ws(' ', w1, w2, w3, w4, w5) AS g FROM (
+                SELECT doc_id,
+                       unnest(tk[1:len(tk)-4]) AS w1, unnest(tk[2:len(tk)-3]) AS w2,
+                       unnest(tk[3:len(tk)-2]) AS w3, unnest(tk[4:len(tk)-1]) AS w4,
+                       unnest(tk[5:len(tk)]) AS w5
+                FROM toks)),
+              bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+              cont AS (SELECT DISTINCT c.doc_id FROM grams c JOIN bench b ON c.g = b.g
+                       WHERE c.doc_id % 20 <> 0),
+              mixed AS (SELECT k.lang, k.n_words FROM kept k
+                        WHERE k.doc_id % 20 <> 0
+                          AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = k.doc_id)
+                          AND ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                              < CASE k.lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45
+                                            WHEN 'es' THEN 30 ELSE 15 END)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_tokens,
+                CAST((sum(n_words) + 511) // 512 AS BIGINT) AS n_seqs
+         FROM mixed GROUP BY lang ORDER BY lang""",
+  )
+
+  val oracle: Map[String, String] = curationOracleExtra ++ Map(
     "llm_quality_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
               pw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
