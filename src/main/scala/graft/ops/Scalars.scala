@@ -134,6 +134,20 @@ object Scalars {
           // DECIMAL column would hash by float repr ("38.1") and mismatch.
           col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_dec"))),
 
+    // Error-safe evaluation under ANSI mode (Spark 4 default): try_cast
+    // yields NULL on malformed input instead of failing the job, try_divide
+    // yields NULL on /0 — the semantics a 100 TB batch needs so one dirty
+    // row can't kill a stage. DuckDB twins: TRY_CAST, and plain `/` (DuckDB
+    // returns NULL for every division by zero, including doubles).
+    "cast_try" -> ((s, d) =>
+      events(s, d)
+        .orderBy("event_id").limit(50)
+        .select(col("event_id"),
+          expr("try_cast(event_type AS INT)").as("bad_int"),
+          expr("try_cast(CAST(user_id AS STRING) AS BIGINT)").as("roundtrip_id"),
+          d4(expr("try_divide(value, 0)")).as("div0"),
+          d4(expr("try_divide(value, 4)")).as("quarter"))),
+
     "array_basic" -> ((s, d) =>
       embeddings(s, d)
         .select(col("vec_id"),
@@ -250,6 +264,13 @@ object Scalars {
                 CAST(l_shipdate AS DATE) AS ship_date,
                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "cast_try" ->
+      s"""SELECT event_id,
+                 TRY_CAST(event_type AS INTEGER) AS bad_int,
+                 TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS roundtrip_id,
+                 ${d4Sql("value / 0")} AS div0,
+                 ${d4Sql("value / 4")} AS quarter
+          FROM events ORDER BY event_id LIMIT 50""",
     "array_basic" ->
       s"""SELECT vec_id, len(embedding) AS n,
           ${d4Sql("CAST(embedding[1] AS DOUBLE)")} AS e1,
