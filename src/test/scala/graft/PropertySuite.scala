@@ -82,7 +82,11 @@ class PropertySuite extends AnyFunSuite {
 
   test("representative queries are AQE-invariant") {
     val keys = Seq("agg_hash_groupby", "join_multiway", "win_topk_per_group",
-      "llm_text_wordcount", "stream_session")
+      "llm_text_wordcount", "stream_session",
+      // round-5 continuation families: decorrelated subqueries, curation,
+      // the stream-stream interval join, and the greedy packer's
+      // flatMapGroups fold must not depend on AQE's runtime re-planning
+      "sub_lateral", "llm_curation_e2e", "stream_join_interval", "llm_pack_greedy")
     keys.foreach { k =>
       def run(aqe: Boolean): Seq[String] = {
         s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
