@@ -22,13 +22,25 @@ object LlmCuration {
     * narrow, then the distinct is the only shuffle (keyed on (doc_id, g)).
     * The token array is materialized ONCE per row before the transform:
     * writing `split(text)[i+k]` inside the lambda would re-run the O(len)
-    * split on every element access (O(len²) per doc). */
+    * split on every element access (O(len²) per doc). The greatest(…, 0)
+    * guard keeps the operator total: a <5-token doc yields zero grams
+    * instead of a negative-slice-length runtime error killing the stage. */
   private def grams5(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        """transform(slice(t, 1, size(t) - 4),
+        """transform(slice(t, 1, greatest(size(t) - 4, 0)),
                      (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2], t[i + 3], t[i + 4]))"""))
         .as("g")).distinct()
+
+  /** The deterministic resampling convention shared by llm_domain_mix and
+    * llm_curation_e2e (md5-hex-prefix bucket — the llm_sample_stratified
+    * idiom — and the per-language keep-rate table). One definition so the
+    * two ops and their oracles cannot silently diverge. */
+  private val mixBucket = expr(
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+  private val mixRate = expr(
+    "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
+      "WHEN 'es' THEN 30 ELSE 15 END")
 
   val ops: Map[String, Q] = Map(
     // Per-doc repetition profile: duplicate-word fraction and top-word
@@ -75,13 +87,8 @@ object LlmCuration {
     // by md5(doc_id) bucket (the llm_sample_stratified hash convention —
     // engine- and run-independent, no RNG state). Narrow map + one lang agg.
     "llm_domain_mix" -> ((s, d) => {
-      val bucket = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
-      val rate = expr(
-        "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
-          "WHEN 'es' THEN 30 ELSE 15 END")
       documents(s, d)
-        .withColumn("kept", bucket < rate)
+        .withColumn("kept", mixBucket < mixRate)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
@@ -165,18 +172,17 @@ object LlmCuration {
         .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "lang").agg(sum("c").as("n_words"), count(lit(1)).as("n_uniq"))
         .filter(expr("10000 * (n_words - n_uniq) div n_words < 5000"))
-      val g = grams5(docs)
-      val bench = g.filter(col("doc_id") % 20 === 0).select("g").distinct()
-      val contaminated = g.filter(col("doc_id") % 20 =!= 0)
+      val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
+      // the corpus gram leg (the dominant explode+distinct) runs ONLY over
+      // docs that survived the repetition gate — the gate drops ~half the
+      // corpus, so screening the rejects would double the heaviest stage
+      val survivors = docs.join(
+        rep.filter(col("doc_id") % 20 =!= 0).select("doc_id"), Seq("doc_id"), "left_semi")
+      val contaminated = grams5(survivors)
         .join(broadcast(bench), "g").select("doc_id").distinct()
-      val bucket = expr(
-        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
-      val rate = expr(
-        "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
-          "WHEN 'es' THEN 30 ELSE 15 END")
       rep.filter(col("doc_id") % 20 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(bucket < rate)
+        .filter(mixBucket < mixRate)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_words").as("total_tokens"))
         .withColumn("n_seqs", expr("(total_tokens + 511) div 512"))

@@ -138,7 +138,10 @@ object Scans {
     // The merged dimension is written to a parquet sink and the summary is
     // read OFF THE SINK, so the oracle also proves the write survived. The
     // updates side derives deterministically from customer: +100.00 to every
-    // key ≡0 (mod 10), plus fresh keys (+1e6) for the ≡0 (mod 100) slice.
+    // key ≡0 (mod 10), plus fresh keys for the ≡0 (mod 100) slice — fresh
+    // keys are NEGATIVE (−k−1) so they are disjoint from the natural
+    // keyspace at EVERY scale (a "+1e6" offset would collide with real
+    // custkeys once the table passes 1M rows and silently double-count).
     "sink_upsert" -> ((s, d) => {
       val path = tmpDir(d, "upsert")
       val b = customer(s, d)
@@ -147,7 +150,7 @@ object Scans {
         .select(col("c_custkey").as("u_k"),
           (money(col("c_acctbal")) + 10000L).as("u_bal"))
         .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
-          .select((col("c_custkey") + 1000000L).as("u_k"), lit(0L).as("u_bal")))
+          .select((-col("c_custkey") - 1L).as("u_k"), lit(0L).as("u_bal")))
       b.join(u, col("b_k") === col("u_k"), "full_outer")
         .select(coalesce(col("u_k"), col("b_k")).as("c_custkey"),
           coalesce(col("u_bal"), col("b_bal")).as("bal_cents"),
@@ -240,7 +243,7 @@ object Scans {
                upd AS (SELECT c_custkey AS u_k, ${moneySql("c_acctbal")} + 10000 AS u_bal
                        FROM customer WHERE c_custkey % 10 = 0
                        UNION ALL
-                       SELECT c_custkey + 1000000 AS u_k, 0 AS u_bal
+                       SELECT -c_custkey - 1 AS u_k, 0 AS u_bal
                        FROM customer WHERE c_custkey % 100 = 0),
                m AS (SELECT COALESCE(u_bal, b_bal) AS bal_cents,
                             CASE WHEN b_k IS NULL THEN 'inserted'

@@ -32,10 +32,18 @@ object Subqueries {
       graft.Tables.t(s, d, tbl).createOrReplaceTempView(vn)
       tbl -> vn
     }
-    val df = s.sql(views.foldLeft(sql) { case (q, (t, vn)) => q.replace("@" + t, vn) })
-    views.foreach { case (_, vn) => s.catalog.dropTempView(vn) }
-    df
+    // whole-marker replacement (word boundary) so one table name being a
+    // prefix of another can never corrupt the SQL; try/finally so an
+    // analysis error can't leak the catalog entries
+    try s.sql(views.foldLeft(sql) { case (q, (t, vn)) =>
+      q.replaceAll(s"@$t\\b", vn)
+    })
+    finally views.foreach { case (_, vn) => s.catalog.dropTempView(vn) }
   }
+
+  /** Oracle text = the same body with each whole `@table` marker stripped
+    * to its bare name (a literal '@' elsewhere in the SQL is untouched). */
+  private def stripMarkers(sql: String): String = sql.replaceAll("@(\\w+)", "$1")
 
   // Orders priced above the corpus mean. The mean compare is exact integer
   // cross-multiply (cents·n > Σcents); the two scalar subqueries plan as
@@ -124,12 +132,12 @@ object Subqueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "sub_scalar"      -> SUB_SCALAR.replace("@", ""),
-    "sub_in"          -> SUB_IN.replace("@", ""),
-    "sub_exists"      -> SUB_EXISTS.replace("@", ""),
-    "sub_not_exists"  -> SUB_NOT_EXISTS.replace("@", ""),
-    "sub_scalar_corr" -> SUB_SCALAR_CORR.replace("@", ""),
-    "sub_cte_chain"   -> SUB_CTE_CHAIN.replace("@", ""),
-    "sub_lateral"     -> SUB_LATERAL.replace("@", ""),
+    "sub_scalar"      -> stripMarkers(SUB_SCALAR),
+    "sub_in"          -> stripMarkers(SUB_IN),
+    "sub_exists"      -> stripMarkers(SUB_EXISTS),
+    "sub_not_exists"  -> stripMarkers(SUB_NOT_EXISTS),
+    "sub_scalar_corr" -> stripMarkers(SUB_SCALAR_CORR),
+    "sub_cte_chain"   -> stripMarkers(SUB_CTE_CHAIN),
+    "sub_lateral"     -> stripMarkers(SUB_LATERAL),
   )
 }

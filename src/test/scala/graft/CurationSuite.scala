@@ -27,10 +27,14 @@ class CurationSuite extends AnyFunSuite {
   }
 
   test("sub_exists pushes the quantity predicate below the semi join") {
-    val p = physical("sub_exists")
+    val df = SparkEntry.queries("sub_exists")(s, d)
+    val p = df.queryExecution.executedPlan.toString() + "\n" + df.queryExecution.toString()
     assert(p.contains("LeftSemi"))
-    // the qty filter must prune lineitem BEFORE the join, not after
-    assert(p.contains("49"), s"inner predicate missing from plan:\n${p.take(1500)}")
+    // the qty filter must prune lineitem AT THE SCAN, not post-join: assert
+    // on the scan's PushedFilters line, which a post-join Filter can't fake
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_quantity")),
+      s"qty predicate not pushed to the lineitem scan:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
   }
 
   test("sub_scalar_corr decorrelates: aggregate + outer join, no per-row subquery") {
@@ -95,7 +99,9 @@ class CurationSuite extends AnyFunSuite {
       val (nw, dup, top) = (r.getAs[Long]("n_words"),
         r.getAs[Long]("dup_word_bp"), r.getAs[Long]("top_word_bp"))
       assert(dup >= 0 && dup < 10000, s"dup_word_bp out of range: $r")
-      assert(top > 0 && top <= 10000, s"top_word_bp out of range: $r")
+      // lower bound is the single-occurrence floor 10000 div n_words, which
+      // legitimately rounds to 0 once a doc passes 10k words
+      assert(top >= 10000 / nw && top <= 10000, s"top_word_bp out of range: $r")
       // all-unique doc: top word appears once → the two measures must agree
       if (dup == 0) assert(top == 10000 / nw, s"dup/top disagree on unique doc: $r")
     }

@@ -54,6 +54,10 @@ class PlanAuditSuite extends AnyFunSuite {
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
     val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    // reference result computed under DEFAULT confs, before any override
+    val expected = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
     try {
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       val q = Tables.lineitem(s, d)
@@ -62,12 +66,7 @@ class PlanAuditSuite extends AnyFunSuite {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       assert(q.queryExecution.optimizedPlan.toString().contains("might_contain"),
         "no runtime bloom filter was injected")
-      val n = q.collect()(0).getLong(1)
-      confs.keys.foreach(s.conf.unset); saved.foreach { case (k, Some(v)) => s.conf.set(k, v); case _ => }
-      val expected = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
-          col("l_orderkey") === col("o_orderkey")).count()
-      assert(n == expected, s"bloom-filtered join changed the result: $n != $expected")
+      assert(q.collect()(0).getLong(1) == expected, "bloom-filtered join changed the result")
     } finally {
       confs.keys.foreach(s.conf.unset)
       saved.foreach { case (k, Some(v)) => s.conf.set(k, v); case _ => }
