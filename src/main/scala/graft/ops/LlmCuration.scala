@@ -32,6 +32,18 @@ object LlmCuration {
                      (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2], t[i + 3], t[i + 4]))"""))
         .as("g")).distinct()
 
+  /** The first-fit fold shared by llm_pack_greedy's per-bucket flatMapGroups
+    * and property-tested on random inputs in PropertySuite: docs in input
+    * order, a doc that would overflow `budget` opens a new bin (a single
+    * oversized doc still gets its own bin). Returns (id, n, binIndex). */
+  private[graft] def greedyFold(sorted: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long)] = {
+    var bin = 0L; var fill = 0L
+    sorted.map { case (id, n) =>
+      if (fill + n > budget && fill > 0) { bin += 1; fill = n } else fill += n
+      (id, n, bin)
+    }
+  }
+
   /** The deterministic resampling convention shared by llm_domain_mix and
     * llm_curation_e2e (md5-hex-prefix bucket — the llm_sample_stratified
     * idiom — and the per-language keep-rate table). One definition so the
@@ -114,12 +126,8 @@ object LlmCuration {
         .as[(Long, Long, Long)]
         .groupByKey(_._3)
         .flatMapGroups { (bkt: Long, rows: Iterator[(Long, Long, Long)]) =>
-          val sorted = rows.toArray.sortBy(_._1)
-          var bin = 0L; var fill = 0L
-          sorted.iterator.map { case (id, n, _) =>
-            if (fill + n > 512 && fill > 0) { bin += 1; fill = n } else fill += n
-            (id, n, bkt * 1000 + bin)
-          }
+          greedyFold(rows.toArray.sortBy(_._1).map(r => (r._1, r._2)).toSeq, 512L)
+            .iterator.map { case (id, n, bin) => (id, n, bkt * 1000 + bin) }
         }
         .toDF("doc_id", "n_tokens", "bin_id")
         .orderBy("doc_id")

@@ -80,6 +80,28 @@ class PropertySuite extends AnyFunSuite {
     assert(total(1) == total(13), "decimal sum varied with partitioning")
   }
 
+  test("greedy first-fit fold: budget, tightness, and order preservation on random inputs") {
+    val docsGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 700L)) // some docs exceed the budget
+    samples(docsGen, 200).foreach { tokens =>
+      val input = tokens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val out = ops.LlmCuration.greedyFold(input, 512L)
+      // order and content preserved one-to-one
+      assert(out.map(o => (o._1, o._2)) == input)
+      // bin indices are non-decreasing and start at 0
+      assert(out.head._3 == 0L && out.sliding(2).forall {
+        case Seq(a, b) => b._3 == a._3 || b._3 == a._3 + 1; case _ => true })
+      val fills = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+      fills.foreach { case (bin, fill) =>
+        assert(fill <= 512L || out.count(_._3 == bin) == 1,
+          s"multi-doc bin $bin over budget: $fill for input $input") }
+      // greedy tightness: each bin's first doc would have overflowed its predecessor
+      out.groupBy(_._3).toSeq.sortBy(_._1).sliding(2).foreach {
+        case Seq((pb, prev), (_, next)) =>
+          assert(fills(pb) + next.head._2 > 512L, s"non-greedy split in $input")
+        case _ => }
+    }
+  }
+
   test("representative queries are AQE-invariant") {
     val keys = Seq("agg_hash_groupby", "join_multiway", "win_topk_per_group",
       "llm_text_wordcount", "stream_session",
