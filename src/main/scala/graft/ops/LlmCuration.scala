@@ -164,6 +164,21 @@ object LlmCuration {
         .orderBy("doc_id")
     }),
 
+    // Sentence segmentation stats (the Gopher-family structural signals):
+    // sentences = non-blank spans between [.!?]+ runs, plus centi-words-
+    // per-sentence. One narrow pass, no shuffle before the final sort; the
+    // regex split is the filter's INPUT argument (evaluated once per row —
+    // not the per-element-re-eval lambda trap).
+    "llm_text_sentences" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          expr("CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) != '')) AS BIGINT)")
+            .as("n_sentences"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          expr("100 * n_words div greatest(n_sentences, 1)").as("wps_c"))
+        .orderBy("doc_id")),
+
     // The curation family composed end-to-end — the corpus-preparation run
     // a pre-training pipeline executes: repetition-quality gate
     // (dup_word_bp < 5000, ~half the corpus at every sf) → benchmark-
@@ -199,6 +214,15 @@ object LlmCuration {
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
+    "llm_text_sentences" ->
+      """SELECT doc_id, n_words, n_sentences,
+                CAST(100 * n_words // greatest(n_sentences, 1) AS BIGINT) AS wps_c
+         FROM (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                      CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                           x -> trim(x) <> '')) AS BIGINT) AS n_sentences
+               FROM documents)
+         ORDER BY doc_id""",
     "llm_curation_e2e" ->
       """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
               pw AS (SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY 1, 2, 3),
