@@ -81,6 +81,32 @@ object Joins {
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")),
 
+    // Pure range-band join (NO equi key — the cartesian hazard): clicks ⋈
+    // purchases within ±60 s, regardless of user. Planned naively Spark
+    // must nested-loop the whole product; instead each click explodes to
+    // its 60 s-bucket and both neighbors (band ≤ bucket width ⇒ the three
+    // buckets cover every possible match) and the join runs as a plain
+    // bucket equi-join + exact band residual. Each true pair matches in
+    // exactly ONE bucket (the purchase's own), so no dedup shuffle exists.
+    // The no-nested-loop shape is plan-audited in CurationSuite.
+    "join_band_bucketed" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), tsec(col("ts")).as("ts_s"),
+        col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_s").as("c_ts"))
+        .withColumn("ub", expr("CAST(floor(unix_timestamp(c_ts) / 60) AS BIGINT)"))
+        .withColumn("bkt", explode(expr("array(ub - 1, ub, ub + 1)")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts_s").as("p_ts"))
+        .withColumn("bkt", expr("CAST(floor(unix_timestamp(p_ts) / 60) AS BIGINT)"))
+      clicks.join(purchases, Seq("bkt"))
+        .filter(col("p_ts") >= col("c_ts") - expr("INTERVAL 1 MINUTE") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 MINUTE"))
+        .groupBy(col("click_id"), col("c_ts").as("click_sec"))
+        .agg(count(lit(1)).as("n_purchases"), min("purchase_id").as("first_purchase"))
+        .orderBy("click_id")
+    }),
+
     // Null-safe equality (<=>): NULL keys MATCH each other instead of
     // vanishing — the semantic a plain equi-join cannot express (DuckDB:
     // IS NOT DISTINCT FROM). Each side first reduces to its ≤12 distinct
@@ -267,6 +293,17 @@ object Joins {
          ORDER BY c_custkey""",
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    // Oracle = the straight inequality join (bucketing is execution
+    // strategy only, invisible in the result).
+    "join_band_bucketed" ->
+      """WITH e AS (SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type
+                    FROM events)
+         SELECT c.event_id AS click_id, c.ts_s AS click_sec,
+                count(*) AS n_purchases, min(p.event_id) AS first_purchase
+         FROM e c JOIN e p
+           ON c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts_s >= c.ts_s - INTERVAL '1 minute' AND p.ts_s <= c.ts_s + INTERVAL '1 minute'
+         GROUP BY 1, 2 ORDER BY click_id""",
     "join_null_safe" ->
       s"""WITH a AS (SELECT DISTINCT NULLIF(l_discount, 0.0) AS k FROM lineitem WHERE l_orderkey % 2 = 0),
                b AS (SELECT DISTINCT NULLIF(l_discount, 0.0) AS k FROM lineitem WHERE l_orderkey % 2 = 1)

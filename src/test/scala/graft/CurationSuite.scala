@@ -90,6 +90,12 @@ class CurationSuite extends AnyFunSuite {
     assert(over == 0, "an order contributed more than 2 lateral rows")
   }
 
+  test("join_band_bucketed plans a bucket equi-join, never a nested-loop product") {
+    val p = physical("join_band_bucketed")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"pure range band fell back to a product join:\n${p.take(1500)}")
+  }
+
   // --- §2.O curation invariants -----------------------------------------
 
   test("llm_quality_repetition: bp bounds and dup==0 ⟺ every word unique") {
