@@ -164,6 +164,28 @@ object LlmCuration {
         .orderBy("doc_id")
     }),
 
+    // Epoch upsampling — the mixing complement of llm_domain_mix's
+    // downsampling: each doc repeats for a per-language base epoch count
+    // (underrepresented zh highest, dominant en lowest) plus one bonus
+    // epoch for high-quality docs (dup_word_bp < 2000) — the "more passes
+    // over the best data" weighting a pre-training mixture applies. The
+    // replica explosion is a narrow sequence() explode; the summary is one
+    // lang-keyed aggregation.
+    "llm_mix_epochs" -> ((s, d) => {
+      val rep = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang").agg(sum("c").as("nw"), count(lit(1)).as("nu"))
+        .withColumn("epochs",
+          expr("CASE lang WHEN 'zh' THEN 3 WHEN 'en' THEN 1 ELSE 2 END + " +
+            "CASE WHEN 10000 * (nw - nu) div nw < 2000 THEN 1 ELSE 0 END"))
+      rep.select(col("doc_id"), col("lang"), explode(expr("sequence(1, epochs)")).as("ep"))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_replicas"))
+        .withColumn("avg_epochs_bp", expr("10000 * n_replicas div n_docs"))
+        .orderBy("lang")
+    }),
+
     // Sentence segmentation stats (the Gopher-family structural signals):
     // sentences = non-blank spans between [.!?]+ runs, plus centi-words-
     // per-sentence. One narrow pass, no shuffle before the final sort; the
@@ -214,6 +236,19 @@ object LlmCuration {
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
+    "llm_mix_epochs" ->
+      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+              pw AS (SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY 1, 2, 3),
+              rep AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS nw, count(*) AS nu
+                      FROM pw GROUP BY 1, 2),
+              ep AS (SELECT doc_id, lang,
+                            CASE lang WHEN 'zh' THEN 3 WHEN 'en' THEN 1 ELSE 2 END +
+                            CASE WHEN 10000 * (nw - nu) // nw < 2000 THEN 1 ELSE 0 END AS epochs
+                     FROM rep),
+              reps AS (SELECT doc_id, lang, unnest(range(1, epochs + 1)) AS e FROM ep)
+         SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_replicas,
+                CAST(10000 * count(*) // count(DISTINCT doc_id) AS BIGINT) AS avg_epochs_bp
+         FROM reps GROUP BY 1 ORDER BY 1""",
     "llm_text_sentences" ->
       """SELECT doc_id, n_words, n_sentences,
                 CAST(100 * n_words // greatest(n_sentences, 1) AS BIGINT) AS wps_c
