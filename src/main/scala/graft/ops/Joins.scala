@@ -83,22 +83,30 @@ object Joins {
 
     // Pure range-band join (NO equi key — the cartesian hazard): clicks ⋈
     // purchases within ±60 s, regardless of user. Planned naively Spark
-    // must nested-loop the whole product; instead each click explodes to
-    // its 60 s-bucket and both neighbors (band ≤ bucket width ⇒ the three
-    // buckets cover every possible match) and the join runs as a plain
-    // bucket equi-join + exact band residual. Each true pair matches in
-    // exactly ONE bucket (the purchase's own), so no dedup shuffle exists.
-    // The no-nested-loop shape is plan-audited in CurationSuite.
+    // must nested-loop the whole product; instead rows bucket by wall-clock
+    // MINUTE and the smaller leg (purchases) explodes to its bucket and
+    // both neighbors (band ≤ bucket width ⇒ the three buckets cover every
+    // possible match), so the join runs as a plain bucket equi-join + exact
+    // band residual — 3× shuffle volume lands on the small side, the big
+    // side shuffles once. Each true pair matches in exactly ONE bucket (the
+    // click's own), so no dedup shuffle exists. The bucket is derived from
+    // wall-clock FIELDS (unix_date/hour/minute on the NTZ value), never
+    // unix_timestamp, which would interpret the NTZ wall-clock in the
+    // session timezone and could split a true pair across non-adjacent
+    // buckets in a DST gap. No-nested-loop shape plan-audited.
     "join_band_bucketed" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"), tsec(col("ts")).as("ts_s"),
         col("event_type"))
+      def minuteOf(c: String) =
+        expr(s"CAST(unix_date(CAST($c AS DATE)) AS BIGINT) * 1440 + hour($c) * 60 + minute($c)")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("ts_s").as("c_ts"))
-        .withColumn("ub", expr("CAST(floor(unix_timestamp(c_ts) / 60) AS BIGINT)"))
-        .withColumn("bkt", explode(expr("array(ub - 1, ub, ub + 1)")))
+        .withColumn("bkt", minuteOf("c_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("ts_s").as("p_ts"))
-        .withColumn("bkt", expr("CAST(floor(unix_timestamp(p_ts) / 60) AS BIGINT)"))
+        .withColumn("ub", minuteOf("p_ts"))
+        .withColumn("bkt", explode(expr("array(ub - 1, ub, ub + 1)")))
+        .drop("ub")
       clicks.join(purchases, Seq("bkt"))
         .filter(col("p_ts") >= col("c_ts") - expr("INTERVAL 1 MINUTE") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 1 MINUTE"))

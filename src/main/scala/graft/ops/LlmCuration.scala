@@ -54,22 +54,38 @@ object LlmCuration {
     "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 60 WHEN 'fr' THEN 45 " +
       "WHEN 'es' THEN 30 ELSE 15 END")
 
+  /** Per-doc word-repetition profile — the dup_word_bp basis shared by
+    * llm_quality_repetition, llm_curation_e2e, and llm_mix_epochs (one
+    * definition, like grams5/mixBucket, so the three ops and their oracles
+    * cannot silently diverge). One explode → (keys, word) partial-agg →
+    * per-keys agg; both shuffles carry doc_id, so the plan is two
+    * map-side-combinable aggregations. Emits n_words / n_uniq / max_w. */
+  private def repetitionProfile(df: DataFrame, keys: String*): DataFrame =
+    df.select(keys.map(col) :+ explode(split(col("text"), " ")).as("w"): _*)
+      .groupBy((keys :+ "w").map(col): _*).agg(count(lit(1)).as("c"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_uniq"), max("c").as("max_w"))
+
+  /** DuckDB twin of [[repetitionProfile]]: CTE prefix defining `rep`
+    * (n_words / n_uniq / max_w grouped by `keys`). */
+  private def repetitionSqlCte(keys: String): String =
+    s"""t AS (SELECT $keys, unnest(string_split(text, ' ')) AS w FROM documents),
+        pw AS (SELECT $keys, w, count(*) AS c FROM t GROUP BY ALL),
+        rep AS (SELECT $keys, CAST(sum(c) AS BIGINT) AS n_words,
+                       count(*) AS n_uniq, max(c) AS max_w
+                FROM pw GROUP BY ALL)"""
+
   val ops: Map[String, Q] = Map(
     // Per-doc repetition profile: duplicate-word fraction and top-word
     // fraction in basis points. One explode → (doc_id, word) partial-agg →
     // per-doc agg; both shuffles are keyed on doc_id-bearing keys, so the
     // plan is two map-side-combinable aggregations — no corpus×vocab join.
-    "llm_quality_repetition" -> ((s, d) => {
-      val pw = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      pw.groupBy("doc_id").agg(
-          sum("c").as("n_words"), count(lit(1)).as("n_uniq"), max("c").as("max_w"))
+    "llm_quality_repetition" -> ((s, d) =>
+      repetitionProfile(documents(s, d), "doc_id")
         .select(col("doc_id"), col("n_words"),
           expr("10000 * (n_words - n_uniq) div n_words").as("dup_word_bp"),
           expr("10000 * max_w div n_words").as("top_word_bp"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Benchmark-contamination screen: docs with doc_id ≡ 0 (mod 20) stand in
     // for the held-out benchmark; every other doc reports how many of its
@@ -172,13 +188,10 @@ object LlmCuration {
     // replica explosion is a narrow sequence() explode; the summary is one
     // lang-keyed aggregation.
     "llm_mix_epochs" -> ((s, d) => {
-      val rep = documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "lang").agg(sum("c").as("nw"), count(lit(1)).as("nu"))
+      val rep = repetitionProfile(documents(s, d), "doc_id", "lang")
         .withColumn("epochs",
           expr("CASE lang WHEN 'zh' THEN 3 WHEN 'en' THEN 1 ELSE 2 END + " +
-            "CASE WHEN 10000 * (nw - nu) div nw < 2000 THEN 1 ELSE 0 END"))
+            "CASE WHEN 10000 * (n_words - n_uniq) div n_words < 2000 THEN 1 ELSE 0 END"))
       rep.select(col("doc_id"), col("lang"), explode(expr("sequence(1, epochs)")).as("ep"))
         .groupBy("lang")
         .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_replicas"))
@@ -212,10 +225,7 @@ object LlmCuration {
     // doc_id-keyed aggs, narrow mix filter).
     "llm_curation_e2e" -> ((s, d) => {
       val docs = documents(s, d)
-      val rep = docs
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "lang").agg(sum("c").as("n_words"), count(lit(1)).as("n_uniq"))
+      val rep = repetitionProfile(docs, "doc_id", "lang")
         .filter(expr("10000 * (n_words - n_uniq) div n_words < 5000"))
       val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
       // the corpus gram leg (the dominant explode+distinct) runs ONLY over
@@ -237,13 +247,11 @@ object LlmCuration {
 
   private val curationOracleExtra: Map[String, String] = Map(
     "llm_mix_epochs" ->
-      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
-              pw AS (SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY 1, 2, 3),
-              rep AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS nw, count(*) AS nu
-                      FROM pw GROUP BY 1, 2),
+      s"""WITH ${repetitionSqlCte("doc_id, lang")},
               ep AS (SELECT doc_id, lang,
                             CASE lang WHEN 'zh' THEN 3 WHEN 'en' THEN 1 ELSE 2 END +
-                            CASE WHEN 10000 * (nw - nu) // nw < 2000 THEN 1 ELSE 0 END AS epochs
+                            CASE WHEN 10000 * (n_words - n_uniq) // n_words < 2000
+                                 THEN 1 ELSE 0 END AS epochs
                      FROM rep),
               reps AS (SELECT doc_id, lang, unnest(range(1, epochs + 1)) AS e FROM ep)
          SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_replicas,
@@ -259,10 +267,7 @@ object LlmCuration {
                FROM documents)
          ORDER BY doc_id""",
     "llm_curation_e2e" ->
-      """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
-              pw AS (SELECT doc_id, lang, w, count(*) AS c FROM t GROUP BY 1, 2, 3),
-              rep AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_uniq
-                      FROM pw GROUP BY 1, 2),
+      s"""WITH ${repetitionSqlCte("doc_id, lang")},
               kept AS (SELECT doc_id, lang, n_words FROM rep
                        WHERE 10000 * (n_words - n_uniq) // n_words < 5000),
               toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -288,15 +293,11 @@ object LlmCuration {
 
   val oracle: Map[String, String] = curationOracleExtra ++ Map(
     "llm_quality_repetition" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-              pw AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
-              a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-                           count(*) AS n_uniq, max(c) AS max_w
-                    FROM pw GROUP BY 1)
+      s"""WITH ${repetitionSqlCte("doc_id")}
          SELECT doc_id, n_words,
                 CAST(10000 * (n_words - n_uniq) // n_words AS BIGINT) AS dup_word_bp,
                 CAST(10000 * max_w // n_words AS BIGINT) AS top_word_bp
-         FROM a ORDER BY doc_id""",
+         FROM rep ORDER BY doc_id""",
     "llm_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               grams AS (SELECT DISTINCT doc_id, concat_ws(' ', w1, w2, w3, w4, w5) AS g FROM (
