@@ -185,6 +185,34 @@ object Streaming {
         .orderBy("click_id")
     }),
 
+    // LEFT OUTER stream-stream interval join — the genuinely hard half of
+    // stream-stream joins: an unmatched click can only be emitted
+    // (null-padded) once the watermark proves no matching view can still
+    // arrive, so correctness REQUIRES the event-time bound + watermark
+    // (Spark rejects an unbounded outer stream join outright). The batch
+    // form is the same plan with the outer rows present immediately; every
+    // click appears exactly once, n_views = 0 for the unmatched. True
+    // streaming twin (null-padded row appears only after the watermark
+    // passes) in StreamingSuite.
+    "stream_join_left_interval" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        tsec(col("ts")).as("ts_s"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_s").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts_s").as("view_ts"))
+      clicks.join(views,
+          col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 2 HOURS") &&
+          col("view_ts") <= col("click_ts"), "left_outer")
+        .groupBy("click_id", "user_id", "click_ts")
+        .agg(sum(when(col("view_id").isNotNull, 1L).otherwise(0L)).as("n_views"),
+          min("view_id").as("first_view_id"))
+        .orderBy("click_id")
+    }),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -276,6 +304,17 @@ object Streaming {
           FROM e c JOIN e v
             ON c.event_type = 'click' AND v.event_type = 'view'
            AND v.user_id = c.user_id
+           AND v.ts_s >= c.ts_s - INTERVAL '2 hours' AND v.ts_s <= c.ts_s
+          GROUP BY 1, 2, 3
+          ORDER BY click_id""",
+    "stream_join_left_interval" ->
+      s"""WITH e AS (SELECT event_id, user_id, $tsS AS ts_s, event_type FROM events)
+          SELECT c.event_id AS click_id, c.user_id, c.ts_s AS click_ts,
+                 CAST(sum(CASE WHEN v.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+                 min(v.event_id) AS first_view_id
+          FROM (SELECT * FROM e WHERE event_type = 'click') c
+          LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+            ON v.user_id = c.user_id
            AND v.ts_s >= c.ts_s - INTERVAL '2 hours' AND v.ts_s <= c.ts_s
           GROUP BY 1, 2, 3
           ORDER BY click_id""",

@@ -318,4 +318,40 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed == Set((100L, 1L, 10L), (100L, 1L, 11L), (900L, 9L, 90L)),
       s"interval-join output diverged (late view joined, or window bound wrong): $streamed")
   }
+
+  test("left-outer interval join twin: unmatched click emits null-padded ONLY after watermark") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val vDf = views.toDF().toDF("view_id", "v_user", "view_ts")
+      .withWatermark("view_ts", "10 minutes")
+    val q = cDf.join(vDf,
+        col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts"), "left_outer")
+      .select(col("click_id"), col("view_id"))
+      .writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // click 300 has no view in its lookback; click 100 matches view 10
+      views.addData((10L, 1L, ts("10:00")))
+      clicks.addData((100L, 1L, ts("10:05")), (300L, 2L, ts("10:05")))
+      q.processAllAvailable()
+      // BEFORE the watermark passes 10:05's join window, 300 must NOT be out
+      val early = sp.table("ssj_left_out").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(300L),
+        s"unmatched click emitted before the watermark closed its window: $early")
+      // advance both watermarks far past the window → 300 emits null-padded
+      views.addData((90L, 9L, ts("15:00")))
+      clicks.addData((900L, 9L, ts("15:00")))
+      q.processAllAvailable()
+      val rows = sp.table("ssj_left_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((100L, 10L)), s"matched pair missing: $rows")
+      assert(rows.contains((300L, -1L)), s"null-padded unmatched click missing: $rows")
+    } finally q.stop()
+  }
 }
