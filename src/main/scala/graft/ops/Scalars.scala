@@ -148,6 +148,19 @@ object Scalars {
           d4(expr("try_divide(value, 0)")).as("div0"),
           d4(expr("try_divide(value, 4)")).as("quarter"))),
 
+    // Spark 4 VARIANT for semi-structured data: parse_json → open-schema
+    // binary VARIANT, typed field access via variant_get — the
+    // schema-on-read path (vs json_extract's string-path get_json_object).
+    // At 100 TB VARIANT's binary encoding beats per-row JSON re-parsing for
+    // repeated multi-field access. Output buckets k by decade.
+    "json_variant" -> ((s, d) =>
+      events(s, d)
+        .select(expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          col("event_type"))
+        .groupBy(expr("k div 10").as("k_decade"))
+        .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))
+        .orderBy("k_decade")),
+
     "array_basic" -> ((s, d) =>
       embeddings(s, d)
         .select(col("vec_id"),
@@ -264,6 +277,10 @@ object Scalars {
                 CAST(l_shipdate AS DATE) AS ship_date,
                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "json_variant" ->
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_decade,
+                count(*) AS n, count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY 1 ORDER BY 1""",
     "cast_try" ->
       s"""SELECT event_id,
                  TRY_CAST(event_type AS INTEGER) AS bad_int,
