@@ -148,6 +148,23 @@ object Scalars {
           d4(expr("try_divide(value, 0)")).as("div0"),
           d4(expr("try_divide(value, 4)")).as("quarter"))),
 
+    // Spark 4 collations: grouping under UTF8_LCASE merges case-variant
+    // keys AT THE AGGREGATION (not by pre-normalizing) — the input is
+    // deterministically mixed-case so without the collation the groups
+    // would split. Output is lower()-normalized, which is representative-
+    // independent (case-variants of one group lower() identically), so the
+    // result stays engine-deterministic. Oracle = lower() grouping.
+    "str_collation" -> ((s, d) =>
+      customer(s, d)
+        .select(expr(
+          "CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END")
+          .as("seg_mixed"), col("c_acctbal"))
+        .select(expr("collate(seg_mixed, 'UTF8_LCASE')").as("seg"), col("c_acctbal"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("total_bal"))
+        .select(lower(col("seg")).cast("string").as("segment"), col("n"), col("total_bal"))
+        .orderBy("segment")),
+
     // Spark 4 VARIANT for semi-structured data: parse_json → open-schema
     // binary VARIANT, typed field access via variant_get — the
     // schema-on-read path (vs json_extract's string-path get_json_object).
@@ -277,6 +294,13 @@ object Scalars {
                 CAST(l_shipdate AS DATE) AS ship_date,
                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity LIMIT 50""",
+    "str_collation" ->
+      s"""SELECT lower(seg_mixed) AS segment, count(*) AS n,
+                 ${moneySumSql("c_acctbal")} AS total_bal
+          FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                            ELSE c_mktsegment END AS seg_mixed, c_acctbal
+                FROM customer)
+          GROUP BY 1 ORDER BY 1""",
     "json_variant" ->
       """SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_decade,
                 count(*) AS n, count(DISTINCT event_type) AS n_types
