@@ -189,6 +189,31 @@ object Aggregations {
           d4(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
           d4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
         .orderBy("l_linestatus")),
+
+    // Linear-regression aggregate family (y = price, x = quantity per flag).
+    // Like the other moment aggregates these are partial-aggregatable
+    // (sum/sum²/sum·xy buffers), so the shuffle stays one row per key.
+    "agg_regr" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          d4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          d4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"),
+          d4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pairs"))
+        .orderBy("l_returnflag")),
+
+    // ANSI FILTER-clause conditional aggregation: one pass computing several
+    // differently-filtered aggregates (vs N self-joined scans) — the shape
+    // that matters at 100 TB where each extra pass is a full table read.
+    "agg_filter_clause" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count(*) FILTER (WHERE o_totalprice > 200000)").as("n_big"),
+          moneySum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))).as("urgent_rev"),
+          expr("count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))").as("n_hot"))
+        .orderBy("o_orderstatus")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -284,5 +309,18 @@ object Aggregations {
           ${d4Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
           ${d4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_regr" ->
+      s"""SELECT l_returnflag,
+          ${d4Sql("regr_slope(l_extendedprice, l_quantity)")} AS slope,
+          ${d4Sql("regr_intercept(l_extendedprice, l_quantity)")} AS icept,
+          ${d4Sql("regr_r2(l_extendedprice, l_quantity)")} AS r2,
+          regr_count(l_extendedprice, l_quantity) AS n_pairs
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_filter_clause" ->
+      s"""SELECT o_orderstatus,
+          count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          ${moneySumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_rev,
+          count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS n_hot
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }

@@ -243,6 +243,54 @@ object LlmCuration {
         .withColumn("n_seqs", expr("(total_tokens + 511) div 512"))
         .orderBy("lang")
     }),
+
+    // Overlapping-window chunking (the RAG / context-window preparation
+    // stage): each doc is cut into 32-token chunks on a 24-token stride
+    // (8-token overlap), boundaries clipped at the doc end. One narrow
+    // explode per doc — chunk starts come from a sequence() over the
+    // materialized token array (the grams5 one-split-per-row discipline);
+    // chunk text leaves as an md5 so no corpus-sized strings reach the
+    // hashed output. At 100 TB this is a map-only stage: no shuffle at all
+    // before the declared output sort.
+    "llm_chunk_overlap" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"), col("t"))
+        .select(col("doc_id"), col("n"), explode(expr(
+          """transform(sequence(0, n - 1, 24),
+                       st -> named_struct('st', st,
+                                          'txt', concat_ws(' ', slice(t, st + 1, 32))))"""))
+          .as("c"))
+        .select(col("doc_id"),
+          expr("CAST(c.st div 24 AS BIGINT)").as("chunk_idx"),
+          expr("CAST(least(32, n - c.st) AS BIGINT)").as("n_chunk"),
+          md5(col("c.txt")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic global training-order shuffle: every doc gets a unique
+    // 1-based position in md5(doc_id) order — reproducible across engines,
+    // runs, and partitionings, with NO global single-partition window. Same
+    // two-phase construction as llm_pack_sequences, but bucketed BY THE HASH
+    // PREFIX itself (256 buckets): hex-prefix order equals hash order, so
+    // in-bucket row_number + bucket base offsets (a 256-row metadata frame)
+    // compose to exactly the global rank. At 100 TB: one 256-way hash
+    // shuffle + a broadcast of 256 offsets, vs the naive row_number() OVER
+    // (ORDER BY hash) that funnels the corpus through one partition.
+    "llm_global_shuffle" -> ((s, d) => {
+      val h = documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)"))
+      val inBkt = h.withColumn("rn",
+        row_number().over(Window.partitionBy("bkt").orderBy("h", "doc_id")).cast("long"))
+      val bktOff = h.groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          coalesce(sum("n").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      inBkt.join(broadcast(bktOff), "bkt")
+        .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -355,5 +403,19 @@ object LlmCuration {
                         AS BIGINT), 0) AS off
                FROM documents)
          ORDER BY doc_id""",
+    // range(0, n, 24) stops below n = sequence(0, n-1, 24)'s ≤ n-1; list
+    // slice is 1-based inclusive with an explicit least() end clip.
+    "llm_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              c AS (SELECT doc_id, tk, len(tk) AS n,
+                           unnest(range(0, len(tk), 24)) AS st FROM t)
+         SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+                CAST(least(32, n - st) AS BIGINT) AS n_chunk,
+                md5(array_to_string(tk[st + 1 : least(st + 32, n)], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "llm_global_shuffle" ->
+      """SELECT doc_id,
+                row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+         FROM documents ORDER BY doc_id""",
   )
 }

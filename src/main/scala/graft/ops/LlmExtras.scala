@@ -403,6 +403,30 @@ object LlmExtras {
         .orderBy("label")
     }),
 
+    // Symmetric int8 quantization of the embedding column — the compression
+    // an ANN index applies before serving (4× smaller than float32, dot
+    // products in integer SIMD). Per vector: scale = max|x|, q_i =
+    // floor(127·x_i/scale + 0.5) (the explicit floor round so both engines
+    // run the identical IEEE expression — no round() tie-mode surface), plus
+    // the max reconstruction error. Entirely per-row higher-order functions:
+    // a map-only stage, no shuffle, no UDF. Zero vectors quantize to zeros
+    // via the CASE guard rather than dividing by zero.
+    "llm_embed_quantize" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("maxabs", expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("q", expr(
+          """CASE WHEN maxabs = 0 THEN transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE transform(v, x -> CAST(floor(127.0 * x / maxabs + 0.5) AS BIGINT)) END"""))
+        .select(col("vec_id"),
+          d6(col("maxabs")).as("scale_u"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x)))").as("qmax"),
+          d6(expr(
+            """aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * maxabs / 127.0)),
+                         CAST(0 AS DOUBLE), (a, e) -> greatest(a, e))""")).as("maxerr_u"))
+        .orderBy("vec_id")),
+
     // Language ID by token-bigram profile: profiles learned from docs 0..249,
     // docs 250..349 classified by INTEGER dot-product score (ties → lang asc);
     // output is the confusion matrix.
@@ -807,6 +831,24 @@ object LlmExtras {
           SELECT label, count(*) AS n_kept, min(vec_id) AS min_vec
           FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
           GROUP BY label ORDER BY label""",
+    // Same floor-based round; the error fold is index-addressed (range +
+    // v[i]/q[i]) because DuckDB lambdas have no two-list zip_with.
+    "llm_embed_quantize" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+               m AS (SELECT vec_id, v,
+                            list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+                     FROM v),
+               q AS (SELECT vec_id, v, maxabs,
+                            CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                                 ELSE list_transform(v, x -> CAST(floor(127.0 * x / maxabs + 0.5) AS BIGINT))
+                            END AS q
+                     FROM m)
+          SELECT vec_id, ${d6Sql("maxabs")} AS scale_u,
+                 CAST(list_sum(q) AS BIGINT) AS qsum,
+                 CAST(list_aggregate(list_transform(q, x -> abs(x)), 'max') AS BIGINT) AS qmax,
+                 ${d6Sql("list_aggregate(list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * maxabs / 127.0)), 'max')")} AS maxerr_u
+          FROM q ORDER BY vec_id""",
     "llm_text_langid" ->
       """WITH bg AS (SELECT doc_id, lang, concat(w1, ' ', w2) AS bg FROM (
                        SELECT doc_id, lang,

@@ -70,6 +70,21 @@ object Reshape {
           lower(hex(col("text"))).substr(1, 16).as("hex16"),
           (decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8") === col("text")).as("roundtrip"))
         .orderBy("doc_id").limit(50)),
+
+    // Inverse of reshape_json_struct: typed columns serialized back to a
+    // compact JSON document (the event-sink export shape). Both engines
+    // emit unspaced `{"k":v,...}` in struct-declaration order; fields are
+    // integer/string only (float repr would differ) and non-null (Spark's
+    // to_json drops null fields where DuckDB emits "k":null).
+    "reshape_to_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          to_json(struct(
+            col("event_id").as("id"),
+            col("event_type").as("t"),
+            col("user_id").as("uid"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))).as("doc"))
+        .orderBy("event_id").limit(100)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,5 +127,11 @@ object Reshape {
                 substring(lower(hex(encode(text))), 1, 16) AS hex16,
                 decode(from_base64(to_base64(encode(text)))) = text AS roundtrip
          FROM documents ORDER BY doc_id LIMIT 50""",
+    "reshape_to_json" ->
+      """SELECT event_id,
+                CAST(to_json(struct_pack(
+                  id := event_id, t := event_type, uid := user_id,
+                  k := CAST(json_extract(props, '$.k') AS INTEGER))) AS VARCHAR) AS doc
+         FROM events ORDER BY event_id LIMIT 100""",
   )
 }

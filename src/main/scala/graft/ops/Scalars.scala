@@ -222,6 +222,37 @@ object Scalars {
       documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha"))
         .orderBy("doc_id").limit(50)),
+
+    // URL decomposition (the weblog-ETL staple). Spark's parse_url is
+    // java.net.URI-backed; the oracle reconstructs each part from the same
+    // source columns, so what's checked is that parse_url really inverts the
+    // URL construction — protocol, host, path, query, and keyed query param.
+    "str_url" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/d/"), col("doc_id"),
+            lit("?lang="), col("lang"), lit("&n="), col("n_chars")).as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+        .orderBy("doc_id").limit(100)),
+
+    // Scalar bitwise family (flag-field decoding): &, |, xor, shifts,
+    // popcount. Pure integer ops — bit-identical on any engine. DuckDB has
+    // no infix ^ for xor (it's xor()); Spark shiftleft = DuckDB <<.
+    "math_bitwise" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("lo8"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("or12"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("x_cust"),
+          expr("shiftleft(o_orderkey, 3)").as("shl3"),
+          expr("shiftright(o_orderkey, 2)").as("shr2"),
+          expr("bit_count(o_orderkey)").as("pop"))
+        .orderBy("o_orderkey").limit(100)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,5 +370,22 @@ object Scalars {
     "hash_funcs" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
          FROM documents ORDER BY doc_id LIMIT 50""",
+    // Truth reconstructed from the source columns, not re-parsed.
+    "str_url" ->
+      """SELECT doc_id, 'https' AS proto,
+                source || '.example.com' AS host,
+                '/d/' || doc_id AS path,
+                'lang=' || lang || '&n=' || n_chars AS query,
+                lang AS q_lang
+         FROM documents ORDER BY doc_id LIMIT 100""",
+    "math_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS lo8,
+                o_orderkey | 4096 AS or12,
+                xor(o_orderkey, o_custkey) AS x_cust,
+                o_orderkey << 3 AS shl3,
+                o_orderkey >> 2 AS shr2,
+                CAST(bit_count(o_orderkey) AS INTEGER) AS pop
+         FROM orders ORDER BY o_orderkey LIMIT 100""",
   )
 }

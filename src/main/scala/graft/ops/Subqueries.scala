@@ -121,6 +121,21 @@ object Subqueries {
           FROM per_cust)
         SELECT max_orders, min_orders, max_total_c, n_cust FROM stats"""
 
+  // NOT IN over a nullable outer key — the NULL-AWARE anti join, a genuinely
+  // different operator from NOT EXISTS' plain anti join: three-valued logic
+  // drops outer rows whose key is NULL (their membership is unknown), and if
+  // the subquery list were empty every row (even NULL-keyed) survives. Spark
+  // plans the single-column form as BroadcastHashJoin LeftAnti with
+  // isNullAwareAntiJoin=true — the build side MUST broadcast (a null-aware
+  // shuffle join can't partition the NULL matches), which is exactly the
+  // "NOT IN wants a small list" rule a 100 TB user must know.
+  private val SUB_NOT_IN_NULL =
+    """SELECT o_orderkey, o_orderstatus
+       FROM @orders
+       WHERE (CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END)
+             NOT IN (SELECT c_custkey FROM @customer WHERE c_acctbal < -500)
+       ORDER BY o_orderkey LIMIT 300"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -129,6 +144,7 @@ object Subqueries {
     "sub_scalar_corr" -> ((s, d) => viaSql(s, d, SUB_SCALAR_CORR, "orders", "lineitem")),
     "sub_cte_chain"   -> ((s, d) => viaSql(s, d, SUB_CTE_CHAIN, "orders")),
     "sub_lateral"     -> ((s, d) => viaSql(s, d, SUB_LATERAL, "orders", "lineitem")),
+    "sub_not_in_null" -> ((s, d) => viaSql(s, d, SUB_NOT_IN_NULL, "orders", "customer")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -139,5 +155,6 @@ object Subqueries {
     "sub_scalar_corr" -> stripMarkers(SUB_SCALAR_CORR),
     "sub_cte_chain"   -> stripMarkers(SUB_CTE_CHAIN),
     "sub_lateral"     -> stripMarkers(SUB_LATERAL),
+    "sub_not_in_null" -> stripMarkers(SUB_NOT_IN_NULL),
   )
 }

@@ -175,6 +175,41 @@ object Windows {
           count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
         .orderBy("user_id", "session_seq")
     }),
+
+    // IGNORE NULLS navigation = last-observation-carried-forward (LOCF): the
+    // sparse purchase amount forward-fills across each user's event stream.
+    // The nullable measure is money-ized to BIGINT cents BEFORE the windows,
+    // so every windowed value is integer — no float drift can enter however
+    // the engines associate their frame scans.
+    "win_ignore_nulls" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val run    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full   = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          money(when(col("event_type") === "purchase", col("value"))).as("pv"))
+        .select(col("user_id"), col("event_id"), col("ts_s"), col("pv"),
+          last(col("pv"), ignoreNulls = true).over(run).as("locf_pv"),
+          lag(col("pv"), 1, null, ignoreNulls = true).over(byUser).as("prev_pv"),
+          nth_value(col("pv"), 2, ignoreNulls = true).over(full).as("second_pv"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Event-time RANGE frame (rolling 1-hour window per user) — the frame
+    // bound is an INTERVAL against the ORDER BY timestamp, not a row count,
+    // so co-timed peers are always in-frame on both engines. Same
+    // cents-before-window trick as win_ignore_nulls keeps the rolling sum
+    // integer-exact. One user_id shuffle serves both window functions.
+    "win_time_range" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          money(col("value")).as("cents"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          expr("""sum(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""").as("hour_cents"),
+          expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""").as("hour_n"))
+        .orderBy("user_id", "event_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,5 +293,27 @@ object Windows {
                  ${moneySumSql("value")} AS total_value
           FROM sessions GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
+    // DuckDB spells IGNORE NULLS inside the call parens.
+    "win_ignore_nulls" ->
+      s"""SELECT user_id, event_id, ts_s, pv,
+                 last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_pv,
+                 lag(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_pv,
+                 nth_value(pv, 2 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_pv
+          FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+                       CASE WHEN event_type = 'purchase' THEN ${moneySql("value")} END AS pv
+                FROM events)
+          ORDER BY user_id, event_id""",
+    "win_time_range" ->
+      s"""SELECT user_id, event_id, ts_s,
+                 CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS hour_cents,
+                 count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS hour_n
+          FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+                       ${moneySql("value")} AS cents
+                FROM events)
+          ORDER BY user_id, event_id""",
   )
 }

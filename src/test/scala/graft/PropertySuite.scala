@@ -108,7 +108,10 @@ class PropertySuite extends AnyFunSuite {
       // round-5 continuation families: decorrelated subqueries, curation,
       // the stream-stream interval join, and the greedy packer's
       // flatMapGroups fold must not depend on AQE's runtime re-planning
-      "sub_lateral", "llm_curation_e2e", "stream_join_interval", "llm_pack_greedy")
+      "sub_lateral", "llm_curation_e2e", "stream_join_interval", "llm_pack_greedy",
+      // round-6 additions: null-aware anti join, interval range frame, and
+      // the hash-bucketed global shuffle must survive AQE re-planning
+      "sub_not_in_null", "win_time_range", "llm_global_shuffle")
     keys.foreach { k =>
       def run(aqe: Boolean): Seq[String] = {
         s.conf.set("spark.sql.adaptive.enabled", aqe.toString)

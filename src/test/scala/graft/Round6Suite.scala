@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: the semantic invariants and plan shapes the DuckDB
+  * oracle can't check — null-aware anti-join 3VL, LOCF fold equality,
+  * time-range frame brute-force equality, chunk-boundary arithmetic, the
+  * bucketed global-shuffle permutation, int8 quantization error bounds, and
+  * the to_json round-trip.
+  */
+class Round6Suite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("sub_not_in_null: anti join drops NULL-keyed outer rows (3VL)") {
+    val p = SparkEntry.queries("sub_not_in_null")(s, d)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("LeftAnti"), s"NOT IN should plan as an anti join:\n${p.take(1200)}")
+    val bad = Tables.customer(s, d).filter(col("c_acctbal") < -500)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("sub_not_in_null")(s, d).collect()
+    assert(rows.nonEmpty)
+    if (bad.nonEmpty) {
+      // with a non-empty list, unknown (NULL-keyed) membership filters out
+      rows.foreach(r => assert(r.getLong(0) % 97 != 0,
+        s"NULL-keyed order ${r.getLong(0)} survived NOT IN with a non-empty list"))
+      // and the survivors are exactly the hand-lowered set on the same slice
+      val expect = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 =!= 0 && !col("o_custkey").isInCollection(bad))
+        .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").limit(300)
+        .collect().map(_.toString).toSeq
+      assert(rows.map(_.toString).toSeq == expect)
+    }
+  }
+
+  test("win_ignore_nulls: locf equals a sequential last-non-null fold") {
+    val rows = SparkEntry.queries("win_ignore_nulls")(s, d)
+      .select("user_id", "event_id", "pv", "locf_pv")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    // op output is (user_id, event_id)-sorted == the window order restated
+    // per user (ties on ts_s are broken by event_id in the frame too)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      var carry: Option[Long] = None
+      rs.sortBy(_._2).foreach { case (_, eid, pv, locf) =>
+        carry = pv.orElse(carry)
+        assert(locf == carry, s"LOCF mismatch at user=$u event=$eid")
+      }
+    }
+  }
+
+  test("win_time_range: frame sum equals the brute-force time self-join") {
+    val base = SparkEntry.queries("win_time_range")(s, d)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), Norm.tsec(col("ts")).as("ts_s"),
+        Norm.money(col("value")).as("cents"))
+    val brute = ev.as("a").join(ev.as("b"), expr(
+        """a.user_id = b.user_id AND
+           b.ts_s BETWEEN a.ts_s - INTERVAL 1 HOUR AND a.ts_s"""))
+      .groupBy(col("a.user_id").as("user_id"), col("a.event_id").as("event_id"))
+      .agg(sum("b.cents").as("hour_cents"), count(lit(1)).as("hour_n"))
+    val diff = base.join(brute, Seq("user_id", "event_id"))
+      .filter(base("hour_cents") =!= brute("hour_cents") ||
+        base("hour_n") =!= brute("hour_n")).count()
+    assert(diff == 0, s"$diff rows disagree with the brute-force rolling sum")
+  }
+
+  test("llm_chunk_overlap: stride arithmetic and clipped tails") {
+    val n = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = SparkEntry.queries("llm_chunk_overlap")(s, d)
+      .select("doc_id", "chunk_idx", "n_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val idx = cs.map(_._2).sorted.toSeq
+      assert(idx == (0L until idx.length.toLong).toSeq,
+        s"doc $id chunk indices not contiguous: ${idx.take(5)}")
+      assert(idx.length == (n(id) - 1) / 24 + 1, s"doc $id wrong chunk count")
+      cs.foreach { case (_, i, len) =>
+        assert(len == math.min(32L, n(id) - 24 * i) && len >= 1,
+          s"doc $id chunk $i has wrong clipped length $len")
+      }
+    }
+  }
+
+  test("llm_global_shuffle: a permutation equal to the naive global window") {
+    val got = SparkEntry.queries("llm_global_shuffle")(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = got.length
+    assert(got.map(_._2).sorted.toSeq == (1L to nDocs).toSeq,
+      "positions are not a 1..n permutation")
+    val naive = Tables.documents(s, d)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, pos) =>
+      assert(naive(id) == pos, s"doc $id: bucketed pos $pos != naive ${naive(id)}")
+    }
+  }
+
+  test("llm_embed_quantize: qmax saturates at 127 and error stays in budget") {
+    val rows = SparkEntry.queries("llm_embed_quantize")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scaleU, qmax, errU) = (r.getAs[Long]("scale_u"),
+        r.getAs[Long]("qmax"), r.getAs[Long]("maxerr_u"))
+      if (scaleU > 0) {
+        // the max-|x| element maps to exactly ±127 by construction
+        assert(qmax == 127L, s"vec ${r.getLong(0)}: qmax $qmax != 127")
+        // |x − q·s/127| ≤ s/254 (half a quantization step) + 1µ of rounding
+        assert(errU <= scaleU / 254 + 1,
+          s"vec ${r.getLong(0)}: err $errU over budget ${scaleU / 254}")
+      } else assert(qmax == 0L && errU == 0L)
+    }
+  }
+
+  test("reshape_to_json round-trips through from_json") {
+    val df = SparkEntry.queries("reshape_to_json")(s, d)
+      .withColumn("back", from_json(col("doc"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, t STRING, uid BIGINT, k INT")))
+    val src = Tables.events(s, d).orderBy("event_id").limit(100)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val joined = df.join(src, df("back.id") === src("event_id"))
+    assert(joined.count() == 100)
+    assert(joined.filter(col("back.t") =!= col("event_type") ||
+      col("back.uid") =!= col("user_id")).count() == 0)
+  }
+
+  test("agg_regr: intercept is consistent with slope through the means") {
+    val raw = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(avg("l_extendedprice").as("my"), avg("l_quantity").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_regr")(s, d).collect().foreach { r =>
+      val (my, mx) = raw(r.getString(0))
+      val slope = r.getAs[Long]("slope") / 10000.0
+      val icept = r.getAs[Long]("icept") / 10000.0
+      // icept = mean(y) − slope·mean(x), up to the two 1e-4 roundings
+      assert(math.abs(icept - (my - slope * mx)) < mx * 2e-4 + 1e-3,
+        s"flag ${r.getString(0)}: intercept $icept vs ${my - slope * mx}")
+    }
+  }
+}
