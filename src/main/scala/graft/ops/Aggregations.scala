@@ -190,6 +190,23 @@ object Aggregations {
           d4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
         .orderBy("l_linestatus")),
 
+    // Mergeable-sketch reaggregation (the DataSketches HLL pattern): build
+    // one HLL sketch per group, then UNION THE SKETCHES — not the raw
+    // data — into the global distinct estimate. At 100 TB this is how
+    // per-partition/per-day sketches roll up to any coarser grain without
+    // rescanning: the shuffle carries kilobyte sketch buffers, one per
+    // group. Sketch values are engine-specific → oracle omitted (rows-only
+    // driver check); Round6Suite asserts ±5% of exact and that the union
+    // estimate ≥ each group's (monotonicity under union).
+    "agg_sketch_hll" -> ((s, d) => {
+      val sk = lineitem(s, d).groupBy("l_returnflag")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      sk.select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("approx_parts"))
+        .unionAll(sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .select(lit("ALL").as("l_returnflag"), col("est").as("approx_parts")))
+        .orderBy("l_returnflag")
+    }),
+
     // Linear-regression aggregate family (y = price, x = quantity per flag).
     // Like the other moment aggregates these are partial-aggregatable
     // (sum/sum²/sum·xy buffers), so the shuffle stays one row per key.

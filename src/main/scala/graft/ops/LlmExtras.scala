@@ -277,6 +277,34 @@ object LlmExtras {
         .orderBy("cluster_rep")
     }),
 
+    // Preference-pair construction (the RLHF/DPO data shape) from the same
+    // duplicate clusters: every cluster with ≥2 members emits one
+    // (chosen, rejected) pair — best vs worst quality, ties broken to the
+    // lower/higher doc id respectively so chosen ≠ rejected is guaranteed.
+    // Both row_numbers and the final aggregation share ONE cluster_rep
+    // shuffle; pairs + labels come from the Shared memo, so the quadratic
+    // stage is still paid once per process.
+    "llm_rl_pref_pairs" -> ((s, d) => {
+      val byRep = Window.partitionBy("cluster_rep")
+      val j = clusterReps(s, d)
+        .join(graft.Pipeline.withQuality(documents(s, d))
+          .select(col("doc_id"), col("quality_bp")), "doc_id")
+        .withColumn("rb", row_number().over(
+          byRep.orderBy(col("quality_bp").desc, col("doc_id"))))
+        .withColumn("rw", row_number().over(
+          byRep.orderBy(col("quality_bp").asc, col("doc_id").desc)))
+      j.groupBy("cluster_rep")
+        .agg(
+          max(when(col("rb") === 1, col("doc_id"))).as("chosen_doc"),
+          max(when(col("rb") === 1, col("quality_bp"))).as("chosen_bp"),
+          max(when(col("rw") === 1, col("doc_id"))).as("rejected_doc"),
+          max(when(col("rw") === 1, col("quality_bp"))).as("rejected_bp"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .withColumn("margin_bp", col("chosen_bp") - col("rejected_bp"))
+        .orderBy("cluster_rep")
+    }),
+
     // Benchmark DECONTAMINATION — the cross-corpus overlap check every
     // training pipeline runs before the dedup'd corpus ships: flag training
     // documents sharing any 8-token shingle with the eval/benchmark set
@@ -815,6 +843,50 @@ object LlmExtras {
                      FROM labels l JOIN q USING (doc_id))
           SELECT cluster_rep, doc_id AS kept_doc, n_members, quality_bp AS best_quality_bp
           FROM j WHERE rn = 1 ORDER BY cluster_rep""",
+    // Same labels + quality CTEs; chosen/rejected via the two mirrored
+    // row_number orders (ties: lower id wins best, higher id wins worst).
+    "llm_rl_pref_pairs" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                               FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(id, r) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+                 WHERE reach.r < e.a),
+               labels AS (SELECT id AS doc_id, min(r) AS cluster_rep
+                          FROM reach GROUP BY id),
+               q AS (SELECT doc_id,
+                            (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+                     FROM (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                            CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a'))) AS BIGINT) AS st,
+                            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                            CAST(length(text) AS BIGINT) AS len
+                           FROM documents)),
+               sized AS (SELECT l.cluster_rep, l.doc_id, q.quality_bp,
+                                CAST(count(*) OVER (PARTITION BY l.cluster_rep) AS BIGINT) AS n_members,
+                                row_number() OVER (PARTITION BY l.cluster_rep
+                                                   ORDER BY q.quality_bp DESC, l.doc_id) AS rb,
+                                row_number() OVER (PARTITION BY l.cluster_rep
+                                                   ORDER BY q.quality_bp ASC, l.doc_id DESC) AS rw
+                         FROM labels l JOIN q USING (doc_id))
+          SELECT b.cluster_rep, b.doc_id AS chosen_doc, b.quality_bp AS chosen_bp,
+                 w.doc_id AS rejected_doc, w.quality_bp AS rejected_bp,
+                 b.n_members, b.quality_bp - w.quality_bp AS margin_bp
+          FROM sized b JOIN sized w ON b.cluster_rep = w.cluster_rep
+          WHERE b.rb = 1 AND w.rw = 1 AND b.n_members >= 2
+          ORDER BY b.cluster_rep""",
     "llm_sim_knn" ->
       s"""SELECT src, dst, cosine, rank FROM (
             SELECT a.vec_id AS src, b.vec_id AS dst,

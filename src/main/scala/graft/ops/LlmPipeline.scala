@@ -360,6 +360,45 @@ object LlmPipeline {
       perDoc.join(perTok, Seq("lang", "source"))
         .orderBy("lang", "source")
     }),
+
+    // Corpus frequency spectrum (the Zipf sanity check a corpus audit runs):
+    // words bucketed by log2 of their count — computed as length(bin(c)),
+    // an exact integer = floor(log2 c)+1 with no floating log2 whose
+    // boundary values (exact powers of two) could round differently across
+    // engines. Two partial-aggregatable shuffles: (word) then (bucket).
+    "llm_token_histogram" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .groupBy(length(bin(col("c"))).as("log2_bucket"))
+        .agg(count(lit(1)).as("n_words"), sum("c").as("n_tokens"), min("w").as("example"))
+        .orderBy("log2_bucket")),
+
+    // Laplace-smoothed unigram LM scoring — the simplest of the model-based
+    // quality filters (a perplexity gate): train counts from the doc_id%5≠0
+    // slice, held-out docs scored by Σ ln p(w). Each token's log-prob is
+    // floored to INTEGER micro-units BEFORE the per-doc sum, so the
+    // aggregation is exact integer arithmetic — immune to shuffle-order
+    // float association — and both engines floor the ln of the identical
+    // double ratio. Vocab counts broadcast (vocab ≪ corpus at any scale);
+    // the corpus side never shuffles until the doc_id-keyed count.
+    "llm_unigram_logprob" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = toks.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val stats = counts.agg(sum("c").as("nn"), count(lit(1)).as("vv"))
+      toks.filter(col("doc_id") % 5 === 0)
+        .join(broadcast(counts), Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp_u", expr(
+          "CAST(floor(1000000 * ln((coalesce(c, 0) + 1.0) / (nn + vv + 1.0))) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum("lp_u").as("logprob_u"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -438,5 +477,23 @@ object LlmPipeline {
           SELECT p.lang, p.source, p.n_docs, p.avg_chars, t.n_distinct_toks
           FROM per_doc p JOIN per_tok t ON p.lang = t.lang AND p.source = t.source
           ORDER BY p.lang, p.source""",
+    "llm_token_histogram" ->
+      """SELECT CAST(length(bin(c)) AS INTEGER) AS log2_bucket,
+                count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_tokens,
+                min(w) AS example
+         FROM (SELECT w, count(*) AS c
+               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+               GROUP BY w)
+         GROUP BY 1 ORDER BY 1""",
+    "llm_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              counts AS (SELECT w, count(*) AS c FROM toks WHERE doc_id % 5 <> 0 GROUP BY w),
+              stats AS (SELECT CAST(sum(c) AS BIGINT) AS nn, count(*) AS vv FROM counts)
+         SELECT doc_id, count(*) AS n_toks,
+                CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST(sum(CAST(floor(1000000 * ln((coalesce(c, 0) + 1.0) / (nn + vv + 1.0))) AS BIGINT)) AS BIGINT) AS logprob_u
+         FROM toks LEFT JOIN counts USING (w) CROSS JOIN stats
+         WHERE doc_id % 5 = 0
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }

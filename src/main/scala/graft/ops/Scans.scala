@@ -186,6 +186,52 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Sort-clustered sink layout (the data-skipping rewrite): lineitem is
+    // range-repartitioned + sorted within partitions on l_shipdate before
+    // the write, so each output file covers a disjoint shipdate range and a
+    // later date-filtered scan can drop whole files on row-group min/max
+    // stats alone — at 100 TB this layout, not the filter, decides how many
+    // bytes a time-ranged query reads. File-range disjointness is asserted
+    // in Round6Suite via _metadata; the oracle proves the rewrite lossless.
+    "sink_sorted_layout" -> ((s, d) => {
+      val path = tmpDir(d, "sorted")
+      lineitem(s, d).select("l_orderkey", "l_shipdate", "l_quantity")
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy(date_trunc("year", col("l_shipdate")).cast("date").as("ship_year"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty_sum"))
+        .orderBy("ship_year")
+    }),
+
+    // Malformed-record tolerance at the CSV source (the 100 TB ingestion
+    // reality: one bad line must cost one row, not the stage). Every 50th
+    // event line is written corrupted (a non-numeric value field); the
+    // PERMISSIVE read routes those lines into the columnNameOfCorruptRecord
+    // column and parses the rest normally. The oracle derives the same
+    // good/bad split from the clean parquet — checking both the quarantine
+    // count and that no good row was lost or mangled.
+    "scan_csv_malformed" -> ((s, d) => {
+      val path = tmpDir(d, "dirty")
+      events(s, d).select(
+        when(col("event_id") % 50 === 0,
+          concat(col("event_id"), lit(","), col("user_id"), lit(",oops")))
+          .otherwise(concat(col("event_id"), lit(","), col("user_id"), lit(","), col("value")))
+          .as("line"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("event_id LONG, user_id LONG, value DOUBLE, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          moneySum(when(col("_corrupt").isNull, col("value"))).as("good_cents"))
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -260,6 +306,16 @@ object Scans {
           SELECT e.event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events e JOIN dim ON e.event_type = dim.event_type
           GROUP BY 1 ORDER BY 1""",
+    "sink_sorted_layout" ->
+      s"""SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS ship_year,
+          count(*) AS n, ${moneySumSql("l_quantity")} AS qty_sum
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+          GROUP BY 1 ORDER BY 1""",
+    "scan_csv_malformed" ->
+      s"""SELECT CAST(sum(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+          CAST(sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+          ${moneySumSql("CASE WHEN event_id % 50 <> 0 THEN value END")} AS good_cents
+          FROM events""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

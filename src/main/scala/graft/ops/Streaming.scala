@@ -213,6 +213,28 @@ object Streaming {
         .orderBy("click_id")
     }),
 
+    // The materialized view a foreachBatch UPSERT sink maintains: one row
+    // per key holding the latest event (by event time, event_id tiebreak)
+    // plus a lifetime count — the "current state" table a streaming
+    // pipeline serves lookups from. The batch form is a single
+    // key-partitioned max_by aggregation (one shuffle, partial-aggregated);
+    // the true foreachBatch twin — per-microbatch last-wins merge into the
+    // sink, arriving in event-time-disordered batches — is in
+    // StreamingSuite and must converge to exactly this frame.
+    "stream_upsert_view" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), tsec(col("ts")).as("ts_s"), col("event_id"),
+          col("event_type"), money(col("value")).as("cents"))
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_type"), col("cents"), col("ts_s")),
+            struct(col("ts_s"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("last.event_type").as("last_type"),
+          col("last.cents").as("last_cents"), col("last.ts_s").as("last_ts"),
+          col("n_events"))
+        .orderBy("user_id")),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -323,5 +345,15 @@ object Streaming {
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value
           FROM (SELECT user_id, event_id, $tsS AS ts_s, value FROM events)
           ORDER BY user_id, event_id""",
+    "stream_upsert_view" ->
+      s"""SELECT user_id, event_type AS last_type, cents AS last_cents,
+                 ts_s AS last_ts, n_events
+          FROM (SELECT user_id, event_type, ${moneySql("value")} AS cents, ts_s,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts_s DESC, event_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n_events
+                FROM (SELECT user_id, event_id, event_type, value, $tsS AS ts_s
+                      FROM events))
+          WHERE rn = 1 ORDER BY user_id""",
   )
 }

@@ -133,6 +133,43 @@ class Round6Suite extends AnyFunSuite {
       col("back.uid") =!= col("user_id")).count() == 0)
   }
 
+  test("sink_sorted_layout: output files cover disjoint shipdate ranges") {
+    // run the op (which writes the sorted layout), then inspect the sink
+    SparkEntry.queries("sink_sorted_layout")(s, d).collect()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sorted${Math.abs(d.hashCode)}"
+    val ranges = s.read.parquet(path)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("lo"),
+        r.getAs[java.time.LocalDateTime]("hi")))
+      .sortBy(_._1.toString)
+    assert(ranges.length > 1, "expected multiple range-partitioned files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(!lo2.isBefore(hi),
+          s"file ranges overlap: previous hi=$hi vs next lo=$lo2 — data-skipping layout broken")
+      case _ =>
+    }
+  }
+
+  test("agg_sketch_hll: estimates within 5% of exact; union dominates groups") {
+    val rows = SparkEntry.queries("agg_sketch_hll")(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPerFlag = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.lineitem(s, d)
+      .agg(countDistinct("l_partkey")).collect()(0).getLong(0)
+    (exactPerFlag + ("ALL" -> exactAll)).foreach { case (k, exact) =>
+      val est = rows(k)
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$k: HLL estimate $est vs exact $exact drifts >5%")
+    }
+    exactPerFlag.keys.foreach { k =>
+      assert(rows("ALL") >= rows(k), s"union estimate below group $k")
+    }
+  }
+
   test("agg_regr: intercept is consistent with slope through the means") {
     val raw = Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(avg("l_extendedprice").as("my"), avg("l_quantity").as("mx"))

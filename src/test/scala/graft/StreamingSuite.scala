@@ -133,6 +133,47 @@ class StreamingSuite extends AnyFunSuite {
     assert(seen.size() >= 2, "batches were not delivered separately")
   }
 
+  test("stream_upsert_view twin: foreachBatch last-wins merge over disordered batches == batch op") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // fixture rows for a handful of users, delivered in 3 microbatches that
+    // are NOT in event-time order — the upsert must still converge on the
+    // event-time-latest row per user, exactly like the declared batch op
+    val rows = Tables.events(sp, TestSpark.sf).filter(col("user_id") < 6)
+      .select(col("user_id"),
+        date_trunc("second", col("ts")).cast("timestamp").as("ts_s"), // match the op's tsec order
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    assert(rows.length > 6)
+    val shuffled = rows.sortBy(r => (r._3 * 2654435761L) % 1000003) // deterministic disorder
+    val chunks = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    // sink state: user -> (ts, event_id, type, lifetime count)
+    val sink = new java.util.concurrent.ConcurrentHashMap[Long, (java.sql.Timestamp, Long, String, Long)]()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = mem.toDF().toDF("user_id", "ts_s", "event_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          val (u, t, id, et) = (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3))
+          sink.compute(u, (_, cur) =>
+            if (cur == null) (t, id, et, 1L)
+            else if (t.after(cur._1) || (t.equals(cur._1) && id > cur._2))
+              (t, id, et, cur._4 + 1L)
+            else (cur._1, cur._2, cur._3, cur._4 + 1L))
+        }; ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try { chunks.foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() } }
+    finally q.stop()
+    val batchOp = SparkEntry.queries("stream_upsert_view")(sp, TestSpark.sf)
+      .filter(col("user_id") < 6)
+      .select("user_id", "last_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    import scala.jdk.CollectionConverters._
+    val merged = sink.asScala.toSeq.map { case (u, (_, _, et, n)) => (u, et, n) }.sorted
+    assert(merged == batchOp, s"foreachBatch upsert diverged:\n$merged\nvs\n$batchOp")
+  }
+
   test("observe(): named metrics are collected during execution") {
     val sp = s
     import org.apache.spark.sql.functions._
