@@ -267,6 +267,26 @@ object LlmCuration {
           md5(col("c.txt")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // The corpus datasheet (per-source "data card" a dataset release ships):
+    // docs, tokens, language spread, exact-duplicate count (md5 groups with
+    // >1 member — the cheap dup signal; the near-dup families quantify the
+    // rest), and mean quality. Everything partial-aggregatable: one md5
+    // groupBy + one source groupBy; mean quality is integer `sum div n`.
+    "llm_data_card" -> ((s, d) => {
+      val base = graft.Pipeline.withQuality(documents(s, d))
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("quality_bp"), md5(col("text")).as("h"))
+      val hc = base.groupBy("h").agg(count(lit(1)).as("hc"))
+      base.join(hc, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          countDistinct("lang").as("n_langs"),
+          sum(when(col("hc") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+          expr("sum(quality_bp) div count(*)").as("mean_quality_bp"))
+        .orderBy("source")
+    }),
+
     // Deterministic global training-order shuffle: every doc gets a unique
     // 1-based position in md5(doc_id) order — reproducible across engines,
     // runs, and partitionings, with NO global single-partition window. Same
@@ -417,5 +437,23 @@ object LlmCuration {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
          FROM documents ORDER BY doc_id""",
+    // Quality formula mirrored from the llm_text_quality oracle.
+    "llm_data_card" ->
+      """WITH q AS (SELECT doc_id, source, lang, text,
+                           (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+                    FROM (SELECT doc_id, source, lang, text,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                                 CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a'))) AS BIGINT) AS st,
+                                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                                 CAST(length(text) AS BIGINT) AS len
+                          FROM documents)),
+              hc AS (SELECT md5(text) AS h, count(*) AS hc FROM documents GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                count(DISTINCT lang) AS n_langs,
+                CAST(sum(CASE WHEN hc.hc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+                CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp
+         FROM q JOIN hc ON md5(q.text) = hc.h
+         GROUP BY source ORDER BY source""",
   )
 }

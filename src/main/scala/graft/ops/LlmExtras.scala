@@ -431,6 +431,39 @@ object LlmExtras {
         .orderBy("label")
     }),
 
+    // Fixed-point PageRank (3 unrolled iterations, damping 0.85) over the
+    // undirected near-dup graph — centrality of each document in its dup
+    // neighborhood. All arithmetic is INTEGER micro-units with explicit
+    // `div`: each neighbor contributes r div deg, the update is
+    // 150000 + (850000·Σ) div 1e6 — no float ever exists, so the result is
+    // bit-identical at any partition count and in the oracle's unrolled
+    // SQL. Per iteration: one edge join + one dst-keyed partial-agg —
+    // edge-sized shuffles, rank frame stays node-sized (at real scale each
+    // iteration's frame would be checkpointed like Scale.connectedComponents;
+    // 3 bounded iterations compose lazily here). Pairs come from the Shared
+    // memo — the quadratic stage is still paid once per process.
+    "graph_pagerank_fixed" -> ((s, d) => {
+      val pairs = Shared.wordPairs(s, d).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = documents(s, d).select(col("doc_id"))
+      var r = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(deg, "src")
+          .join(r.select(col("doc_id").as("src"), col("r")), "src")
+          .select(col("dst"), expr("r div deg").as("c"))
+        val sums = contrib.groupBy("dst").agg(sum("c").as("insum"))
+        r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")
+          .select(col("doc_id"),
+            (lit(150000L) + expr("(850000 * coalesce(insum, 0L)) div 1000000")).as("r"))
+      }
+      r.join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("r").as("rank_u"),
+          coalesce(col("deg"), lit(0L)).as("n_neighbors"))
+        .orderBy("doc_id")
+    }),
+
     // Symmetric int8 quantization of the embedding column — the compression
     // an ANN index applies before serving (4× smaller than float32, dot
     // products in integer SIMD). Per vector: scale = max|x|, q_i =
@@ -903,6 +936,46 @@ object LlmExtras {
           SELECT label, count(*) AS n_kept, min(vec_id) AS min_vec
           FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
           GROUP BY label ORDER BY label""",
+    // Same pair CTEs as llm_dedup_near; the 3 iterations unroll to s1/r1 …
+    // s3/r3 with the identical integer expressions (sum(BIGINT) is HUGEINT
+    // in DuckDB — the final CAST per iteration restores BIGINT).
+    "graph_pagerank_fixed" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+               deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+               r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+               s1 AS (SELECT e.dst, sum(r0.r // deg.deg) AS insum
+                      FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.doc_id = e.src
+                      GROUP BY e.dst),
+               r1 AS (SELECT d.doc_id,
+                             CAST(150000 + (850000 * COALESCE(s1.insum, 0)) // 1000000 AS BIGINT) AS r
+                      FROM documents d LEFT JOIN s1 ON s1.dst = d.doc_id),
+               s2 AS (SELECT e.dst, sum(r1.r // deg.deg) AS insum
+                      FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.doc_id = e.src
+                      GROUP BY e.dst),
+               r2 AS (SELECT d.doc_id,
+                             CAST(150000 + (850000 * COALESCE(s2.insum, 0)) // 1000000 AS BIGINT) AS r
+                      FROM documents d LEFT JOIN s2 ON s2.dst = d.doc_id),
+               s3 AS (SELECT e.dst, sum(r2.r // deg.deg) AS insum
+                      FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.doc_id = e.src
+                      GROUP BY e.dst),
+               r3 AS (SELECT d.doc_id,
+                             CAST(150000 + (850000 * COALESCE(s3.insum, 0)) // 1000000 AS BIGINT) AS r
+                      FROM documents d LEFT JOIN s3 ON s3.dst = d.doc_id)
+          SELECT r3.doc_id, r3.r AS rank_u, COALESCE(deg.deg, 0) AS n_neighbors
+          FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id
+          ORDER BY r3.doc_id""",
     // Same floor-based round; the error fold is index-addressed (range +
     // v[i]/q[i]) because DuckDB lambdas have no two-list zip_with.
     "llm_embed_quantize" ->

@@ -85,6 +85,27 @@ object Reshape {
             col("user_id").as("uid"),
             get_json_object(col("props"), "$.k").cast("int").as("k"))).as("doc"))
         .orderBy("event_id").limit(100)),
+
+    // Time-series resampling to OHLC bars (the financial downsample job,
+    // and the general first/last-in-bucket shape): per (event_type, hour):
+    // open = value at the earliest (ts, event_id), close at the latest,
+    // high/low = max/min — all in integer cents BEFORE aggregation, and
+    // open/close through min_by/max_by over the unique (ts_s, event_id)
+    // order so ties cannot exist. One partial-aggregatable shuffle.
+    "reshape_ohlc" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          date_trunc("hour", tsec(col("ts"))).as("h"),
+          tsec(col("ts")).as("ts_s"), col("event_id"),
+          money(col("value")).as("cents"))
+        .groupBy("event_type", "h")
+        .agg(
+          min_by(col("cents"), struct(col("ts_s"), col("event_id"))).as("open"),
+          max("cents").as("high"),
+          min("cents").as("low"),
+          max_by(col("cents"), struct(col("ts_s"), col("event_id"))).as("close"),
+          count(lit(1)).as("n_trades"))
+        .orderBy("event_type", "h")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,5 +154,22 @@ object Reshape {
                   id := event_id, t := event_type, uid := user_id,
                   k := CAST(json_extract(props, '$.k') AS INTEGER))) AS VARCHAR) AS doc
          FROM events ORDER BY event_id LIMIT 100""",
+    // open/close via the two mirrored row_numbers (the arg_min/arg_max twin).
+    "reshape_ohlc" ->
+      s"""WITH e AS (SELECT event_type,
+                            date_trunc('hour', CAST(date_trunc('second', ts) AS TIMESTAMP)) AS h,
+                            CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_id,
+                            ${moneySql("value")} AS cents
+                     FROM events),
+               w AS (SELECT *,
+                            row_number() OVER (PARTITION BY event_type, h ORDER BY ts_s, event_id) AS ra,
+                            row_number() OVER (PARTITION BY event_type, h ORDER BY ts_s DESC, event_id DESC) AS rd
+                     FROM e)
+          SELECT event_type, h,
+                 max(CASE WHEN ra = 1 THEN cents END) AS open,
+                 max(cents) AS high, min(cents) AS low,
+                 max(CASE WHEN rd = 1 THEN cents END) AS close,
+                 count(*) AS n_trades
+          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -40,6 +40,22 @@ object SetOps {
       events(s, d).select(col("user_id").as("custkey"))
         .exceptAll(b(s, d)).orderBy("custkey")),
 
+    // Schema-aligning union (unionByName + allowMissingColumns): two
+    // generations of a feed whose columns differ in ORDER and PRESENCE —
+    // positional unionAll would mis-bind or reject; by-name union aligns on
+    // column name and nulls the missing ones. The append-only schema-growth
+    // reality (scan_schema_evolution's source-side twin).
+    "set_union_byname" -> ((s, d) => {
+      val gen1 = supplier(s, d).filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_nationkey"), col("s_suppkey")) // reversed column order
+      val gen2 = supplier(s, d).filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          money(col("s_acctbal")).as("bal_cents")) // extra column
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .select("s_suppkey", "s_nationkey", "bal_cents")
+        .orderBy("s_suppkey")
+    }),
+
     "dedup_distinct" -> ((s, d) =>
       events(s, d)
         .select("event_type", "user_id")
@@ -64,6 +80,14 @@ object SetOps {
     "set_intersect_all" -> s"($aSql) INTERSECT ALL ($bSql) ORDER BY custkey",
     "set_except_all" ->
       s"(SELECT user_id AS custkey FROM events) EXCEPT ALL ($bSql) ORDER BY custkey",
+    // DuckDB's UNION ALL BY NAME is the same by-name alignment.
+    "set_union_byname" ->
+      s"""SELECT s_suppkey, s_nationkey, bal_cents FROM (
+            (SELECT s_nationkey, s_suppkey FROM supplier WHERE s_suppkey % 2 = 0)
+            UNION ALL BY NAME
+            (SELECT s_suppkey, s_nationkey, ${moneySql("s_acctbal")} AS bal_cents
+             FROM supplier WHERE s_suppkey % 2 = 1))
+          ORDER BY s_suppkey""",
     "dedup_distinct" ->
       "SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id",
     "dedup_keep_first" ->

@@ -195,6 +195,30 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    // Funnel conversion (the MATCH_RECOGNIZE-ish sequence analysis): per
+    // user, the first signup and the first purchase AT OR AFTER it, with
+    // time-to-convert in whole seconds (timestampdiff — integer on both
+    // engines). Unconverted signups keep a NULL purchase (left join), so
+    // the funnel's drop-off is in the result, not filtered away. Two
+    // user_id-keyed aggregations + one user_id join — a single partitioning
+    // end to end, no window over the full event stream.
+    "win_funnel" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), tsec(col("ts")).as("ts_s"), col("event_type"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_s").as("signup_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts_s") >= col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(min("ts_s").as("purchase_ts"), count(lit(1)).as("n_purchases_after"))
+      su.join(pu, Seq("user_id", "signup_ts"), "left")
+        .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
+          coalesce(col("n_purchases_after"), lit(0L)).as("n_purchases_after"),
+          expr("timestampdiff(SECOND, signup_ts, purchase_ts)").as("convert_secs"))
+        .orderBy("user_id")
+    }),
+
     // Event-time RANGE frame (rolling 1-hour window per user) — the frame
     // bound is an INTERVAL against the ORDER BY timestamp, not a row count,
     // so co-timed peers are always in-frame on both engines. Same
@@ -293,6 +317,21 @@ object Windows {
                  ${moneySumSql("value")} AS total_value
           FROM sessions GROUP BY user_id, session_seq
           ORDER BY user_id, session_seq""",
+    "win_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type
+                    FROM events),
+              su AS (SELECT user_id, min(ts_s) AS signup_ts FROM e
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              pu AS (SELECT e.user_id, su.signup_ts, min(e.ts_s) AS purchase_ts,
+                            count(*) AS n_purchases_after
+                     FROM e JOIN su ON e.user_id = su.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts_s >= su.signup_ts
+                     GROUP BY e.user_id, su.signup_ts)
+         SELECT su.user_id, su.signup_ts, pu.purchase_ts,
+                COALESCE(pu.n_purchases_after, 0) AS n_purchases_after,
+                date_diff('second', su.signup_ts, pu.purchase_ts) AS convert_secs
+         FROM su LEFT JOIN pu ON su.user_id = pu.user_id AND su.signup_ts = pu.signup_ts
+         ORDER BY su.user_id""",
     // DuckDB spells IGNORE NULLS inside the call parens.
     "win_ignore_nulls" ->
       s"""SELECT user_id, event_id, ts_s, pv,

@@ -111,7 +111,8 @@ class PropertySuite extends AnyFunSuite {
       "sub_lateral", "llm_curation_e2e", "stream_join_interval", "llm_pack_greedy",
       // round-6 additions: null-aware anti join, interval range frame, and
       // the hash-bucketed global shuffle must survive AQE re-planning
-      "sub_not_in_null", "win_time_range", "llm_global_shuffle")
+      "sub_not_in_null", "win_time_range", "llm_global_shuffle",
+      "graph_pagerank_fixed", "win_funnel")
     keys.foreach { k =>
       def run(aqe: Boolean): Seq[String] = {
         s.conf.set("spark.sql.adaptive.enabled", aqe.toString)

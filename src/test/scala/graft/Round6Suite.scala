@@ -170,6 +170,29 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank_fixed: isolated nodes sit at the damping floor; hubs above it") {
+    val rows = SparkEntry.queries("graph_pagerank_fixed")(s, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank_u"), r.getAs[Long]("n_neighbors")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, rank, nb) =>
+      if (nb == 0) assert(rank == 150000L, s"isolated doc $id: rank $rank != 150000")
+      else assert(rank > 150000L, s"connected doc $id (deg $nb) not above the floor: $rank")
+    }
+  }
+
+  test("reshape_ohlc: low <= open/close <= high and bars partition the events") {
+    val rows = SparkEntry.queries("reshape_ohlc")(s, d).collect()
+    assert(rows.nonEmpty)
+    var n = 0L
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Long]("open"), r.getAs[Long]("high"),
+        r.getAs[Long]("low"), r.getAs[Long]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"OHLC ordering violated: $r")
+      n += r.getAs[Long]("n_trades")
+    }
+    assert(n == Tables.events(s, d).count(), "bars do not partition the event stream")
+  }
+
   test("agg_regr: intercept is consistent with slope through the means") {
     val raw = Tables.lineitem(s, d).groupBy("l_returnflag")
       .agg(avg("l_extendedprice").as("my"), avg("l_quantity").as("mx"))
