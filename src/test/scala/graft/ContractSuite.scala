@@ -12,7 +12,8 @@ class ContractSuite extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle keys without a query: ${o -- q}")
-    val documentedOmissions = Set("agg_approx_distinct", "agg_approx_percentile")
+    val documentedOmissions =
+      Set("agg_approx_distinct", "agg_approx_percentile", "agg_sketch_hll")
     assert((q -- o) == documentedOmissions,
       s"undocumented oracle omissions: ${(q -- o) -- documentedOmissions}")
   }
