@@ -446,17 +446,26 @@ object LlmExtras {
       val pairs = Shared.wordPairs(s, d).select("doc_a", "doc_b")
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // materialize (src, dst, deg) ONCE: the unrolled iterations otherwise
+      // re-derive the edge+degree subtree per iteration (lazy composition
+      // nests iteration k−1 inside k — measured 3.5 s with the tree
+      // recomputed 3×, the top bench line; 3 edge-scans collapse to 1).
+      // Same per-iteration lineage truncation as Scale.connectedComponents.
+      val wedges = edges.join(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        .localCheckpoint(true)
+      val deg = wedges.select("src", "deg").distinct()
       val nodes = documents(s, d).select(col("doc_id"))
       var r = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
-        val contrib = edges.join(deg, "src")
+        val contrib = wedges
           .join(r.select(col("doc_id").as("src"), col("r")), "src")
           .select(col("dst"), expr("r div deg").as("c"))
         val sums = contrib.groupBy("dst").agg(sum("c").as("insum"))
         r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")
           .select(col("doc_id"),
             (lit(150000L) + expr("(850000 * coalesce(insum, 0L)) div 1000000")).as("r"))
+          .localCheckpoint(true)
       }
       r.join(deg.select(col("src").as("doc_id"), col("deg")), Seq("doc_id"), "left")
         .select(col("doc_id"), col("r").as("rank_u"),
