@@ -190,6 +190,32 @@ object Aggregations {
           d4(percentile(col("l_quantity"), lit(0.9))).as("p90_qty"))
         .orderBy("l_linestatus")),
 
+    // Weighted aggregation (revenue-weighted averages — the mixture-stats
+    // shape): numerator and denominator are each per-row INTEGER micro-unit
+    // conversions summed exactly, and the ratio is one integer division at
+    // the end — no double ever crosses a shuffle, so the result is
+    // identical at any partition count. Both sums partial-aggregate.
+    // The micro-unit sums are accumulated in DECIMAL(38,0) (mirroring
+    // DuckDB's HUGEINT sum): at 1e10 µ-units per row a BIGINT accumulator
+    // overflows ANSI-fatally past ~9e8 rows per group — sf0.1 already
+    // tripped the `10000 ×` headroom. The final integral division is the
+    // only narrowing back to BIGINT.
+    "agg_weighted" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"),
+          d6(col("l_discount") * col("l_extendedprice")).as("wd_u"),
+          d6(col("l_quantity") * col("l_extendedprice")).as("wq_u"),
+          d6(col("l_extendedprice")).as("w_u"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("sum(CAST(wd_u AS DECIMAL(38,0)))").as("swd"),
+          expr("sum(CAST(wq_u AS DECIMAL(38,0)))").as("swq"),
+          expr("sum(CAST(w_u AS DECIMAL(38,0)))").as("sw"))
+        .select(col("l_returnflag"),
+          expr("CAST((swd * 10000) div sw AS BIGINT)").as("wavg_disc_bp"),
+          expr("CAST((swq * 100) div sw AS BIGINT)").as("wavg_qty_c"))
+        .orderBy("l_returnflag")),
+
     // Mergeable-sketch reaggregation (the DataSketches HLL pattern): build
     // one HLL sketch per group, then UNION THE SKETCHES — not the raw
     // data — into the global distinct estimate. At 100 TB this is how
@@ -326,6 +352,17 @@ object Aggregations {
           ${d4Sql("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
           ${d4Sql("quantile_cont(l_quantity, 0.9)")} AS p90_qty
           FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    // sum(BIGINT) is HUGEINT — the decimal-width twin of the Spark side.
+    "agg_weighted" ->
+      s"""SELECT l_returnflag,
+          CAST((swd * 10000) // sw AS BIGINT) AS wavg_disc_bp,
+          CAST((swq * 100) // sw AS BIGINT) AS wavg_qty_c
+          FROM (SELECT l_returnflag,
+                       sum(${d6Sql("l_discount * l_extendedprice")}) AS swd,
+                       sum(${d6Sql("l_quantity * l_extendedprice")}) AS swq,
+                       sum(${d6Sql("l_extendedprice")}) AS sw
+                FROM lineitem GROUP BY l_returnflag)
+          ORDER BY l_returnflag""",
     "agg_regr" ->
       s"""SELECT l_returnflag,
           ${d4Sql("regr_slope(l_extendedprice, l_quantity)")} AS slope,

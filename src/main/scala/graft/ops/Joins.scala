@@ -167,6 +167,29 @@ object Joins {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of with TOLERANCE (the pandas merge_asof(tolerance=) / QuestDB
+    // semantic): the preceding click only counts if it is within 30
+    // minutes — a stale match is as useless as none at a real attribution
+    // window. Same single user_id-partitioned window as join_asof; the
+    // tolerance is a post-window CASE on integer-second distance, so the
+    // variant costs nothing extra at scale.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), tsec(col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts_s")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          when(col("last_click_ts") >= col("ts_s") - expr("INTERVAL 30 MINUTES"),
+            col("last_click_ts")).as("click_within_ts"),
+          when(col("last_click_ts") >= col("ts_s") - expr("INTERVAL 30 MINUTES"),
+            expr("timestampdiff(SECOND, last_click_ts, ts_s)")).as("gap_s"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Forward as-of: for each purchase, the NEXT click by the same user
     // (lookahead window mirror of join_asof).
     "join_asof_forward" -> ((s, d) => {
@@ -331,6 +354,21 @@ object Joins {
     // (SURVEY §2.C join_asof).
     "join_asof" ->
       """SELECT user_id, event_id, ts_s, last_click_ts FROM (
+           SELECT user_id, event_id, event_type, ts_s,
+                  last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+           FROM (SELECT event_id, user_id, event_type,
+                        CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+                 FROM events WHERE event_type IN ('click','purchase')))
+         WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "join_asof_tolerance" ->
+      """SELECT user_id, event_id, ts_s,
+                CASE WHEN last_click_ts >= ts_s - INTERVAL '30 minutes'
+                     THEN last_click_ts END AS click_within_ts,
+                CASE WHEN last_click_ts >= ts_s - INTERVAL '30 minutes'
+                     THEN date_diff('second', last_click_ts, ts_s) END AS gap_s
+         FROM (
            SELECT user_id, event_id, event_type, ts_s,
                   last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
                     OVER (PARTITION BY user_id ORDER BY ts_s, event_id

@@ -186,6 +186,31 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Nested-schema JSON ingestion: order documents carrying an ARRAY OF
+    // STRUCTS (the event-payload / API-export shape) written as JSON lines,
+    // read back with an explicit nested schema, and exploded to relational
+    // rows. Items are sort_array'd before the write and money-ized so the
+    // nested payload is deterministic; the oracle flattens the same rows
+    // straight from parquet — a hash match proves the nested roundtrip
+    // (schema'd array-of-struct parse + explode) is lossless.
+    "scan_json_nested" -> ((s, d) => {
+      val path = tmpDir(d, "jnest")
+      lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          money(col("l_quantity")).as("qty_c")))).as("items"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("l_orderkey LONG, items ARRAY<STRUCT<ln: INT, qty_c: LONG>>")
+        .json(path)
+        .select(col("l_orderkey"), explode(col("items")).as("it"))
+        .select(col("l_orderkey"), col("it.ln").as("ln"), col("it.qty_c").as("qty_c"))
+        // (l_orderkey, ln) is NOT unique in the fixture — qty_c completes
+        // the total order
+        .orderBy("l_orderkey", "ln", "qty_c")
+    }),
+
     // Sort-clustered sink layout (the data-skipping rewrite): lineitem is
     // range-repartitioned + sorted within partitions on l_shipdate before
     // the write, so each output file covers a disjoint shipdate range and a
@@ -306,6 +331,10 @@ object Scans {
           SELECT e.event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events e JOIN dim ON e.event_type = dim.event_type
           GROUP BY 1 ORDER BY 1""",
+    "scan_json_nested" ->
+      s"""SELECT l_orderkey, l_linenumber AS ln, ${moneySql("l_quantity")} AS qty_c
+          FROM lineitem WHERE l_orderkey % 100 = 0
+          ORDER BY l_orderkey, ln, qty_c""",
     "sink_sorted_layout" ->
       s"""SELECT CAST(date_trunc('year', l_shipdate) AS DATE) AS ship_year,
           count(*) AS n, ${moneySumSql("l_quantity")} AS qty_sum

@@ -70,6 +70,56 @@ object SetOps {
         .filter(col("rn") === 1)
         .drop("rn")
         .orderBy("user_id")),
+
+    // Snapshot diff (the SCD/audit utility: what changed between two loads):
+    // new = old minus the %97 slice (removed), +100.00 on the %13 slice
+    // (changed), plus negative-keyed fresh rows (added — disjoint from the
+    // natural keyspace at every sf, like sink_upsert). Full-outer on the
+    // key + value compare classifies every row in ONE key-partitioned
+    // shuffle; values compare as integer cents.
+    "util_table_diff" -> ((s, d) => {
+      val o = customer(s, d)
+        .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("v"))
+      val n = customer(s, d).filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey").as("k"),
+          (money(col("c_acctbal")) +
+            when(col("c_custkey") % 13 === 0, 10000L).otherwise(0L)).as("v"))
+        .unionAll(customer(s, d).filter(col("c_custkey") % 89 === 0)
+          .select((-col("c_custkey") - 1L).as("k"), lit(0L).as("v")))
+      o.as("o").join(n.as("n"), col("o.k") === col("n.k"), "full_outer")
+        .select(
+          when(col("o.k").isNull, "added")
+            .when(col("n.k").isNull, "removed")
+            .when(col("o.v") =!= col("n.v"), "changed")
+            .otherwise("same").as("status"),
+          coalesce(col("o.k"), col("n.k")).as("k"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("status")
+    }),
+
+    // Order-independent whole-table content checksum (the ETL validation
+    // utility: did the copy/convert preserve every row?): each row folds to
+    // a canonical '|'-joined string (doubles as integer cents — raw double
+    // repr differs across engines), md5's leading 12 hex chars become an
+    // integer, and SUM + XOR over them are order-free. Any lost, duplicated,
+    // or mutated row moves the checksum; the whole thing is one
+    // partial-aggregatable pass.
+    // The SUM accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) and narrows
+    // through mod 2^61−1: a BIGINT sum of 2^48-sized hashes overflows
+    // ANSI-fatally past ~2^15 rows — sf0.1's 150k rows already tripped it.
+    // The Mersenne-prime mod keeps the checksum BIGINT at ANY row count.
+    "util_checksum" -> ((s, d) =>
+      orders(s, d)
+        .select(expr(
+          "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)").as("base"),
+          money(col("o_totalprice")).as("cents"))
+        .select(expr(
+          "CAST(conv(substring(md5(concat_ws('|', base, cents)), 1, 12), 16, 10) AS BIGINT)").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+            .as("checksum_sum"),
+          bit_xor(col("h")).as("checksum_xor"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,5 +146,29 @@ object SetOps {
                   row_number() OVER (PARTITION BY user_id ORDER BY CAST(date_trunc('second', ts) AS TIMESTAMP), event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
+    "util_table_diff" ->
+      s"""WITH o AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS v FROM customer),
+               n AS (SELECT c_custkey AS k,
+                            ${moneySql("c_acctbal")} +
+                            CASE WHEN c_custkey % 13 = 0 THEN 10000 ELSE 0 END AS v
+                     FROM customer WHERE c_custkey % 97 <> 0
+                     UNION ALL
+                     SELECT -c_custkey - 1 AS k, 0 AS v
+                     FROM customer WHERE c_custkey % 89 = 0),
+               c AS (SELECT CASE WHEN o.k IS NULL THEN 'added'
+                                 WHEN n.k IS NULL THEN 'removed'
+                                 WHEN o.v <> n.v THEN 'changed'
+                                 ELSE 'same' END AS status,
+                            COALESCE(o.k, n.k) AS k
+                     FROM o FULL OUTER JOIN n ON o.k = n.k)
+          SELECT status, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+          FROM c GROUP BY status ORDER BY status""",
+    "util_checksum" ->
+      s"""SELECT count(*) AS n_rows,
+                 CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+                 bit_xor(h) AS checksum_xor
+          FROM (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                          o_orderstatus, o_orderpriority, ${moneySql("o_totalprice")})), 1, 12))::BIGINT AS h
+                FROM orders)""",
   )
 }

@@ -112,7 +112,7 @@ class PropertySuite extends AnyFunSuite {
       // round-6 additions: null-aware anti join, interval range frame, and
       // the hash-bucketed global shuffle must survive AQE re-planning
       "sub_not_in_null", "win_time_range", "llm_global_shuffle",
-      "graph_pagerank_fixed", "win_funnel")
+      "graph_pagerank_fixed", "win_funnel", "util_table_diff", "agg_weighted")
     keys.foreach { k =>
       def run(aqe: Boolean): Seq[String] = {
         s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
