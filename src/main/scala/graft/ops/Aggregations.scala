@@ -257,6 +257,56 @@ object Aggregations {
           moneySum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))).as("urgent_rev"),
           expr("count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))").as("n_hot"))
         .orderBy("o_orderstatus")),
+
+    // PRODUCT aggregation — Spark has no product() aggregate; the portable
+    // exact form is a higher-order fold over collect_list in BIGINT
+    // (multiplication commutes, so collect order — which is shuffle-arrival-
+    // dependent — cannot change the result). l_linenumber ∈ [1,7] with ≤ 13
+    // lines/order keeps the product ≪ 2^63; the float-free fold beats the
+    // usual exp(sum(ln x)) rewrite, which drifts per engine. Partial-agg
+    // still applies to the collect; group width is bounded by order size.
+    "agg_product" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(
+          expr("aggregate(collect_list(CAST(l_linenumber AS BIGINT)), 1L, (acc, x) -> acc * x)")
+            .as("line_product"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")),
+
+    // Median absolute deviation (the robust spread statistic): two exact-
+    // percentile passes — group median, broadcast back, median of absolute
+    // deviations. Both engines interpolate quantiles identically on the
+    // exactly-representable quantity values (agg_percentile precedent); the
+    // median frame is tiny (one row per group) so the second pass costs one
+    // broadcast, not a shuffle.
+    "agg_mad" -> ((s, d) => {
+      val med = lineitem(s, d).groupBy("l_linestatus")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      lineitem(s, d).join(broadcast(med), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+          d4(percentile(abs(col("l_quantity") - col("med")), lit(0.5))).as("mad_qty"),
+          d4(min(col("med"))).as("med_qty"))
+        .orderBy("l_linestatus")
+    }),
+
+    // DISCRETE percentile (SQL-standard percentile_disc: smallest value
+    // whose cume_dist ≥ p) — returns an ACTUAL data value, so applied to
+    // integer cents it is exact by construction: no interpolation, no float,
+    // nothing to round. The continuous variant (agg_percentile) interpolates;
+    // this is the one to use when the answer must be a real observation.
+    "agg_percentile_disc" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+          // percentile_disc returns DOUBLE; the value is an actual integer
+          // datum (≪ 2^53), so the cast back to BIGINT is lossless.
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p50_cents"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -376,5 +426,28 @@ object Aggregations {
           ${moneySumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent_rev,
           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS n_hot
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // DuckDB's product() aggregates in DOUBLE; products here are ≤ 7^13 ≈
+    // 9.7e10 < 2^53, so the double is exact and the BIGINT cast is lossless.
+    "agg_product" ->
+      """SELECT l_orderkey,
+                CAST(product(l_linenumber) AS BIGINT) AS line_product,
+                count(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "agg_mad" ->
+      s"""WITH m AS (SELECT l_linestatus, quantile_cont(l_quantity, 0.5) AS med
+                     FROM lineitem GROUP BY l_linestatus)
+          SELECT l.l_linestatus,
+                 ${d4Sql("quantile_cont(abs(l.l_quantity - m.med), 0.5)")} AS mad_qty,
+                 ${d4Sql("min(m.med)")} AS med_qty
+          FROM lineitem l JOIN m ON l.l_linestatus = m.l_linestatus
+          GROUP BY l.l_linestatus ORDER BY l.l_linestatus""",
+    // quantile_disc is DuckDB's SQL-standard percentile_disc (probed:
+    // [1,2,3,4] @ .5 → 2, @ .9 → 4 — first value with cume_dist ≥ p).
+    "agg_percentile_disc" ->
+      s"""SELECT l_returnflag,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.5) AS p50_cents,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.9) AS p90_cents,
+                 count(*) AS n
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -284,6 +284,76 @@ object Joins {
           moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("o_orderstatus")
     }),
+
+    // Fuzzy string join via character-trigram blocking (the pg_trgm shape).
+    // Scale design: contract to DISTINCT names FIRST — name cardinality is
+    // ≪ row cardinality on any real catalog, so the quadratic part runs on
+    // the contracted domain, never the table. Then explode trigrams, self-
+    // join on the shared trigram (the blocking key — only pairs sharing ≥ 1
+    // trigram ever meet), count distinct shared trigrams per pair, and keep
+    // pairs sharing ≥ 2. Similarity is integer basis points of the trigram
+    // Jaccard: shared·10⁴ div (|A|+|B|−shared) — positive, so Spark's
+    // truncating div and DuckDB's flooring // agree.
+    "join_fuzzy_trigram" -> ((s, d) => {
+      val names = part(s, d).select(lower(col("p_name")).as("nm")).distinct()
+      val tg = names.select(col("nm"),
+        explode(expr("transform(sequence(1, char_length(nm) - 2), i -> substr(nm, i, 3))")).as("t"))
+        .distinct()
+      val sizes = tg.groupBy("nm").agg(count(lit(1)).as("ntg"))
+      val a = tg.select(col("nm").as("nm_a"), col("t"))
+      val b = tg.select(col("nm").as("nm_b"), col("t"))
+      a.join(b, Seq("t")).filter(col("nm_a") < col("nm_b"))
+        .groupBy("nm_a", "nm_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .join(sizes.select(col("nm").as("nm_a"), col("ntg").as("na")), "nm_a")
+        .join(sizes.select(col("nm").as("nm_b"), col("ntg").as("nb")), "nm_b")
+        .select(col("nm_a"), col("nm_b"), col("shared"),
+          expr("shared * 10000 div (na + nb - shared)").as("jacc_bp"))
+        .orderBy("nm_a", "nm_b")
+    }),
+
+    // ε-neighborhood self-join via GRID BLOCKING (the spatial-join shape):
+    // points in (cents, second-of-day) space; each probe row replicates to
+    // its cell's 3×3 neighborhood and equi-joins the build side's single
+    // home cell, so every true pair meets exactly once (in the build row's
+    // home cell) and the candidate set is the 9-cell neighborhood, never the
+    // n² cross product. Cell width = ε makes the neighborhood sound for the
+    // L∞ ball; everything is integer, the exact |Δ| ≤ ε check runs post-
+    // join. Output = per-point neighbor count (each ordered pair found
+    // once ⇒ counts are exact degrees).
+    "join_spatial_grid" -> ((s, d) => {
+      val pts = events(s, d).select(col("event_id"),
+        money(col("value")).as("x"),
+        (expr("hour(ts) * 3600 + minute(ts) * 60 + second(ts)")).cast("long").as("y"))
+        .withColumn("cx", expr("x div 50")).withColumn("cy", expr("y div 50"))
+      val probe = pts.select(col("event_id").as("a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr(
+          """flatten(transform(sequence(-1L, 1L),
+                       dx -> transform(sequence(-1L, 1L),
+                         dy -> struct(cx + dx AS cx, cy + dy AS cy))))""")).as("c"))
+        .select(col("a"), col("xa"), col("ya"), col("c.cx"), col("c.cy"))
+      val build = pts.select(col("event_id").as("b"), col("x").as("xb"), col("y").as("yb"),
+        col("cx"), col("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .filter(col("a") =!= col("b") &&
+          abs(col("xa") - col("xb")) <= 50 && abs(col("ya") - col("yb")) <= 50)
+        .groupBy(col("a").as("event_id")).agg(count(lit(1)).as("n_neighbors"))
+        .orderBy("event_id")
+    }),
+
+    // Join-STRATEGY control surface: the SHUFFLE_HASH hint forces a shuffled
+    // hash join where the planner defaults to sort-merge. At 100 TB this
+    // removes BOTH sort passes whenever one side's per-partition slice
+    // builds an in-memory hash map — the classic fact⋈fact case where
+    // neither side broadcasts but sorting 2×100 TB is the real cost. Result
+    // is strategy-invariant (oracle is the plain join); the plan shape
+    // itself is asserted in PlanAuditSuite.
+    "join_hinted_shuffle_hash" -> ((s, d) =>
+      orders(s, d).hint("SHUFFLE_HASH")
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -434,5 +504,38 @@ object Joins {
                  ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_fuzzy_trigram" ->
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+              tg AS (SELECT DISTINCT nm, substr(nm, CAST(gs AS INT), 3) AS t
+                     FROM names, unnest(generate_series(1, length(nm) - 2)) AS u(gs)),
+              sizes AS (SELECT nm, count(*) AS ntg FROM tg GROUP BY nm),
+              pairs AS (SELECT a.nm AS nm_a, b.nm AS nm_b, count(*) AS shared
+                        FROM tg a JOIN tg b ON a.t = b.t AND a.nm < b.nm
+                        GROUP BY a.nm, b.nm HAVING count(*) >= 2)
+         SELECT nm_a, nm_b, shared,
+                shared * 10000 // (sa.ntg + sb.ntg - shared) AS jacc_bp
+         FROM pairs
+         JOIN sizes sa ON sa.nm = nm_a
+         JOIN sizes sb ON sb.nm = nm_b
+         ORDER BY nm_a, nm_b""",
+    // Oracle is the brute-force ε-join (DuckDB's IEJoin handles the range
+    // predicate); grid blocking is plan-shape only, the answer is identical.
+    "join_spatial_grid" ->
+      """WITH pts AS (SELECT event_id,
+                             CAST(ROUND(CAST(value AS DECIMAL(28,10)), 2) * 100 AS BIGINT) AS x,
+                             CAST(datepart('hour', ts) * 3600 + datepart('minute', ts) * 60
+                                  + datepart('second', ts) AS BIGINT) AS y
+                      FROM events)
+         SELECT a.event_id, count(*) AS n_neighbors
+         FROM pts a JOIN pts b
+           ON a.event_id <> b.event_id
+          AND b.x BETWEEN a.x - 50 AND a.x + 50
+          AND b.y BETWEEN a.y - 50 AND a.y + 50
+         GROUP BY a.event_id ORDER BY a.event_id""",
+    // The hint is plan-only — the oracle is the plain join.
+    "join_hinted_shuffle_hash" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${moneySumSql("l_extendedprice")} AS rev
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

@@ -311,6 +311,39 @@ object LlmCuration {
         .select(col("doc_id"), (col("off") + col("rn")).as("pos"))
         .orderBy("doc_id")
     }),
+
+    // BPE vocabulary induction, step 1: count every adjacent character-pair
+    // occurrence inside words across the corpus (the statistic each BPE
+    // merge round maximizes). Two map-side explodes then one partial-
+    // aggregatable count — the corpus never re-shuffles per round because a
+    // real trainer re-derives pairs from the merged symbol stream, and this
+    // op is exactly that per-round scan. Top-50 by (count, pair) is a total
+    // order, so the cutoff is engine-stable.
+    "llm_bpe_pair_counts" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)),
+
+    // SFT chat-template rendering: first 8 tokens become the prompt, the
+    // rest the response, wrapped in role tags. Map-only string assembly;
+    // rendered text leaves as md5 + length (same no-corpus-strings-in-the-
+    // output rule as llm_chunk_overlap) so the check pins the exact bytes
+    // without shipping them.
+    "llm_sft_format" -> ((s, d) =>
+      documents(s, d)
+        .filter(size(split(col("text"), " ")) > 8)
+        .select(col("doc_id"),
+          concat(lit("<|user|>"), lit("\n"),
+            array_join(slice(split(col("text"), " "), 1, 8), " "),
+            lit("\n"), lit("<|assistant|>"), lit("\n"),
+            array_join(expr("slice(split(text, ' '), 9, 1000000)"), " ")).as("rendered"))
+        .select(col("doc_id"), md5(col("rendered")).as("sft_md5"),
+          length(col("rendered")).cast("long").as("sft_len"))
+        .orderBy("doc_id")),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -437,6 +470,23 @@ object LlmCuration {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
          FROM documents ORDER BY doc_id""",
+    "llm_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+              p AS (SELECT substr(w, CAST(gs AS INT), 2) AS pair
+                    FROM w, unnest(generate_series(1, length(w) - 1)) AS u(gs)
+                    WHERE length(w) >= 2)
+         SELECT pair, count(*) AS n FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 50""",
+    // chr(10) keeps the newline out of the SQL literal (JSON-escape safety).
+    "llm_sft_format" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              r AS (SELECT doc_id,
+                           '<|user|>' || chr(10) || array_to_string(tk[1:8], ' ')
+                           || chr(10) || '<|assistant|>' || chr(10)
+                           || array_to_string(tk[9:len(tk)], ' ') AS rendered
+                    FROM t WHERE len(tk) > 8)
+         SELECT doc_id, md5(rendered) AS sft_md5, length(rendered) AS sft_len
+         FROM r ORDER BY doc_id""",
     // Quality formula mirrored from the llm_text_quality oracle.
     "llm_data_card" ->
       """WITH q AS (SELECT doc_id, source, lang, text,

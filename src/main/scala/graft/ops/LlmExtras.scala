@@ -473,6 +473,33 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // Triangle counting on the near-dup graph, with the standard scale
+    // guard: DEGREE-PRUNE first (keep vertices of degree ≤ 30). Dup
+    // clusters are near-cliques, and a k-clique alone contributes O(k³)
+    // triangles — the pruned subgraph bounds the e⋈e wedge join by
+    // 30·|E| instead of Σdeg² (the literature's high/low-degree split,
+    // computing only the low side; the high side is degenerate clique
+    // volume, not structure). Each directed edge keeps a<b so every
+    // triangle a<b<c is counted exactly once, and the low-degree vertex
+    // list is broadcast-sized by construction.
+    "graph_triangles" -> ((s, d) => {
+      val pairs = Shared.wordPairs(s, d).select("doc_a", "doc_b")
+      val deg = pairs.select(col("doc_a").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") <= 30).select("v")
+      val e = pairs
+        .join(broadcast(keep).withColumnRenamed("v", "doc_a"), "doc_a")
+        .join(broadcast(keep).withColumnRenamed("v", "doc_b"), "doc_b")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      val tri = wedges.join(
+        e.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      e.agg(count(lit(1)).as("n_edges_kept"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    }),
+
     // Symmetric int8 quantization of the embedding column — the compression
     // an ANN index applies before serving (4× smaller than float32, dot
     // products in integer SIMD). Per vector: scale = max|x|, q_i =
@@ -985,6 +1012,29 @@ object LlmExtras {
           SELECT r3.doc_id, r3.r AS rank_u, COALESCE(deg.deg, 0) AS n_neighbors
           FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id
           ORDER BY r3.doc_id""",
+    "graph_triangles" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               deg AS (SELECT vv, count(*) AS deg
+                       FROM (SELECT doc_a AS vv FROM pairs UNION ALL SELECT doc_b FROM pairs)
+                       GROUP BY vv),
+               keep AS (SELECT vv FROM deg WHERE deg <= 30),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     JOIN keep ka ON ka.vv = doc_a
+                     JOIN keep kb ON kb.vv = doc_b),
+               tri AS (SELECT count(*) AS n_triangles
+                       FROM e e1 JOIN e e2 ON e2.a = e1.b
+                                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+          SELECT (SELECT count(*) FROM e) AS n_edges_kept, tri.n_triangles FROM tri""",
     // Same floor-based round; the error fold is index-addressed (range +
     // v[i]/q[i]) because DuckDB lambdas have no two-list zip_with.
     "llm_embed_quantize" ->

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Norm._
 import graft.Tables._
@@ -106,6 +107,66 @@ object Reshape {
           max_by(col("cents"), struct(col("ts_s"), col("event_id"))).as("close"),
           count(lit(1)).as("n_trades"))
         .orderBy("event_type", "h")),
+
+    // Linear interpolation across calendar gaps (gapfill's sibling: fill
+    // with the line between neighbors, not zeros). The lerp is emitted as
+    // EXACT integers — numerator `pv·(nd−day) + nv·(day−pd)` and denominator
+    // `nd−pd` — instead of dividing, because integer division rounds toward
+    // zero in Spark but floors in DuckDB (divergent on negative sums), and a
+    // double lerp wouldn't hash. Observed days carry (v, 1). Neighbor lookup
+    // is IGNORE NULLS navigation over the spine — one user_id shuffle serves
+    // the spine join and all four windows.
+    "ts_interpolate" -> ((s, d) => {
+      val ev = events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"),
+          col("value"))
+      val daily = ev.groupBy("user_id", "day").agg(moneySum(col("value")).as("v"))
+      val cal = daily.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val byU  = Window.partitionBy("user_id").orderBy("day")
+      val back = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd  = byU.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, lit(1L)).otherwise(lit(0L)).as("observed"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") * datediff(col("nd"), col("day"))
+              + col("nv") * datediff(col("day"), col("pd"))).as("interp_num"),
+          when(col("v").isNotNull, lit(1L))
+            .otherwise(datediff(col("nd"), col("pd")).cast("long")).as("interp_den"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Lag-1 autocorrelation diagnostics per user over the daily-sum series,
+    // kept EXACT: corr² = num²/(den_x·den_y) but num = n·Σxy − Σx·Σy and
+    // the dens are emitted as raw integers instead of dividing — the
+    // Pearson algebra on integer cents is closed under BIGINT (≪ 2^63 at
+    // any plausible per-user scale), so no float moment ever forms. One
+    // user shuffle feeds the daily agg, the lead() pairing, and the moment
+    // sums.
+    "ts_autocorr" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"),
+          col("value"))
+        .groupBy("user_id", "day").agg(moneySum(col("value")).as("v"))
+      val byU = Window.partitionBy("user_id").orderBy("day")
+      daily.withColumn("vn", lead(col("v"), 1).over(byU))
+        .filter(col("vn").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v") * col("vn")).as("sxy"),
+          sum(col("v")).as("sx"), sum(col("vn")).as("sy"),
+          sum(col("v") * col("v")).as("sxx"), sum(col("vn") * col("vn")).as("syy"))
+        .select(col("user_id"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("corr_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +232,53 @@ object Reshape {
                  max(CASE WHEN rd = 1 THEN cents END) AS close,
                  count(*) AS n_trades
           FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_interpolate" ->
+      s"""WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value
+                      FROM events WHERE user_id < 20),
+              daily AS (SELECT user_id, day, ${moneySumSql("value")} AS v
+                        FROM ev GROUP BY user_id, day),
+              cal AS (SELECT user_id,
+                             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                                         INTERVAL '1 day')) AS DATE) AS day
+                      FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)),
+              sp AS (SELECT cal.user_id, cal.day, daily.v
+                     FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day),
+              f AS (SELECT user_id, day, v,
+                           last_value(v IGNORE NULLS) OVER wb AS pv,
+                           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
+                           first_value(v IGNORE NULLS) OVER wf AS nv,
+                           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+                    FROM sp
+                    WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           wf AS (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, day,
+                CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+                CAST(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv * date_diff('day', day, nd) + nv * date_diff('day', pd, day)
+                     END AS BIGINT) AS interp_num,
+                CAST(CASE WHEN v IS NOT NULL THEN 1
+                          ELSE date_diff('day', pd, nd) END AS BIGINT) AS interp_den
+         FROM f ORDER BY user_id, day""",
+    // DuckDB sums BIGINT into HUGEINT — cast each moment back to BIGINT
+    // before the Pearson algebra so types match the Spark side.
+    "ts_autocorr" ->
+      s"""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                                ${moneySumSql("value")} AS v
+                         FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+              p AS (SELECT user_id, v,
+                           lead(v, 1) OVER (PARTITION BY user_id ORDER BY day) AS vn
+                    FROM daily),
+              m AS (SELECT user_id, count(*) AS n,
+                           CAST(sum(v * vn) AS BIGINT) AS sxy,
+                           CAST(sum(v) AS BIGINT) AS sx, CAST(sum(vn) AS BIGINT) AS sy,
+                           CAST(sum(v * v) AS BIGINT) AS sxx, CAST(sum(vn * vn) AS BIGINT) AS syy
+                    FROM p WHERE vn IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n,
+                n * sxy - sx * sy AS corr_num,
+                n * sxx - sx * sx AS den_x,
+                n * syy - sy * sy AS den_y
+         FROM m ORDER BY user_id""",
   )
 }

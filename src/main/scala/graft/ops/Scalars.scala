@@ -253,6 +253,19 @@ object Scalars {
           expr("shiftright(o_orderkey, 2)").as("shr2"),
           expr("bit_count(o_orderkey)").as("pop"))
         .orderBy("o_orderkey").limit(100)),
+
+    // Regex TOKENIZER (regexp_extract_all, group 0): the GPT-style
+    // letters|digits|punctuation-run split over the punctuated JSON props
+    // strings — the op split(text,' ') can't express. The three character
+    // classes are disjoint, so Java-regex (Spark) and RE2 (DuckDB)
+    // alternation order cannot diverge. Map-side explode, one partial-
+    // aggregatable count, (count, token) total-order cutoff.
+    "str_tokenize_regex" -> ((s, d) =>
+      events(s, d)
+        .select(explode(
+          expr("regexp_extract_all(props, '[a-z]+|[0-9]+|[^ a-z0-9]+', 0)")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(50)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -387,5 +400,10 @@ object Scalars {
                 o_orderkey >> 2 AS shr2,
                 CAST(bit_count(o_orderkey) AS INTEGER) AS pop
          FROM orders ORDER BY o_orderkey LIMIT 100""",
+    "str_tokenize_regex" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(props, '[a-z]+|[0-9]+|[^ a-z0-9]+')) AS tok
+                    FROM events)
+         SELECT tok, count(*) AS n FROM t GROUP BY tok
+         ORDER BY n DESC, tok LIMIT 50""",
   )
 }

@@ -234,6 +234,46 @@ object Windows {
           expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts_s
                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""").as("hour_n"))
         .orderBy("user_id", "event_id")),
+
+    // Gaps-and-islands: per user, runs of CONSECUTIVE active days, found by
+    // the classic day_number − row_number() grouping key (constant within a
+    // run, jumps at every gap). One user_id shuffle feeds the window AND both
+    // aggregations; outputs are pure integers (streak lengths / island
+    // counts), so nothing floats.
+    "win_streak" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("2024-01-01").cast("date")) - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("max_streak"), count(lit(1)).as("n_islands"))
+        .orderBy("user_id")
+    }),
+
+    // Exponential decay with DYADIC weights: ewma128 = Σ_{j=0..7} w_j·lag_j
+    // with w = [64,32,16,8,4,2,1,1] (sums to 128 = the fixed-point scale).
+    // A true infinite-tail EWMA needs a recursive accumulator (not a window
+    // frame) and floats; truncating the tail at 8 rows and choosing power-of-
+    // two weights makes the whole computation BIGINT — engine-exact, order-
+    // independent, and still a ~0.5 decay per step. One user_id shuffle, 8
+    // lags over one sorted frame.
+    "win_ewma" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val weights = Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L, 1L)
+      val ewma = weights.zipWithIndex.map {
+        case (wt, 0) => col("v") * lit(wt)
+        case (wt, j) => coalesce(lag(col("v"), j).over(byUser), lit(0L)) * lit(wt)
+      }.reduce(_ + _)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          d4(col("value")).as("v"))
+        .withColumn("ewma128", ewma)
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -353,6 +393,32 @@ object Windows {
           FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
                        ${moneySql("value")} AS cents
                 FROM events)
+          ORDER BY user_id, event_id""",
+    "win_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                       FROM events),
+              isl AS (SELECT user_id,
+                             date_diff('day', DATE '2024-01-01', day)
+                               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+                      FROM days),
+              runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+         SELECT user_id, max(len) AS max_streak, count(*) AS n_islands
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+    "win_ewma" ->
+      s"""SELECT user_id, event_id, ts_s,
+                 v,
+                 64 * v
+                 + 32 * COALESCE(lag(v, 1) OVER w, 0)
+                 + 16 * COALESCE(lag(v, 2) OVER w, 0)
+                 +  8 * COALESCE(lag(v, 3) OVER w, 0)
+                 +  4 * COALESCE(lag(v, 4) OVER w, 0)
+                 +  2 * COALESCE(lag(v, 5) OVER w, 0)
+                 +  1 * COALESCE(lag(v, 6) OVER w, 0)
+                 +  1 * COALESCE(lag(v, 7) OVER w, 0) AS ewma128
+          FROM (SELECT user_id, event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+                       ${d4Sql("value")} AS v
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
           ORDER BY user_id, event_id""",
   )
 }

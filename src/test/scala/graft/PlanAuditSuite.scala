@@ -216,4 +216,18 @@ class PlanAuditSuite extends AnyFunSuite {
     val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 1, s"expected a single user_id hash shuffle, got $hashEx:\n${finalPlan.take(2500)}")
   }
+
+  test("join_hinted_shuffle_hash plans a ShuffledHashJoin, not sort-merge") {
+    val p = plan("join_hinted_shuffle_hash")
+    assert(p.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint must force a shuffled hash join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the hinted join must not fall back to sort-merge (two avoidable sorts at scale)")
+  }
+
+  test("join_spatial_grid joins on cell keys — no cartesian/nested-loop candidate stage") {
+    val p = plan("join_spatial_grid")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid blocking must equi-join on (cx, cy), never cross:\n${p.take(1500)}")
+  }
 }
