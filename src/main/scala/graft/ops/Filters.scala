@@ -50,6 +50,27 @@ object Filters {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
+
+    // Robust outlier filter (data-cleaning gate): flag rows farther than
+    // 2·MAD from their group median. Both statistics are DISCRETE
+    // percentiles over integer cents — actual data values, so the whole
+    // filter is exact integer arithmetic; the two-row stats frame broadcasts
+    // back and the corpus-sized side is scanned twice but shuffled never.
+    "filter_outlier_mad" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      val med = li.groupBy("l_returnflag").agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("med"))
+      val mad = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"), abs(col("cents") - col("med")).as("ad"))
+        .groupBy("l_returnflag").agg(
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT)").as("mad"),
+          min("med").as("med"))
+      li.join(broadcast(mad), "l_returnflag")
+        .filter(abs(col("cents") - col("med")) > lit(2L) * col("mad"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "cents")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -73,5 +94,17 @@ object Filters {
                 count(*) AS n
          FROM (SELECT NULLIF(l_discount, 0.0) AS x FROM lineitem)
          GROUP BY 1 ORDER BY 1""",
+    "filter_outlier_mad" ->
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                             ${moneySql("l_extendedprice")} AS cents FROM lineitem),
+              med AS (SELECT l_returnflag, quantile_disc(cents, 0.5) AS med
+                      FROM li GROUP BY l_returnflag),
+              mad AS (SELECT li.l_returnflag,
+                             quantile_disc(abs(cents - med), 0.5) AS mad, min(med) AS med
+                      FROM li JOIN med USING (l_returnflag) GROUP BY li.l_returnflag)
+         SELECT l_orderkey, l_linenumber, li.l_returnflag, cents
+         FROM li JOIN mad USING (l_returnflag)
+         WHERE abs(cents - mad.med) > 2 * mad.mad
+         ORDER BY l_orderkey, l_linenumber""",
   )
 }

@@ -344,6 +344,27 @@ object LlmCuration {
         .select(col("doc_id"), md5(col("rendered")).as("sft_md5"),
           length(col("rendered")).cast("long").as("sft_len"))
         .orderBy("doc_id")),
+
+    // Tokenizer-vocabulary coverage: learn the top-K vocab from the corpus
+    // itself ((count, word) total order so the cutoff is engine-stable),
+    // broadcast it, and report each document's OOV rate in basis points —
+    // the fertility/coverage screen run before committing to a tokenizer.
+    // K = 20 on this fixture's 31-word vocab so both classes are populated;
+    // a real run sets K to the tokenizer's vocab size. The corpus-sized
+    // token stream never shuffles: one broadcast probe + one doc_id agg.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val toks = documents(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("10000 * n_oov div n_tokens").as("oov_bp"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -487,6 +508,16 @@ object LlmCuration {
                     FROM t WHERE len(tk) > 8)
          SELECT doc_id, md5(rendered) AS sft_md5, length(rendered) AS sft_len
          FROM r ORDER BY doc_id""",
+    "llm_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+                                       ORDER BY c DESC, w LIMIT 20)),
+              j AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+                    FROM toks t LEFT JOIN vocab v ON t.w = v.w)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                10000 * CAST(sum(oov) AS BIGINT) // count(*) AS oov_bp
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     // Quality formula mirrored from the llm_text_quality oracle.
     "llm_data_card" ->
       """WITH q AS (SELECT doc_id, source, lang, text,

@@ -120,6 +120,25 @@ object SetOps {
           expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
             .as("checksum_sum"),
           bit_xor(col("h")).as("checksum_xor"))),
+
+    // Pipeline instrumentation via the Observation API (CollectMetrics):
+    // the metrics ride the SAME action that materializes the data — no
+    // second scan, which is the whole point at 100 TB (row counts and
+    // control totals from a pass you were already paying for). The op
+    // returns the observed metrics row itself so the oracle can pin the
+    // values the listener would have received.
+    "util_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val df = orders(s, d).observe(obs,
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("rev_cents"),
+        max(col("o_orderkey")).as("max_key"))
+      df.foreach(_ => ()) // one materializing action; metrics ride along
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_orders").asInstanceOf[Long], m("rev_cents").asInstanceOf[Long],
+        m("max_key").asInstanceOf[Long])).toDF("n_orders", "rev_cents", "max_key")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,5 +189,11 @@ object SetOps {
           FROM (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
                           o_orderstatus, o_orderpriority, ${moneySql("o_totalprice")})), 1, 12))::BIGINT AS h
                 FROM orders)""",
+    // The metrics are plain aggregates over the observed frame.
+    "util_observe_metrics" ->
+      s"""SELECT count(*) AS n_orders,
+                 ${moneySumSql("o_totalprice")} AS rev_cents,
+                 max(o_orderkey) AS max_key
+          FROM orders""",
   )
 }

@@ -344,6 +344,69 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile_disc: discrete percentiles are actual data values") {
+    val cents = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    SparkEntry.queries("agg_percentile_disc")(s, d).collect().foreach { r =>
+      val vs = cents(r.getString(0))
+      assert(vs.contains(r.getAs[Long]("p50_cents")), "p50 must be an observed value")
+      assert(vs.contains(r.getAs[Long]("p90_cents")), "p90 must be an observed value")
+      assert(r.getAs[Long]("p50_cents") <= r.getAs[Long]("p90_cents"))
+    }
+  }
+
+  test("filter_outlier_mad: every surviving row really exceeds the 2-MAD gate") {
+    val byFlag = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("c"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def disc(xs: Seq[Long], p: Double): Long = xs(math.ceil(p * xs.size).toInt - 1)
+    val stats = byFlag.map { case (f, xs) =>
+      val med = disc(xs, 0.5)
+      f -> (med, disc(xs.map(x => math.abs(x - med)).sorted, 0.5))
+    }
+    val rows = SparkEntry.queries("filter_outlier_mad")(s, d).collect()
+    assert(rows.nonEmpty, "fixture should contain 2-MAD outliers")
+    rows.foreach { r =>
+      val (med, mad) = stats(r.getString(2))
+      assert(math.abs(r.getAs[Long]("cents") - med) > 2 * mad, s"non-outlier survived: $r")
+    }
+  }
+
+  test("util_observe_metrics equals the direct aggregation") {
+    val got = SparkEntry.queries("util_observe_metrics")(s, d).collect().head
+    val want = Tables.orders(s, d).agg(
+      count(lit(1)), graft.Norm.moneySum(col("o_totalprice")), max(col("o_orderkey")))
+      .collect().head
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1) &&
+      got.getLong(2) == want.getLong(2), s"observed $got != direct $want")
+  }
+
+  test("llm_vocab_coverage: OOV never exceeds tokens and conserves the corpus") {
+    val rows = SparkEntry.queries("llm_vocab_coverage")(s, d).collect()
+    assert(rows.length == Tables.documents(s, d).count())
+    var total = 0L
+    rows.foreach { r =>
+      val (n, oov, bp) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_bp"))
+      assert(oov <= n && bp == 10000 * oov / n)
+      total += n
+    }
+    val corpus = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total == corpus, "per-doc token counts must conserve the corpus total")
+  }
+
+  test("str_tokenize_regex: tokens are single-class runs, never mixed or spaced") {
+    val toks = SparkEntry.queries("str_tokenize_regex")(s, d).collect()
+    assert(toks.nonEmpty)
+    toks.foreach { r =>
+      val t = r.getString(0)
+      assert(t.matches("[a-z]+|[0-9]+|[^ a-z0-9]+"), s"token '$t' crosses class boundaries")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
