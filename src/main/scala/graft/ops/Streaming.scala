@@ -82,6 +82,23 @@ object Streaming {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // Windowed TOP-K (the trending-now job): the watermarked tumbling count
+    // is the streaming stage (bounded state: one row per (window, type));
+    // the rank-and-keep runs over CLOSED windows downstream (foreachBatch /
+    // the serving read), because a top-k over an open window would retract.
+    // (count desc, type) is a total order, so the cutoff is engine-stable.
+    "stream_topk_windowed" -> ((s, d) => {
+      val counts = events(s, d)
+        .select(tsec(col("ts")).as("ts_s"), col("event_type"))
+        .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      counts.withColumn("rnk", row_number().over(
+          Window.partitionBy("window_start").orderBy(col("n").desc, col("event_type"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    }),
+
     "stream_sliding" -> ((s, d) =>
       events(s, d)
         .select(tsec(col("ts")).as("ts_s"), col("event_type"))
@@ -261,6 +278,16 @@ object Streaming {
                  event_type, count(*) AS n, ${moneySumSql("value")} AS sum_value
           FROM (SELECT $tsS AS ts_s, event_type, value FROM events)
           GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    "stream_topk_windowed" ->
+      s"""WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
+                            event_type, count(*) AS n
+                     FROM (SELECT $tsS AS ts_s, event_type FROM events)
+                     GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER
+                      (PARTITION BY window_start ORDER BY n DESC, event_type) AS rnk
+                    FROM c)
+          SELECT window_start, event_type, n, rnk
+          FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""",
     // Each event belongs to exactly 2 sliding windows: its 30-min bucket and
     // the one 30 minutes earlier.
     "stream_sliding" ->

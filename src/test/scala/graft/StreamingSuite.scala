@@ -395,4 +395,44 @@ class StreamingSuite extends AnyFunSuite {
       assert(rows.contains((300L, -1L)), s"null-padded unmatched click missing: $rows")
     } finally q.stop()
   }
+
+  test("stream_topk_windowed twin: rank over streamed window counts == batch op") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val data = Seq(
+      (ts("10:05"), "click"), (ts("10:10"), "click"), (ts("10:15"), "view"),
+      (ts("10:20"), "view"), (ts("10:25"), "view"), (ts("10:30"), "error"),
+      (ts("10:40"), "signup"), (ts("10:45"), "purchase"), // 5 types: one must fall out of top-3
+      (ts("11:05"), "view"))
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData(data: _*)
+    // streaming stage: the watermarked windowed count (bounded state)
+    val q = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("topk_counts")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    // downstream rank over the closed windows (the op's second stage)
+    val streamed = sp.table("topk_counts")
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= 3)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = data.toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start").orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // exactly 3 survivors in the 10:00 window (5 types competed)
+    assert(streamed.count(_.contains("10:00")) == 3)
+  }
 }
