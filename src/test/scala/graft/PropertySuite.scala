@@ -112,7 +112,12 @@ class PropertySuite extends AnyFunSuite {
       // round-6 additions: null-aware anti join, interval range frame, and
       // the hash-bucketed global shuffle must survive AQE re-planning
       "sub_not_in_null", "win_time_range", "llm_global_shuffle",
-      "graph_pagerank_fixed", "win_funnel", "util_table_diff", "agg_weighted")
+      "graph_pagerank_fixed", "win_funnel", "util_table_diff", "agg_weighted",
+      // this session's additions with shuffle-sensitive shapes: grid-blocked
+      // spatial join, degree-pruned triangles, islands window, top-K vocab
+      // broadcast, MAD broadcast-back filter, windowed top-k rank
+      "join_spatial_grid", "graph_triangles", "win_streak",
+      "llm_vocab_coverage", "filter_outlier_mad", "stream_topk_windowed")
     keys.foreach { k =>
       def run(aqe: Boolean): Seq[String] = {
         s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
