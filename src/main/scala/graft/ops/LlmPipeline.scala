@@ -274,6 +274,38 @@ object LlmPipeline {
         .filter(col("n_docs") > 1)
         .orderBy("h")),
 
+    // Cross-slice exact dedup with a BLOOM PREFILTER (the incremental-ingest
+    // shape: "which new docs already exist in the corpus?"). The reference
+    // slice folds to a kilobyte bloom sketch (graft_bloom_agg — Spark's
+    // runtime-filter aggregate surfaced via GraftExtensions); the probe side
+    // is cut by graft_might_contain BEFORE the exact semi join, so the
+    // shuffle carries only bloom survivors (~dup rate + FP rate of the
+    // probe, not all of it). The semi join then kills false positives —
+    // the result is EXACTLY the plain semi join, which is the oracle; the
+    // might_contain prefilter is asserted in the plan (Round6Suite). At
+    // 100 TB this is the pattern for a build side that fits a sketch but
+    // not a broadcast hash table.
+    "llm_dedup_bloom_prefilter" -> ((s, d) => {
+      val docs = documents(s, d)
+      // might_contain requires its bloom input be a scalar subquery (or
+      // constant) — the audited scalar-subquery pattern, via a temp view.
+      val tag = (d.hashCode & 0x7fffffff).toString
+      val v = s"graft_bloom_ref_$tag"
+      // key = the order-free content fingerprint (llm_fingerprint's set_md5):
+      // bag-of-words-identical docs collide, so the incremental-ingest story
+      // has real hits at every fixture scale (byte-exact dups don't exist at
+      // sf0.01).
+      val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      docs.filter(col("doc_id") % 2 === 0).select(fp.as("h"))
+        .createOrReplaceTempView(v)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), fp.as("h"))
+        .filter(expr(s"graft_might_contain((SELECT graft_bloom_agg(h) FROM $v), h)"))
+        .join(s.table(v).distinct(), Seq("h"), "left_semi")
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    }),
+
     // The pair set itself comes from the Shared memo (one computation per
     // process, reused by clusters/keep_best); only the declared total order
     // is applied here.
@@ -405,6 +437,16 @@ object LlmPipeline {
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
+    // The bloom is plan-only acceleration — the answer is the plain semi join.
+    "llm_dedup_bloom_prefilter" ->
+      """WITH f AS (SELECT doc_id,
+                           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                    FROM documents)
+         SELECT p.doc_id, p.h
+         FROM f p
+         WHERE p.doc_id % 2 = 1
+           AND EXISTS (SELECT 1 FROM f r WHERE r.doc_id % 2 = 0 AND r.h = p.h)
+         ORDER BY p.doc_id""",
     // Exact all-pairs Jaccard — no sketch — over the FULL corpus; the
     // size-ratio prefilter (J >= 4/5 forces 5·min(|A|,|B|) >= 4·max) is
     // semantics-preserving pruning, and integer cross-multiplication keeps

@@ -74,6 +74,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children.head)))
+    // Spark's runtime-filter bloom expressions, surfaced as callable
+    // functions (upstream registers bloom_filter_agg/might_contain for the
+    // InjectRuntimeFilter rule only, not the public registry). The value is
+    // xxhash64-folded to LONG here so callers pass the raw column. This is
+    // the manual build-side-bloom → probe-side-prefilter pattern for semi
+    // joins whose build side fits a sketch but not a broadcast hash table.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(children.take(1)))
+          .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(children.slice(1, 2)))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
   }
 }

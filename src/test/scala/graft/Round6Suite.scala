@@ -407,6 +407,23 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_bloom_prefilter: bloom probe is in the plan and result == plain semi join") {
+    val df = SparkEntry.queries("llm_dedup_bloom_prefilter")(s, d)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("might_contain"),
+      s"probe side must be bloom-prefiltered before the semi join:\n${p.take(1500)}")
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val docs = Tables.documents(s, d)
+    val want = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), fp.as("h"))
+      .join(docs.filter(col("doc_id") % 2 === 0).select(fp.as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select("doc_id", "h").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val got = df.collect().map(_.toString).toSeq
+    assert(got == want && got.nonEmpty,
+      s"bloom-accelerated result must equal the exact semi join (got ${got.size} rows)")
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
