@@ -295,7 +295,11 @@ object Joins {
     // Jaccard: shared·10⁴ div (|A|+|B|−shared) — positive, so Spark's
     // truncating div and DuckDB's flooring // agree.
     "join_fuzzy_trigram" -> ((s, d) => {
+      // length ≥ 3 guard: Spark's sequence(1, n) runs DESCENDING when n < 1
+      // (names shorter than a trigram would fabricate substrings), DuckDB's
+      // generate_series is empty — the filter removes the divergence class.
       val names = part(s, d).select(lower(col("p_name")).as("nm")).distinct()
+        .filter(length(col("nm")) >= 3)
       val tg = names.select(col("nm"),
         explode(expr("transform(sequence(1, char_length(nm) - 2), i -> substr(nm, i, 3))")).as("t"))
         .distinct()
@@ -505,7 +509,8 @@ object Joins {
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_fuzzy_trigram" ->
-      """WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part),
+      """WITH names AS (SELECT DISTINCT lower(p_name) AS nm FROM part
+                        WHERE length(p_name) >= 3),
               tg AS (SELECT DISTINCT nm, substr(nm, CAST(gs AS INT), 3) AS t
                      FROM names, unnest(generate_series(1, length(nm) - 2)) AS u(gs)),
               sizes AS (SELECT nm, count(*) AS ntg FROM tg GROUP BY nm),
