@@ -307,6 +307,30 @@ object Aggregations {
           expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90_cents"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+
+    // Gini coefficient per market segment (spend-inequality analytics),
+    // exact: with x ascending and i = rank, G = (2Σi·x − (n+1)Σx)/(n·Σx) —
+    // emitted as the (numerator, denominator) integer pair, never divided.
+    // The rank tiebreak (cents, o_orderkey) is a total order, and the i·x
+    // moment accumulates in DECIMAL(38,0) (the agg_weighted overflow rule:
+    // rank×cents ≈ 1e12/row already, ×100 TB would ANSI-overflow a BIGINT
+    // accumulator) before the single narrowing back to BIGINT.
+    "agg_gini" -> ((s, d) => {
+      val j = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"),
+          col("o_orderkey"))
+      val w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+      j.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS BIGINT)").as("six"),
+          expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").as("sx"))
+        .select(col("seg"), col("n"),
+          (lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx")).as("gini_num"),
+          (col("n") * col("sx")).as("gini_den"))
+        .orderBy("seg")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -449,5 +473,18 @@ object Aggregations {
                  quantile_disc(${moneySql("l_extendedprice")}, 0.9) AS p90_cents,
                  count(*) AS n
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // sum(BIGINT) is HUGEINT in DuckDB — the decimal-width accumulator twin.
+    "agg_gini" ->
+      s"""WITH j AS (SELECT c_mktsegment AS seg, ${moneySql("o_totalprice")} AS cents, o_orderkey
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              r AS (SELECT seg, cents,
+                           row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS i
+                    FROM j),
+              a AS (SELECT seg, count(*) AS n,
+                           CAST(sum(i * cents) AS BIGINT) AS six,
+                           CAST(sum(cents) AS BIGINT) AS sx
+                    FROM r GROUP BY seg)
+         SELECT seg, n, 2 * six - (n + 1) * sx AS gini_num, n * sx AS gini_den
+         FROM a ORDER BY seg""",
   )
 }

@@ -274,6 +274,39 @@ object Windows {
         .withColumn("ewma128", ewma)
         .orderBy("user_id", "event_id")
     }),
+
+    // Running DISTINCT count without distinct-state explosion: a row is
+    // "first seen" iff it is row 1 of its (user, type) subsequence, and the
+    // running distinct count is then a plain cumulative sum of the 0/1 flag
+    // — two windows sharing one user_id shuffle, state per row is a single
+    // counter (vs materializing the seen-set per row, which is quadratic).
+    "win_running_distinct" -> ((s, d) => {
+      val firstSeen = row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy("ts_s", "event_id"))
+      val run = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          col("event_type"))
+        .withColumn("first_seen", when(firstSeen === 1, 1L).otherwise(0L))
+        .withColumn("distinct_so_far", sum("first_seen").over(run))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Event-transition matrix (the Markov-chain session statistic): count
+    // every consecutive (prev type → type) hop per user stream. One lag
+    // window + one partial-aggregatable count; the matrix is |types|² rows
+    // — metadata-sized however large the stream.
+    "win_transitions" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byU))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -420,5 +453,24 @@ object Windows {
                 FROM events)
           WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
           ORDER BY user_id, event_id""",
+    "win_running_distinct" ->
+      """SELECT user_id, event_id, ts_s, event_type, first_seen,
+                CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_so_far
+         FROM (SELECT user_id, event_id, ts_s, event_type,
+                      CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_s, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+               FROM (SELECT user_id, event_id,
+                            CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type
+                     FROM events))
+         ORDER BY user_id, event_id""",
+    "win_transitions" ->
+      """SELECT prev_type, event_type, count(*) AS n
+         FROM (SELECT event_type,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY CAST(date_trunc('second', ts) AS TIMESTAMP), event_id) AS prev_type
+               FROM events)
+         WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
   )
 }

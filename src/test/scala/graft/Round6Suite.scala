@@ -424,6 +424,48 @@ class Round6Suite extends AnyFunSuite {
       s"bloom-accelerated result must equal the exact semi join (got ${got.size} rows)")
   }
 
+  test("agg_gini: numerator within [0, den]; equal-spend degenerate case is 0") {
+    import s.implicits._
+    SparkEntry.queries("agg_gini")(s, d).collect().foreach { r =>
+      val (num, den) = (r.getAs[Long]("gini_num"), r.getAs[Long]("gini_den"))
+      assert(den > 0 && num >= 0 && num <= den, s"Gini out of [0,1]: $r")
+    }
+    // constant incomes ⇒ G = 0 exactly under the same formula
+    val const = Seq.tabulate(7)(i => ("x", 500L, i.toLong)).toDF("seg", "cents", "k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg").orderBy("cents", "k")
+    val row = const.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(expr("i * cents")).as("six"), sum("cents").as("sx"))
+      .select((lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx")).as("num"))
+      .collect().head
+    assert(row.getLong(0) == 0L, "equal incomes must Gini to exactly zero")
+  }
+
+  test("win_running_distinct: final value per user equals the exact distinct count") {
+    val rows = SparkEntry.queries("win_running_distinct")(s, d)
+      .select("user_id", "event_id", "distinct_so_far").collect()
+    val finals = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.maxBy(_.getLong(1)).getLong(2)).toMap
+    val want = Tables.events(s, d).groupBy("user_id")
+      .agg(countDistinct("event_type").as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finals == want, "running distinct must converge to the true distinct count")
+    // monotone non-decreasing along each user stream (cumulative 0/1 sum)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(seq.zip(seq.tail).forall { case (a, b) => b >= a && b <= a + 1 })
+    }
+  }
+
+  test("win_transitions: hop counts conserve (events minus one per active user)") {
+    val total = SparkEntry.queries("win_transitions")(s, d)
+      .agg(sum("n")).collect().head.getLong(0)
+    val events = Tables.events(s, d).count()
+    val users = Tables.events(s, d).select("user_id").distinct().count()
+    assert(total == events - users,
+      s"every event except each user's first is one hop: $total != $events - $users")
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
