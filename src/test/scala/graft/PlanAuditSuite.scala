@@ -230,4 +230,18 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"grid blocking must equi-join on (cx, cy), never cross:\n${p.take(1500)}")
   }
+
+  test("llm_vocab_coverage: the top-K vocab broadcasts — token stream never sort-merges") {
+    val p = plan("llm_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the K-row vocab must broadcast against the corpus token stream:\n${p.take(1500)}")
+  }
+
+  test("MAD stats frames broadcast back (agg_mad, filter_outlier_mad)") {
+    Seq("agg_mad", "filter_outlier_mad").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$k: the per-group stats frame must broadcast, not shuffle the fact side:\n${p.take(1500)}")
+    }
+  }
 }
