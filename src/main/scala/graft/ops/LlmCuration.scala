@@ -365,6 +365,28 @@ object LlmCuration {
           expr("10000 * n_oov div n_tokens").as("oov_bp"))
         .orderBy("doc_id")
     }),
+
+    // N-gram NOVELTY (dataset-diversity curation metric): fraction of each
+    // doc's distinct word-3-grams whose corpus-wide FIRST occurrence (by
+    // doc_id order) is this doc. Attribution = one gram-keyed min-agg + one
+    // gram-keyed join — the join is honest gram-cardinality shuffle work
+    // (the first-occurrence frame is corpus-scale, NOT broadcast-able);
+    // novelty in integer basis points.
+    "llm_ngram_novelty" -> ((s, d) => {
+      val g3 = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(t, 1, greatest(size(t) - 2, 0)),
+                       (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2]))""")).as("g"))
+        .distinct()
+      val first = g3.groupBy("g").agg(min("doc_id").as("first_doc"))
+      g3.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("10000 * n_novel div n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -518,6 +540,20 @@ object LlmCuration {
                 CAST(sum(oov) AS BIGINT) AS n_oov,
                 10000 * CAST(sum(oov) AS BIGINT) // count(*) AS oov_bp
          FROM j GROUP BY doc_id ORDER BY doc_id""",
+    "llm_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              grams AS (SELECT DISTINCT doc_id, concat_ws(' ', w1, w2, w3) AS g FROM (
+                SELECT doc_id,
+                       unnest(t[1:len(t)-2]) AS w1, unnest(t[2:len(t)-1]) AS w2,
+                       unnest(t[3:len(t)]) AS w3
+                FROM toks)),
+              f AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+         SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                10000 * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  // count(*) AS novelty_bp
+         FROM grams JOIN f USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     // Quality formula mirrored from the llm_text_quality oracle.
     "llm_data_card" ->
       """WITH q AS (SELECT doc_id, source, lang, text,

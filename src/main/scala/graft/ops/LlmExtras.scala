@@ -500,6 +500,26 @@ object LlmExtras {
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
     }),
 
+    // Degree distribution of the near-dup graph (the connectivity audit run
+    // before trusting any graph algorithm's cost model): per-node degree,
+    // bucketed by bit-length (= ⌊log2⌋+1, exact integer — the
+    // llm_token_histogram rule), isolated nodes kept as bucket 0 via the
+    // left join. Everything partial-aggregatable; pairs from the Shared
+    // memo.
+    "graph_degree_histogram" -> ((s, d) => {
+      val pairs = Shared.wordPairs(s, d).select("doc_a", "doc_b")
+      val deg = pairs.select(col("doc_a").as("v"))
+        .unionAll(pairs.select(col("doc_b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      documents(s, d).select(col("doc_id").as("v"))
+        .join(deg, Seq("v"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("deg"))
+        .groupBy(when(col("deg") === 0, lit(0L))
+          .otherwise(expr("CAST(length(bin(deg)) AS BIGINT)")).as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"), max("deg").as("max_deg"))
+        .orderBy("bucket")
+    }),
+
     // Symmetric int8 quantization of the embedding column — the compression
     // an ANN index applies before serving (4× smaller than float32, dot
     // products in integer SIMD). Per vector: scale = max|x|, q_i =
@@ -1035,6 +1055,27 @@ object LlmExtras {
                        FROM e e1 JOIN e e2 ON e2.a = e1.b
                                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
           SELECT (SELECT count(*) FROM e) AS n_edges_kept, tri.n_triangles FROM tri""",
+    "graph_degree_histogram" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               deg AS (SELECT vv, count(*) AS deg
+                       FROM (SELECT doc_a AS vv FROM pairs UNION ALL SELECT doc_b FROM pairs)
+                       GROUP BY vv),
+               alln AS (SELECT COALESCE(deg.deg, 0) AS deg
+                        FROM documents LEFT JOIN deg ON deg.vv = documents.doc_id)
+          SELECT CASE WHEN deg = 0 THEN 0
+                      ELSE CAST(length(bin(deg)) AS BIGINT) END AS bucket,
+                 count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+          FROM alln GROUP BY 1 ORDER BY bucket""",
     // Same floor-based round; the error fold is index-addressed (range +
     // v[i]/q[i]) because DuckDB lambdas have no two-list zip_with.
     "llm_embed_quantize" ->

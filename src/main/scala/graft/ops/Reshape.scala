@@ -167,6 +167,25 @@ object Reshape {
           (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
         .orderBy("user_id")
     }),
+
+    // Week-over-week delta report (the periodic-comparison job): weeks are
+    // explicit 7-day buckets anchored at 2024-01-01 — engine-neutral by
+    // construction, no date_trunc('week') week-start convention to agree
+    // on. One tiny (type, week) aggregate, then a lag over the
+    // metadata-sized report frame; first week's delta is its own count
+    // (coalesce 0 baseline).
+    "ts_wow_delta" -> ((s, d) => {
+      val wk = events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT) div 7""").as("wk"))
+        .groupBy("event_type", "wk").agg(count(lit(1)).as("n"))
+      wk.withColumn("prev_n",
+          lag(col("n"), 1).over(Window.partitionBy("event_type").orderBy("wk")))
+        .select(col("event_type"), col("wk"), col("n"),
+          (col("n") - coalesce(col("prev_n"), lit(0L))).as("delta"))
+        .orderBy("event_type", "wk")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +299,14 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_wow_delta" ->
+      """WITH wk AS (SELECT event_type,
+                            date_diff('day', DATE '2024-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2)
+         SELECT event_type, wk, n,
+                n - COALESCE(lag(n, 1) OVER (PARTITION BY event_type ORDER BY wk), 0) AS delta
+         FROM wk ORDER BY event_type, wk""",
   )
 }

@@ -466,6 +466,46 @@ class Round6Suite extends AnyFunSuite {
       s"every event except each user's first is one hop: $total != $events - $users")
   }
 
+  test("llm_ngram_novelty: first doc is fully novel; novel counts conserve distinct grams") {
+    val rows = SparkEntry.queries("llm_ngram_novelty")(s, d).collect()
+    assert(rows.nonEmpty)
+    val firstDoc = rows.map(_.getLong(0)).min
+    val first = rows.find(_.getLong(0) == firstDoc).get
+    assert(first.getAs[Long]("novelty_bp") == 10000L,
+      "the earliest doc's grams are all first occurrences by definition")
+    val totalNovel = rows.map(_.getAs[Long]("n_novel")).sum
+    val distinctGrams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(explode(expr(
+        """transform(slice(t, 1, greatest(size(t) - 2, 0)),
+                     (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2]))""")).as("g"))
+      .distinct().count()
+    assert(totalNovel == distinctGrams,
+      s"every distinct gram is novel exactly once: $totalNovel != $distinctGrams")
+  }
+
+  test("ts_wow_delta: deltas telescope to the final week's count per type") {
+    val rows = SparkEntry.queries("ts_wow_delta")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("wk"))
+      assert(sorted.map(_.getAs[Long]("delta")).sum == sorted.last.getAs[Long]("n"),
+        s"telescoping sum broke for $t")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(s, d).count())
+  }
+
+  test("graph_degree_histogram: buckets partition the node set with exact log2 bounds") {
+    val rows = SparkEntry.queries("graph_degree_histogram")(s, d).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == Tables.documents(s, d).count())
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_deg"), r.getAs[Long]("max_deg"))
+      if (b == 0L) assert(lo == 0L && hi == 0L)
+      else assert(lo >= (1L << (b - 1).toInt) && hi < (1L << b.toInt),
+        s"bucket $b must hold degrees in [2^${b - 1}, 2^$b): $r")
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
