@@ -136,6 +136,27 @@ object Subqueries {
              NOT IN (SELECT c_custkey FROM @customer WHERE c_acctbal < -500)
        ORDER BY o_orderkey LIMIT 300"""
 
+  // WITH RECURSIVE (Spark 4's recursive CTE — iteration expressed IN SQL):
+  // walk the implicit binary-tree hierarchy parent(k) = ⌊k/2⌋ rooted at
+  // custkey 0 and report the population per depth. FLOOR(k / 2.0) instead
+  // of integer division because `div` vs `//` is the one dialect split the
+  // single-sourced text must avoid (k ≥ 0 so floor-of-double is exact).
+  // Recursion depth is ⌈log2(maxkey)⌉ ≈ 11-14 per sf — far under Spark's
+  // 100-level default limit, and each level is one self-join of the
+  // frontier against customer (the same plan a driver-side loop would
+  // build, minus the driver round-trips).
+  private val SUB_RECURSIVE_CTE =
+    """WITH RECURSIVE tree(k, depth) AS (
+         SELECT CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS depth
+         UNION ALL
+         SELECT c.c_custkey, t.depth + 1
+         FROM @customer c JOIN tree t
+           ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+         WHERE c.c_custkey > 0
+       )
+       SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
+       FROM tree GROUP BY depth ORDER BY depth"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -145,6 +166,7 @@ object Subqueries {
     "sub_cte_chain"   -> ((s, d) => viaSql(s, d, SUB_CTE_CHAIN, "orders")),
     "sub_lateral"     -> ((s, d) => viaSql(s, d, SUB_LATERAL, "orders", "lineitem")),
     "sub_not_in_null" -> ((s, d) => viaSql(s, d, SUB_NOT_IN_NULL, "orders", "customer")),
+    "sub_recursive_cte" -> ((s, d) => viaSql(s, d, SUB_RECURSIVE_CTE, "customer")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -156,5 +178,6 @@ object Subqueries {
     "sub_cte_chain"   -> stripMarkers(SUB_CTE_CHAIN),
     "sub_lateral"     -> stripMarkers(SUB_LATERAL),
     "sub_not_in_null" -> stripMarkers(SUB_NOT_IN_NULL),
+    "sub_recursive_cte" -> stripMarkers(SUB_RECURSIVE_CTE),
   )
 }

@@ -506,6 +506,22 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("sub_recursive_cte: depths follow the closed-form binary-tree population") {
+    val rows = SparkEntry.queries("sub_recursive_cte")(s, d).collect()
+    val maxKey = Tables.customer(s, d).agg(max("c_custkey")).collect().head.getLong(0)
+    val n = Tables.customer(s, d).count()
+    // depth b holds keys in [2^(b-2), 2^(b-1)) for b >= 2; depth 1 is {0}
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n, "recursion must reach every customer")
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("depth"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key"))
+      if (b == 1L) assert(lo == 0L && hi == 0L)
+      else {
+        assert(lo == (1L << (b - 2).toInt), s"depth $b must start at 2^${b - 2}: $r")
+        assert(hi == math.min(maxKey, (1L << (b - 1).toInt) - 1), s"depth $b max wrong: $r")
+      }
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
