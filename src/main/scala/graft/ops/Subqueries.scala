@@ -157,6 +157,23 @@ object Subqueries {
        SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key
        FROM tree GROUP BY depth ORDER BY depth"""
 
+  // Spark 4 SQL PIPE syntax (|> operators — the linear query-flow surface).
+  // NOT single-sourced: DuckDB has no pipe parser, so this one op carries a
+  // separate ANSI oracle; the RESULT is dialect-free, only the spelling
+  // differs. Pipe AGGREGATE emits grouping keys then aggregates; the
+  // driver's name-keyed compare is column-order-insensitive anyway.
+  private val SUB_PIPE =
+    s"""FROM @orders
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n, ${moneySumSql("o_totalprice")} AS rev
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority"""
+
+  private val SUB_PIPE_ORACLE =
+    s"""SELECT o_orderpriority, count(*) AS n, ${moneySumSql("o_totalprice")} AS rev
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -167,6 +184,7 @@ object Subqueries {
     "sub_lateral"     -> ((s, d) => viaSql(s, d, SUB_LATERAL, "orders", "lineitem")),
     "sub_not_in_null" -> ((s, d) => viaSql(s, d, SUB_NOT_IN_NULL, "orders", "customer")),
     "sub_recursive_cte" -> ((s, d) => viaSql(s, d, SUB_RECURSIVE_CTE, "customer")),
+    "sub_pipe_syntax" -> ((s, d) => viaSql(s, d, SUB_PIPE, "orders")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +197,6 @@ object Subqueries {
     "sub_lateral"     -> stripMarkers(SUB_LATERAL),
     "sub_not_in_null" -> stripMarkers(SUB_NOT_IN_NULL),
     "sub_recursive_cte" -> stripMarkers(SUB_RECURSIVE_CTE),
+    "sub_pipe_syntax" -> SUB_PIPE_ORACLE,
   )
 }
