@@ -111,6 +111,29 @@ object Scans {
         .orderBy("event_type")
     }),
 
+    // Dynamic partition overwrite (INSERT OVERWRITE's partition-scoped
+    // form): seed all 5 event-type partitions, then overwrite ONLY the
+    // 'click' partition with doubled values under
+    // partitionOverwriteMode=dynamic. The readback aggregate proves the
+    // semantics — static mode would have DELETED the other four partitions
+    // and the oracle (which keeps them) would hash-mismatch. At 100 TB this
+    // is how a daily re-statement touches one day, not the table.
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val dir = tmpDir(d, "dynover")
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"), money(col("value")).as("cents"))
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("event_type") === "click")
+        .withColumn("cents", col("cents") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    }),
+
     // Schema evolution across file generations: gen-1 files lack the column
     // gen-2 adds; `mergeSchema` unifies the footers and gen-1 rows read NULL
     // for the new column. At scale this is the append-only ingestion reality
@@ -283,6 +306,13 @@ object Scans {
     "sink_compacted" ->
       s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+    // Untouched partitions keep original cents; the overwritten one doubles.
+    "sink_dynamic_overwrite" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN cents * 2 ELSE cents END)
+                      AS BIGINT) AS total_cents
+          FROM (SELECT event_type, ${moneySql("value")} AS cents FROM events)
+          GROUP BY event_type ORDER BY event_type""",
     "scan_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
