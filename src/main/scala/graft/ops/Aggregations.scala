@@ -331,6 +331,46 @@ object Aggregations {
           (col("n") * col("sx")).as("gini_den"))
         .orderBy("seg")
     }),
+
+    // LISTAGG (SQL:2016, Spark 4 `listagg … WITHIN GROUP`): ordered string
+    // aggregation of a BOUNDED distinct set — per nation, the sorted market
+    // segments its customers span. The explicit distinct-before-listagg
+    // stage caps the string at |segments| (5) regardless of row count AND
+    // partial-aggregates the heavy reduction (an unbounded listagg over raw
+    // rows would be the string-typed collect_list anti-pattern). Kept as two
+    // stages rather than `listagg(DISTINCT …)` + count(DISTINCT) in one agg:
+    // Spark 4.1's ListAgg.withNewChildrenInternal miscasts under the
+    // multi-distinct rewrite (Expand reconstructs children as plain
+    // attributes where ListAgg expects SortOrder).
+    "agg_listagg" -> ((s, d) =>
+      customer(s, d)
+        .select("c_nationkey", "c_mktsegment").distinct()
+        .groupBy("c_nationkey")
+        .agg(
+          expr("listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)")
+            .as("segs"),
+          count(lit(1)).as("n_seg"))
+        .orderBy("c_nationkey")),
+
+    // Exact central-moment BASIS (skewness/kurtosis without floats): the
+    // power sums (n, Σx, Σx², Σx³, Σx⁴) of integer quantities per
+    // returnflag. Each is a plain partial-aggregatable SUM — one constant-
+    // size buffer per (partition, key) on the shuffle, the same mergeable-
+    // moments shape the regr_* family uses internally — and skew/kurtosis
+    // derive from them in closed form downstream without a second scan.
+    // q ≤ 50 ⇒ q⁴ ≤ 6.25e6 per row, so a BIGINT Σq⁴ holds ~1.5e12 rows per
+    // group; beyond that the sums move to the DECIMAL(38,0) accumulator
+    // (the agg_weighted overflow rule).
+    "agg_central_moments" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("s1"),
+          sum(expr("q * q")).as("s2"),
+          sum(expr("q * q * q")).as("s3"),
+          sum(expr("q * q * q * q")).as("s4"))
+        .orderBy("l_returnflag")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,5 +526,23 @@ object Aggregations {
                     FROM r GROUP BY seg)
          SELECT seg, n, 2 * six - (n + 1) * sx AS gini_num, n * sx AS gini_den
          FROM a ORDER BY seg""",
+    // list(DISTINCT …) + list_sort is DuckDB's deterministic LISTAGG twin
+    // (string_agg's ORDER BY + DISTINCT interaction is version-dependent).
+    "agg_listagg" ->
+      """WITH t AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+         SELECT c_nationkey,
+                array_to_string(list_sort(list(c_mktsegment)), ',') AS segs,
+                count(*) AS n_seg
+         FROM t GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // l_quantity is integral by construction, so DuckDB's round-on-cast and
+    // Spark's truncate-on-cast agree exactly.
+    "agg_central_moments" ->
+      """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+                CAST(sum(q) AS BIGINT) AS s1,
+                CAST(sum(q * q) AS BIGINT) AS s2,
+                CAST(sum(q * q * q) AS BIGINT) AS s3,
+                CAST(sum(q * q * q * q) AS BIGINT) AS s4
+         FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -75,6 +75,32 @@ object Extensions {
         .orderBy("o_orderpriority")
     }),
 
+    // SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    // unlike udf_scalar's opaque closure, the body is INLINED by the
+    // analyzer (ResolveSQLFunctions rewrites each call site to its
+    // expression tree), so the plan keeps whole-stage codegen and the
+    // optimizer sees through the abstraction — the right way to share
+    // business logic at 100 TB. graft_band calling graft_cents also
+    // flattens: composition costs nothing at runtime. Inlining (no ScalaUDF
+    // node survives) is asserted in Round6Suite. CREATE OR REPLACE is
+    // idempotent, so Verify's thread pool re-declaring it is safe.
+    "udf_sql_function" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(p DOUBLE)
+               RETURNS BIGINT
+               RETURN CAST(ROUND(CAST(p AS DECIMAL(28,10)), 2) * 100 AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(p DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN graft_cents(p) < 5000000 THEN 'low'
+                           WHEN graft_cents(p) < 15000000 THEN 'mid'
+                           ELSE 'high' END""")
+      orders(s, d)
+        .select(expr("graft_band(o_totalprice)").as("band"),
+          expr("graft_cents(o_totalprice)").as("cents"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("band")
+    }),
+
     // Row-exploding generator: char-3-gram shingles with 0-based position.
     "udtf_generator" -> ((s, d) => {
       val sp = s
@@ -102,6 +128,16 @@ object Extensions {
       s"""SELECT o_orderpriority, ${moneySql("min(o_totalprice)")} AS mn,
           ${moneySql("max(o_totalprice)")} AS mx, count(*) AS n
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // The oracle is the hand-inlined body — exactly what Catalyst's rewrite
+    // produces, so the parity check doubles as an inlining-semantics check.
+    "udf_sql_function" ->
+      """WITH t AS (SELECT CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2) * 100 AS BIGINT) AS cents
+                    FROM orders)
+         SELECT CASE WHEN cents < 5000000 THEN 'low'
+                     WHEN cents < 15000000 THEN 'mid'
+                     ELSE 'high' END AS band,
+                count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM t GROUP BY band ORDER BY band""",
     "udtf_generator" ->
       """SELECT doc_id, unnest(range(length(text) - 2)) AS pos,
                 unnest(list_transform(range(1, length(text) - 1), i -> substring(text, i, 3))) AS shingle

@@ -387,6 +387,65 @@ object LlmCuration {
           expr("10000 * n_novel div n_grams").as("novelty_bp"))
         .orderBy("doc_id")
     }),
+
+    // URL canonicalization dedup (the CCNet/web-crawl ingest step BEFORE
+    // content dedup: most crawl duplicates differ only in case, tracking
+    // params, or fragments). Messy raw URLs are synthesized deterministically
+    // from document columns (the str_url convention — DuckDB has no URL
+    // parser, so the oracle reconstructs the clean form from the same
+    // columns, making parse_url checkable as the inverse of construction);
+    // canonical = lowercased scheme+host + path + sorted non-utm_* query,
+    // fragment dropped. Map-only until the one canonical-key groupBy —
+    // the same shape as llm_dedup_exact with the canonicalizer in front.
+    "llm_url_canonical" -> ((s, d) => {
+      val raw = documents(s, d).select(col("doc_id"), col("source"),
+        concat(lit("HTTPS://"),
+          when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM/d/"), col("doc_id") % 50,
+          lit("?id="), col("doc_id") % 25,
+          when(col("doc_id") % 3 === 0, lit("&utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      raw.select(col("url"), concat(
+          lower(parse_url(col("url"), lit("PROTOCOL"))), lit("://"),
+          lower(parse_url(col("url"), lit("HOST"))),
+          parse_url(col("url"), lit("PATH")),
+          when(col("url").contains("?"),
+            concat(lit("?"), array_join(array_sort(filter(
+              split(parse_url(col("url"), lit("QUERY")), "&"),
+              p => !p.startsWith("utm_"))), "&"))).otherwise(lit(""))).as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_variants"))
+        .orderBy("curl")
+    }),
+
+    // Document-frequency vocabulary pruning (index/embedding-prep step):
+    // drop words appearing in <2 or >half of all docs, then REWRITE each doc
+    // with its surviving tokens in original order. The df frame is
+    // vocab-sized and partial-aggregatable; the rewrite needs no global
+    // sort — order is restored per doc by sorting the (pos, word) structs
+    // inside the aggregation. Docs whose every token is pruned stay present
+    // with n_kept = 0 and md5('') via the left join. Rendered text leaves as
+    // md5 + count (the llm_sft_format convention: don't ship corpus strings).
+    "llm_doc_freq_prune" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+      val df = toks.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val total = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val kept = toks.join(df, "w").crossJoin(broadcast(total))
+        .filter(col("df") >= 2 && col("df") * 2 <= col("n_docs"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, w))), x -> x.w))"))
+            .as("kept_md5"))
+      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -572,5 +631,39 @@ object LlmCuration {
                 CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp
          FROM q JOIN hc ON md5(q.text) = hc.h
          GROUP BY source ORDER BY source""",
+    // The oracle builds the canonical form directly from the source columns
+    // (lowercase host, no utm_*, no fragment) — parse_url is thereby checked
+    // as the exact inverse of URL construction, the str_url convention.
+    "llm_url_canonical" ->
+      """WITH r AS (SELECT doc_id, source,
+                           'HTTPS://'
+                           || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                           || '.Example.COM/d/' || (doc_id % 50)
+                           || '?id=' || (doc_id % 25)
+                           || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END
+                           || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+                    FROM documents),
+              c AS (SELECT url,
+                           'https://' || lower(source) || '.example.com/d/' || (doc_id % 50)
+                           || '?id=' || (doc_id % 25) AS curl
+                    FROM r)
+         SELECT curl, count(*) AS n, count(DISTINCT url) AS n_variants
+         FROM c GROUP BY curl ORDER BY curl""",
+    "llm_doc_freq_prune" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+              t AS (SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS w FROM a),
+              df AS (SELECT w, count(DISTINCT doc_id) AS df FROM t GROUP BY w),
+              tot AS (SELECT count(*) AS n_docs FROM documents),
+              k AS (SELECT t.doc_id, t.pos, t.w
+                    FROM t JOIN df ON t.w = df.w, tot
+                    WHERE df.df >= 2 AND df.df * 2 <= tot.n_docs),
+              ka AS (SELECT doc_id, count(*) AS n_kept,
+                            md5(string_agg(w, ' ' ORDER BY pos)) AS kept_md5
+                     FROM k GROUP BY doc_id),
+              nt AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id)
+         SELECT nt.doc_id, nt.n_tok,
+                coalesce(ka.n_kept, 0) AS n_kept,
+                coalesce(ka.kept_md5, md5('')) AS kept_md5
+         FROM nt LEFT JOIN ka ON nt.doc_id = ka.doc_id ORDER BY nt.doc_id""",
   )
 }

@@ -174,6 +174,20 @@ object Subqueries {
         FROM orders WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // Parameterized SQL (Spark 4 named-parameter binding): the text carries
+  // `:min_cents` / `:hot1` / `:hot2` placeholders and the values arrive
+  // out-of-band — the surface that lets a dashboard re-issue one query text
+  // across parameter values (and that ends string-splicing injection).
+  // Parameters bind literals only (not table names), so the table still
+  // goes through the @marker temp view. The oracle is the same text with
+  // the three parameters inlined as literals.
+  private val SUB_PARAM =
+    """SELECT o_orderpriority, count(*) AS n
+       FROM @orders
+       WHERE CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2) * 100 AS BIGINT) > :min_cents
+         AND o_orderpriority IN (:hot1, :hot2)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -185,6 +199,13 @@ object Subqueries {
     "sub_not_in_null" -> ((s, d) => viaSql(s, d, SUB_NOT_IN_NULL, "orders", "customer")),
     "sub_recursive_cte" -> ((s, d) => viaSql(s, d, SUB_RECURSIVE_CTE, "customer")),
     "sub_pipe_syntax" -> ((s, d) => viaSql(s, d, SUB_PIPE, "orders")),
+    "sub_param_sql" -> ((s, d) => {
+      val vn = s"graft_sub_orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.Tables.t(s, d, "orders").createOrReplaceTempView(vn)
+      try s.sql(SUB_PARAM.replaceAll("@orders\\b", vn),
+        Map("min_cents" -> 10000000L, "hot1" -> "1-URGENT", "hot2" -> "2-HIGH"))
+      finally s.catalog.dropTempView(vn): Unit
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +219,8 @@ object Subqueries {
     "sub_not_in_null" -> stripMarkers(SUB_NOT_IN_NULL),
     "sub_recursive_cte" -> stripMarkers(SUB_RECURSIVE_CTE),
     "sub_pipe_syntax" -> SUB_PIPE_ORACLE,
+    "sub_param_sql" -> stripMarkers(SUB_PARAM)
+      .replace(":min_cents", "10000000")
+      .replace(":hot1", "'1-URGENT'").replace(":hot2", "'2-HIGH'"),
   )
 }

@@ -307,6 +307,28 @@ object Windows {
         .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("prev_type", "event_type")
     }),
+
+    // Conditional-reset running total (balance-since-last-signup): the
+    // running cents sum restarts at every 'signup' event. Segment id =
+    // running count of reset flags (gaps-and-islands, the win_sessionize
+    // machinery), then a cumsum within (user, seg). The second window's
+    // ClusteredDistribution(user_id, seg) is satisfied by the first's
+    // HashPartitioning(user_id) — one shuffle feeds both windows (EnsureRequirements
+    // adds only a sort), plan-audited in Round6Suite. All-integer outputs.
+    "win_reset_cumsum" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val bySeg = Window.partitionBy("user_id", "seg").orderBy("ts_s", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts_s"),
+          col("event_type"), money(col("value")).as("cents"))
+        .withColumn("seg",
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("run_cents",
+          sum("cents").over(bySeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "seg", "run_cents")
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -472,5 +494,19 @@ object Windows {
                FROM events)
          WHERE prev_type IS NOT NULL
          GROUP BY prev_type, event_type ORDER BY prev_type, event_type""",
+    "win_reset_cumsum" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+                            CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type,
+                            ${moneySql("value")} AS cents
+                     FROM events),
+              sg AS (SELECT user_id, event_id, ts_s, cents,
+                            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+                     FROM e)
+         SELECT user_id, event_id, seg,
+                CAST(sum(cents) OVER (PARTITION BY user_id, seg ORDER BY ts_s, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+         FROM sg ORDER BY user_id, event_id""",
   )
 }

@@ -522,6 +522,118 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("udf_sql_function: body is inlined — no black-box UDF node in the plan") {
+    val q = SparkEntry.queries("udf_sql_function")(s, d)
+    val p = q.queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"SQL function should inline to expressions:\n${p.take(1500)}")
+    // composed inlining is semantics-preserving: bands partition all orders
+    val n = q.agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.orders(s, d).count())
+  }
+
+  test("agg_listagg: csv equals the sorted distinct set; bounded by |segments|") {
+    val rows = SparkEntry.queries("agg_listagg")(s, d).collect()
+    assert(rows.nonEmpty)
+    val segs = Tables.customer(s, d).select("c_nationkey", "c_mktsegment")
+      .distinct().collect()
+      .groupBy(_.getAs[Number](0).longValue())
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).sorted }
+    rows.foreach { r =>
+      val expect = segs(r.getAs[Number](0).longValue())
+      assert(r.getString(1) == expect.mkString(","))
+      assert(r.getLong(2) == expect.length.toLong && expect.length <= 5)
+    }
+  }
+
+  test("agg_central_moments: power sums match brute force and are internally consistent") {
+    val rows = SparkEntry.queries("agg_central_moments")(s, d).collect()
+    val brute = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .collect().groupBy(_.getString(0))
+    assert(rows.length == brute.size)
+    rows.foreach { r =>
+      val qs = brute(r.getString(0)).map(_.getLong(1))
+      assert(r.getLong(1) == qs.length)
+      assert(r.getLong(2) == qs.sum)
+      assert(r.getLong(3) == qs.map(q => q * q).sum)
+      assert(r.getLong(4) == qs.map(q => q * q * q).sum)
+      assert(r.getLong(5) == qs.map(q => q * q * q * q).sum)
+      // Cauchy–Schwarz on the moment vector: n·Σq² ≥ (Σq)²
+      assert(r.getLong(1) * r.getLong(3) >= r.getLong(2) * r.getLong(2))
+    }
+  }
+
+  test("llm_url_canonical: canonical forms are clean and conserve the corpus") {
+    val rows = SparkEntry.queries("llm_url_canonical")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val curl = r.getString(0)
+      assert(curl == curl.toLowerCase && !curl.contains("utm_") && !curl.contains("#"),
+        s"canonical URL not clean: $curl")
+      assert(r.getLong(2) <= 4L && r.getLong(2) >= 1L) // case is doc_id-parity-fixed per group
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(s, d).count())
+  }
+
+  test("llm_doc_freq_prune: counts conserve; a brute-forced doc rewrites identically") {
+    val rows = SparkEntry.queries("llm_doc_freq_prune")(s, d).collect()
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val dfm = docs.values.flatMap(_.split(" ").distinct).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size }
+    val nDocs = docs.size
+    rows.foreach { r =>
+      val (id, nTok, nKept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val toks = docs(id).split(" ")
+      assert(nTok == toks.length.toLong && nKept <= nTok)
+      val kept = toks.filter(w => dfm(w) >= 2 && dfm(w) * 2 <= nDocs)
+      assert(nKept == kept.length.toLong, s"doc $id kept count")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(3) == md, s"doc $id rewrite md5")
+    }
+  }
+
+  test("sub_param_sql: bound parameters equal the literal-inlined query") {
+    val got = SparkEntry.queries("sub_param_sql")(s, d).collect().map(_.toString).toSeq
+    Tables.orders(s, d).createOrReplaceTempView("r6_param_orders")
+    try {
+      val want = s.sql(
+        """SELECT o_orderpriority, count(*) AS n FROM r6_param_orders
+           WHERE CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 2) * 100 AS BIGINT) > 10000000
+             AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""").collect().map(_.toString).toSeq
+      assert(got == want && got.size == 2)
+    } finally s.catalog.dropTempView("r6_param_orders"): Unit
+  }
+
+  test("win_reset_cumsum: one hash exchange feeds both windows; resets match a fold") {
+    val q = SparkEntry.queries("win_reset_cumsum")(s, d)
+    val plan = q.queryExecution.executedPlan.toString()
+    // hashpartitioning(user_id) must satisfy the (user_id, seg) window too —
+    // exactly one hash exchange; the trailing rangepartitioning is the
+    // declared output orderBy.
+    val hashEx = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${plan.take(1500)}")
+    // semantics: per user, replay the (ts, event) stream sequentially
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), Norm.tsec(col("ts")).as("ts_s"),
+        col("event_type"), Norm.money(col("value")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getString(3), r.getLong(4)))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var seg = 0L; var run = 0L
+      rows.sortBy(r => (r._3, r._2)).foreach { case (u, eid, _, typ, cents) =>
+        if (typ == "signup") { seg += 1; run = 0L }
+        run += cents
+        assert(got((u, eid)) == (seg, run), s"user $u event $eid")
+      }
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
