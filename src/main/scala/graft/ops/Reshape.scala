@@ -186,6 +186,24 @@ object Reshape {
           (col("n") - coalesce(col("prev_n"), lit(0L))).as("delta"))
         .orderBy("event_type", "wk")
     }),
+
+    // OUTER generator semantics (posexplode_outer): rows whose array is
+    // EMPTY survive with NULLs — an inner explode silently drops them, the
+    // classic lost-row bug when flattening optional nested data (106 of 500
+    // fixture docs have no >7-char word). The preserved row's position is
+    // emitted as the -1 sentinel rather than NULL so the declared (doc_id,
+    // pos) output order is NULL-free and engine-neutral (ASC NULL placement
+    // differs between Spark and DuckDB). Map-only — generators never
+    // shuffle; row count is data-dependent, exactly why outer matters.
+    "reshape_explode_outer" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> length(w) > 7)").as("arr"))
+        .select(col("doc_id"), posexplode_outer(col("arr")))
+        .toDF("doc_id", "pos", "w")
+        .select(col("doc_id"),
+          coalesce(col("pos").cast("long"), lit(-1L)).as("pos"), col("w"))
+        .orderBy("doc_id", "pos")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -308,5 +326,17 @@ object Reshape {
          SELECT event_type, wk, n,
                 n - COALESCE(lag(n, 1) OVER (PARTITION BY event_type ORDER BY wk), 0) AS delta
          FROM wk ORDER BY event_type, wk""",
+    // The CASE-to-[-1]/[NULL] lists emulate OUTER unnest; DuckDB's parallel
+    // unnests zip positionally (the udtf_generator idiom).
+    "reshape_explode_outer" ->
+      """WITH a AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), w -> length(w) > 7) AS arr
+                    FROM documents)
+         SELECT doc_id,
+                unnest(CASE WHEN len(arr) = 0 THEN [CAST(-1 AS BIGINT)]
+                            ELSE range(len(arr)) END) AS pos,
+                unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+                            ELSE arr END) AS w
+         FROM a ORDER BY doc_id, pos""",
   )
 }

@@ -280,6 +280,34 @@ object Scans {
           moneySum(when(col("_corrupt").isNull, col("value"))).as("good_cents"))
     }),
 
+    // Corrupt-FILE resilience (the file-level sibling of scan_csv_malformed's
+    // row-level quarantine): at 100 TB a handful of unreadable files is a
+    // when, not an if — the scan must skip them, not kill the job. Two good
+    // parquet files (nation split by key parity) share a directory with one
+    // garbage "part"; the read passes ignoreCorruptFiles as a per-read
+    // OPTION (no session-wide conf mutation — the flag would otherwise
+    // apply lazily at execution time to every concurrent query) plus an
+    // explicit schema so planning never opens the bad footer. The oracle
+    // aggregates the whole source table: a hash match proves the good files
+    // survived completely and only the garbage was dropped.
+    "scan_ignore_corrupt_files" -> ((s, d) => {
+      val path = tmpDir(d, "corruptfile")
+      nation(s, d).filter(col("n_nationkey") % 2 === 0)
+        .write.mode("overwrite").parquet(path)
+      nation(s, d).filter(col("n_nationkey") % 2 === 1)
+        .write.mode("append").parquet(path)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "part-junk-not-parquet.parquet"),
+        Array.fill[Byte](512)(0x5A))
+      s.read
+        .option("ignoreCorruptFiles", "true")
+        .schema(nation(s, d).schema)
+        .parquet(path)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey").cast("long")).as("key_sum"))
+        .orderBy("n_regionkey")
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -375,6 +403,9 @@ object Scans {
           CAST(sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
           ${moneySumSql("CASE WHEN event_id % 50 <> 0 THEN value END")} AS good_cents
           FROM events""",
+    "scan_ignore_corrupt_files" ->
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -188,6 +188,19 @@ object Subqueries {
          AND o_orderpriority IN (:hot1, :hot2)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // Inline VALUES table constructor: the literal dimension lives in the
+  // query text itself (priority → weight), joins as a broadcast of a 3-row
+  // relation — the "small lookup without a table" surface every report
+  // query uses. Single-sourced ANSI: both engines parse
+  // (VALUES …) AS w(prio, wt).
+  private val SUB_VALUES =
+    s"""SELECT w.wt AS weight_class, count(*) AS n,
+               ${moneySumSql("o.o_totalprice")} AS rev
+        FROM @orders o
+        JOIN (VALUES ('1-URGENT', 3), ('2-HIGH', 2), ('3-MEDIUM', 1)) AS w(prio, wt)
+          ON o.o_orderpriority = w.prio
+        GROUP BY w.wt ORDER BY w.wt"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -206,6 +219,7 @@ object Subqueries {
         Map("min_cents" -> 10000000L, "hot1" -> "1-URGENT", "hot2" -> "2-HIGH"))
       finally s.catalog.dropTempView(vn): Unit
     }),
+    "sub_inline_values" -> ((s, d) => viaSql(s, d, SUB_VALUES, "orders")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,5 +236,6 @@ object Subqueries {
     "sub_param_sql" -> stripMarkers(SUB_PARAM)
       .replace(":min_cents", "10000000")
       .replace(":hot1", "'1-URGENT'").replace(":hot2", "'2-HIGH'"),
+    "sub_inline_values" -> stripMarkers(SUB_VALUES),
   )
 }

@@ -634,6 +634,42 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("reshape_explode_outer: empty-array docs survive as the -1 sentinel row") {
+    val rows = SparkEntry.queries("reshape_explode_outer")(s, d).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.size == Tables.documents(s, d).count(),
+      "outer explode must keep every doc")
+    perDoc.foreach { case (id, rs) =>
+      val sentinel = rs.filter(_.getLong(1) == -1L)
+      if (sentinel.nonEmpty) {
+        assert(rs.length == 1 && sentinel.head.isNullAt(2), s"doc $id sentinel shape")
+      } else {
+        assert(rs.map(_.getLong(1)).sorted.sameElements(0L until rs.length.toLong),
+          s"doc $id positions not contiguous")
+        rs.foreach(r => assert(r.getString(2).length > 7))
+      }
+    }
+  }
+
+  test("scan_ignore_corrupt_files: garbage file is skipped, good rows complete; without the flag the read fails") {
+    val rows = SparkEntry.queries("scan_ignore_corrupt_files")(s, d).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.nation(s, d).count())
+    // same directory without the option must throw on the junk part-file
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_corruptfile${Math.abs(d.hashCode)}"
+    val ex = intercept[Exception] {
+      s.read.schema(Tables.nation(s, d).schema).parquet(path).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("sub_inline_values: weighted classes cover exactly the three mapped priorities") {
+    val rows = SparkEntry.queries("sub_inline_values")(s, d).collect()
+    assert(rows.map(_.getAs[Number](0).intValue()).sorted.sameElements(Array(1, 2, 3)))
+    val n = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
