@@ -371,6 +371,24 @@ object Aggregations {
           sum(expr("q * q * q")).as("s3"),
           sum(expr("q * q * q * q")).as("s4"))
         .orderBy("l_returnflag")),
+
+    // Heavy-hitters sketch with MERGEABLE state (Spark 4's
+    // approx_top_k_accumulate → _combine → _estimate): per-slice sketches
+    // union at kilobyte size — the roll-up-without-rescan shape of
+    // agg_sketch_hll, for top-k instead of cardinality. Unlike HLL this op
+    // IS oracle-backed: with |event_type| = 5 ≪ maxItemsTracked (10k) the
+    // sketch never evicts, so its counts are EXACT — the exactness regime a
+    // production top-k monitor relies on (and the boundary the unit test
+    // documents). (count desc, item) is a total order, so emission is
+    // engine-stable.
+    "agg_approx_topk" -> ((s, d) =>
+      events(s, d)
+        .groupBy((col("user_id") % 8).as("slice"))
+        .agg(expr("approx_top_k_accumulate(event_type, 5)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 5)").as("est"))
+        .select(explode(col("est")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("event_type"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -544,5 +562,9 @@ object Aggregations {
                 CAST(sum(q * q * q) AS BIGINT) AS s3,
                 CAST(sum(q * q * q * q) AS BIGINT) AS s4
          FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // Exact because the sketch capacity is never exceeded (5 distinct ≪ 10k).
+    "agg_approx_topk" ->
+      """SELECT event_type, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
   )
 }

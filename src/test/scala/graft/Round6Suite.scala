@@ -670,6 +670,22 @@ class Round6Suite extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == n)
   }
 
+  test("agg_approx_topk: exact below sketch capacity; under-capacity stays a subset") {
+    val got = SparkEntry.queries("agg_approx_topk")(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val exact = Tables.events(s, d).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(x => (-x._2, x._1)).take(5).toSeq
+    // |event_type| = 5 ≤ maxItemsTracked: the sketch never evicts → exact
+    assert(got == exact)
+    // capacity 4 < 5 distinct: eviction kicks in; whatever the sketch
+    // returns must still be true items, at most 4 of them
+    val under = Tables.events(s, d)
+      .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(event_type, 4), 4)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item")).collect().map(_.getString(0)).toSet
+    assert(under.size <= 4 && under.subsetOf(exact.map(_._1).toSet))
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
