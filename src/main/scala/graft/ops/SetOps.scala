@@ -139,6 +139,32 @@ object SetOps {
       Seq((m("n_orders").asInstanceOf[Long], m("rev_cents").asInstanceOf[Long],
         m("max_key").asInstanceOf[Long])).toDF("n_orders", "rev_cents", "max_key")
     }),
+
+    // Cache/reuse surface (persist + InMemoryRelation): one projection is
+    // materialized to the in-memory columnar cache, then TWO downstream
+    // aggregations read InMemoryTableScan instead of rescanning the source
+    // — the interactive-exploration contract (scan the 100 TB once, slice
+    // repeatedly). The count() forces population inside the op so the
+    // returned plan is a pure cache consumer; persisting the same logical
+    // plan twice is a no-op (CacheManager dedupes), so re-invocation
+    // doesn't leak. Both branches' InMemoryTableScan asserted in
+    // Round6Suite. Integer cents per row before caching: the cached
+    // columnar batches already hold exact money.
+    "util_cache_reuse" -> ((s, d) => {
+      val base = orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"),
+          money(col("o_totalprice")).as("cents"))
+        .persist()
+      base.count(): Unit
+      val byStatus = base.groupBy("o_orderstatus")
+        .agg(sum("cents").as("cents_sum"), count(lit(1)).as("n"))
+        .select(lit("by_status").as("dim"), col("o_orderstatus").as("key"),
+          col("cents_sum"), col("n"))
+      val byBucket = base.groupBy((col("o_custkey") % 10).cast("string").as("key"))
+        .agg(sum("cents").as("cents_sum"), count(lit(1)).as("n"))
+        .select(lit("by_bucket").as("dim"), col("key"), col("cents_sum"), col("n"))
+      byStatus.unionByName(byBucket).orderBy("dim", "key")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +221,17 @@ object SetOps {
                  ${moneySumSql("o_totalprice")} AS rev_cents,
                  max(o_orderkey) AS max_key
           FROM orders""",
+    "util_cache_reuse" ->
+      s"""WITH base AS (SELECT o_custkey, o_orderstatus, ${moneySql("o_totalprice")} AS cents
+                        FROM orders)
+         SELECT * FROM (
+           SELECT 'by_status' AS dim, o_orderstatus AS key,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum, count(*) AS n
+           FROM base GROUP BY o_orderstatus
+           UNION ALL
+           SELECT 'by_bucket' AS dim, CAST(o_custkey % 10 AS VARCHAR) AS key,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum, count(*) AS n
+           FROM base GROUP BY o_custkey % 10)
+         ORDER BY dim, key""",
   )
 }

@@ -329,6 +329,26 @@ object Windows {
         .select("user_id", "event_id", "seg", "run_cents")
         .orderBy("user_id", "event_id")
     }),
+
+    // Rolling DISCRETE median (robust trailing statistic): over each user's
+    // daily spend, the k-th smallest of the trailing ≤7-row frame with
+    // k = (n+1)/2 (1-based) — an actual integer-cents datum, exact by
+    // construction on both engines (DuckDB's quantile_disc(0.5) picks index
+    // ⌊(n−1)/2⌋, the same element). Discreteness is the point: an
+    // interpolating median would emit engine-divergent halves on even
+    // frames. One user_id shuffle; the frame buffer is ≤7 values per row.
+    "win_rolling_median" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"))
+        .agg(moneySum(col("value")).as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("fr", collect_list("cents").over(w))
+        .select(col("user_id"), col("day"), size(col("fr")).cast("long").as("n_frame"),
+          element_at(array_sort(col("fr")),
+            ((size(col("fr")) + 1) / 2).cast("int")).as("med7_cents"))
+        .orderBy("user_id", "day")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -508,5 +528,15 @@ object Windows {
                 CAST(sum(cents) OVER (PARTITION BY user_id, seg ORDER BY ts_s, event_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
          FROM sg ORDER BY user_id, event_id""",
+    "win_rolling_median" ->
+      s"""WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                                ${moneySumSql("value")} AS cents
+                         FROM events GROUP BY 1, 2)
+         SELECT user_id, day,
+                CAST(count(*) OVER w AS BIGINT) AS n_frame,
+                quantile_disc(cents, 0.5) OVER w AS med7_cents
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
   )
 }

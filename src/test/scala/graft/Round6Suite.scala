@@ -686,6 +686,48 @@ class Round6Suite extends AnyFunSuite {
     assert(under.size <= 4 && under.subsetOf(exact.map(_._1).toSet))
   }
 
+  test("util_cache_reuse: both aggregate branches read the in-memory cache") {
+    val q = SparkEntry.queries("util_cache_reuse")(s, d)
+    val plan = q.queryExecution.executedPlan.toString()
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected both branches on InMemoryTableScan, got $scans:\n${plan.take(1500)}")
+    // counts conserve: each dimension partitions all orders
+    val rows = q.collect()
+    val total = Tables.orders(s, d).count()
+    Seq("by_status", "by_bucket").foreach { dim =>
+      assert(rows.filter(_.getString(0) == dim).map(_.getLong(3)).sum == total, dim)
+    }
+  }
+
+  test("win_rolling_median: frame median equals brute force on every row") {
+    val rows = SparkEntry.queries("win_rolling_median")(s, d).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((u, day, nFrame, med), i) =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1)
+        assert(nFrame == frame.length.toLong, s"user $u day $day frame size")
+        // reconstruct each row's daily cents from its own n_frame=1.. chain:
+        // the frame values are the trailing daily sums; recover them from
+        // the op's own rows is circular — instead assert the median is the
+        // (n+1)/2-th smallest of the *brute-forced* daily sums
+        val daily = frame.map(x => bruteDaily((u, x._2)))
+        assert(med == daily.sorted.apply((daily.length + 1) / 2 - 1), s"user $u day $day median")
+      }
+    }
+  }
+  private lazy val bruteDaily: Map[(Long, String), Long] = {
+    val m = new scala.collection.mutable.HashMap[(Long, String), Long]().withDefaultValue(0L)
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", Norm.tsec(col("ts"))).cast("date").as("day"),
+        col("value").cast("decimal(28,10)").as("v"))
+      .groupBy("user_id", "day")
+      .agg((round(sum("v"), 2) * lit(100)).cast("long").as("cents"))
+      .collect().foreach(r => m((r.getLong(0), r.getDate(1).toString)) = r.getLong(2))
+    m.toMap
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
