@@ -389,6 +389,28 @@ object Aggregations {
         .select(explode(col("est")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("n"))
         .orderBy(col("n").desc, col("event_type"))),
+
+    // Exact COUNT DISTINCT via fixed-width bitmap chunks (the bitmap-index
+    // trick high-QPS OLAP engines use for integer keys): keys bucket into
+    // 32-bit words (key div 32), each partition ORs its local mask, and the
+    // shuffle carries ONE BIGINT per (group, word) — a fixed-size combinable
+    // state — instead of the raw key stream count(DISTINCT) ships when its
+    // partial dedup overflows. popcounts then sum per group. Words are 32
+    // bits held in BIGINT lanes: shift ≤ 31 never reaches the sign bit,
+    // which DuckDB's checked `<<` rejects at 63 (Spark's shiftleft would
+    // silently wrap — same mask, but the oracle engine errors out).
+    // Exactly equal to count(DISTINCT) by construction; both emitted so
+    // the oracle pins the equality, not just the number.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          expr("o_custkey div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 32 AS INT))").as("bit"))
+        .groupBy("prio", "word").agg(bit_or(col("bit")).as("mask"))
+        .groupBy("prio")
+        .agg(sum(expr("bit_count(mask)")).as("n_distinct"),
+          count(lit(1)).as("n_words"))
+        .orderBy("prio")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -566,5 +588,12 @@ object Aggregations {
     "agg_approx_topk" ->
       """SELECT event_type, count(*) AS n
          FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
+    "agg_bitmap_distinct" ->
+      """WITH m AS (SELECT o_orderpriority AS prio, o_custkey // 32 AS word,
+                           bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 32 AS INTEGER)) AS mask
+                    FROM orders GROUP BY 1, 2)
+         SELECT prio, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct,
+                count(*) AS n_words
+         FROM m GROUP BY prio ORDER BY prio""",
   )
 }

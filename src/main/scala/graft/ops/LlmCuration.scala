@@ -446,6 +446,30 @@ object LlmCuration {
           coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
         .orderBy("doc_id")
     }),
+
+    // Winsorization (clip, don't drop — the feature-normalization sibling
+    // of filter_outlier_mad): per language, doc length clamps to that
+    // language's [p10, p90] DISCRETE percentiles, so the clip bounds are
+    // actual data values and the whole op is integer-exact. The stats frame
+    // is |langs| rows — a broadcast back onto the corpus, never a second
+    // corpus shuffle — and the output is the metadata-sized per-language
+    // before/after audit a pipeline logs when it normalizes a feature.
+    "llm_winsorize" -> ((s, d) => {
+      val docs = documents(s, d).select(col("lang"), col("n_chars"))
+      val stats = docs.groupBy("lang").agg(
+        expr("CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("p10"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").as("p90"))
+      docs.join(broadcast(stats), "lang")
+        .select(col("lang"), col("n_chars"), col("p10"), col("p90"),
+          least(greatest(col("n_chars"), col("p10")), col("p90")).as("clipped"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_raw"),
+          sum("clipped").as("sum_clipped"),
+          sum(when(col("n_chars") < col("p10"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("n_chars") > col("p90"), 1L).otherwise(0L)).as("n_clip_high"))
+        .orderBy("lang")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -665,5 +689,17 @@ object LlmCuration {
                 coalesce(ka.n_kept, 0) AS n_kept,
                 coalesce(ka.kept_md5, md5('')) AS kept_md5
          FROM nt LEFT JOIN ka ON nt.doc_id = ka.doc_id ORDER BY nt.doc_id""",
+    "llm_winsorize" ->
+      """WITH st AS (SELECT lang,
+                            CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS p10,
+                            CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+                     FROM documents GROUP BY lang)
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) AS sum_raw,
+                CAST(sum(least(greatest(d.n_chars, st.p10), st.p90)) AS BIGINT) AS sum_clipped,
+                CAST(sum(CASE WHEN d.n_chars < st.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+                CAST(sum(CASE WHEN d.n_chars > st.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+         FROM documents d JOIN st USING (lang)
+         GROUP BY d.lang ORDER BY d.lang""",
   )
 }

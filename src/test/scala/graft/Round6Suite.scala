@@ -728,6 +728,35 @@ class Round6Suite extends AnyFunSuite {
     m.toMap
   }
 
+  test("agg_bitmap_distinct: bitmap popcount equals count(DISTINCT) per group") {
+    val rows = SparkEntry.queries("agg_bitmap_distinct")(s, d).collect()
+    val exact = Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.length == exact.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"prio ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1), "words can't outnumber distinct keys")
+    }
+  }
+
+  test("llm_winsorize: clipped sums match a brute-force clamp at discrete percentiles") {
+    val rows = SparkEntry.queries("llm_winsorize")(s, d).collect()
+    val byLang = Tables.documents(s, d).select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    rows.foreach { r =>
+      val xs = byLang(r.getString(0)).map(_._2).sorted
+      // smallest value with cume_dist >= p (the percentile_disc contract)
+      def pd(p: Double): Long = xs(math.max(0, math.ceil(p * xs.length).toInt - 1))
+      val (p10, p90) = (pd(0.1), pd(0.9))
+      assert(r.getLong(1) == xs.length.toLong)
+      assert(r.getLong(2) == xs.sum)
+      assert(r.getLong(3) == xs.map(x => math.min(math.max(x, p10), p90)).sum)
+      assert(r.getLong(4) == xs.count(_ < p10).toLong)
+      assert(r.getLong(5) == xs.count(_ > p90).toLong)
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
