@@ -187,6 +187,31 @@ object Reshape {
         .orderBy("event_type", "wk")
     }),
 
+    // Cohort retention matrix (the product-analytics report): users cohort
+    // by first-active week (explicit 7-day buckets anchored 2024-01-01 —
+    // the ts_wow_delta convention, engine-neutral), and retention(c, k) =
+    // distinct users of cohort c active in week c+k, emitted with basis-
+    // point retention against the offset-0 cohort size. Shapes: one
+    // (user, week) distinct, one user-keyed min-agg, one join back on
+    // user_id — all partial-aggregatable on user-bearing keys; the matrix
+    // itself is |weeks|² rows, metadata-sized at any stream size, so the
+    // final cohort-size window is free.
+    "ts_cohort_retention" -> ((s, d) => {
+      val wk = expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                     DATE'2024-01-01') AS BIGINT) div 7""")
+      val act = events(s, d).select(col("user_id"), wk.as("wk")).distinct()
+      val cohort = act.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0, col("n_active")))
+            .over(Window.partitionBy("cohort_wk")))
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          expr("10000 * n_active div cohort_size").as("retention_bp"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // OUTER generator semantics (posexplode_outer): rows whose array is
     // EMPTY survive with NULLs — an inner explode silently drops them, the
     // classic lost-row bug when flattening optional nested data (106 of 500
@@ -326,6 +351,21 @@ object Reshape {
          SELECT event_type, wk, n,
                 n - COALESCE(lag(n, 1) OVER (PARTITION BY event_type ORDER BY wk), 0) AS delta
          FROM wk ORDER BY event_type, wk""",
+    "ts_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                             date_diff('day', DATE '2024-01-01',
+                                       CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+                      FROM events),
+              coh AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id),
+              m AS (SELECT cohort_wk, wk - cohort_wk AS week_offset,
+                           count(DISTINCT a.user_id) AS n_active
+                    FROM act a JOIN coh c ON a.user_id = c.user_id
+                    GROUP BY 1, 2)
+         SELECT cohort_wk, week_offset, n_active,
+                CAST(10000 * n_active //
+                     (max(CASE WHEN week_offset = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort_wk)) AS BIGINT) AS retention_bp
+         FROM m ORDER BY cohort_wk, week_offset""",
     // The CASE-to-[-1]/[NULL] lists emulate OUTER unnest; DuckDB's parallel
     // unnests zip positionally (the udtf_generator idiom).
     "reshape_explode_outer" ->

@@ -757,6 +757,21 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("ts_cohort_retention: offset-0 is full retention; matrix conserves the user base") {
+    val rows = SparkEntry.queries("ts_cohort_retention")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { case (c, _, _, bp) =>
+      assert(bp == 10000L, s"cohort $c offset 0 must be 10000 bp")
+    }
+    rows.foreach { case (c, k, n, bp) =>
+      assert(k >= 0 && n >= 1 && bp >= 1 && bp <= 10000, s"cohort $c offset $k")
+    }
+    // Σ over cohorts of cohort size = total distinct users
+    val users = rows.filter(_._2 == 0L).map(_._3).sum
+    assert(users == Tables.events(s, d).select("user_id").distinct().count())
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
