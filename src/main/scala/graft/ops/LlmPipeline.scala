@@ -312,6 +312,24 @@ object LlmPipeline {
     "llm_dedup_near" -> ((s, d) =>
       Shared.wordPairs(s, d).orderBy("doc_a", "doc_b")),
 
+    // Dedup-aggressiveness sweep (the curve a curation team reads before
+    // choosing its Jaccard cutoff): pair count and touched-doc count at
+    // five thresholds 0.80–1.00, all answered from the ONE memoized pair
+    // frame (Shared.wordPairs already carries jaccard_bp ≥ 8000) — the
+    // five thresholds cost one broadcast cross with a 5-row frame, never
+    // five pair recomputations. Endpoint explode doubles rows, so
+    // n_pairs = endpoints div 2 stays integer-exact.
+    "llm_dedup_threshold_sweep" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val th = Seq(8000L, 8500L, 9000L, 9500L, 10000L).toDF("threshold_bp")
+      Shared.wordPairs(s, d).crossJoin(broadcast(th))
+        .filter(col("jaccard_bp") >= col("threshold_bp"))
+        .select(col("threshold_bp"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .groupBy("threshold_bp")
+        .agg(expr("count(*) div 2").as("n_pairs"), countDistinct("doc").as("n_docs"))
+        .orderBy("threshold_bp")
+    }),
+
     "llm_sim_cosine_pairs" -> ((s, d) =>
       SimKernel.cosinePairs(s, vecs(s, d), 0.5)
         .select(col("vid_a"), col("vid_b"), d4(col("cos")).as("cosine"))
@@ -466,6 +484,31 @@ object LlmPipeline {
                  (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
           FROM v WHERE inter * 5 >= (stot - inter) * 4
           ORDER BY doc_a, doc_b""",
+    // Same all-pairs CTE as llm_dedup_near (the documented slow-at-sf0.1
+    // oracle class — gate at sf0.01), then the 5-threshold report.
+    "llm_dedup_threshold_sweep" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               p AS (SELECT doc_a, doc_b,
+                            (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
+                     FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               th AS (SELECT unnest([8000, 8500, 9000, 9500, 10000]) AS threshold_bp),
+               e AS (SELECT th.threshold_bp, p.doc_a AS doc FROM p, th
+                     WHERE p.jaccard_bp >= th.threshold_bp
+                     UNION ALL
+                     SELECT th.threshold_bp, p.doc_b FROM p, th
+                     WHERE p.jaccard_bp >= th.threshold_bp)
+          SELECT threshold_bp, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+                 count(DISTINCT doc) AS n_docs
+          FROM e GROUP BY threshold_bp ORDER BY threshold_bp""",
     "llm_sim_cosine_pairs" ->
       s"""SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
           ${d4Sql(cosSql("a.embedding", "b.embedding"))} AS cosine

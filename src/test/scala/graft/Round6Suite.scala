@@ -772,6 +772,18 @@ class Round6Suite extends AnyFunSuite {
     assert(users == Tables.events(s, d).select("user_id").distinct().count())
   }
 
+  test("llm_dedup_threshold_sweep: monotone in the threshold; anchored to the pair set") {
+    val rows = SparkEntry.queries("llm_dedup_threshold_sweep")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(8000L, 8500L, 9000L, 9500L, 10000L)))
+    // threshold 8000 covers the whole declared near-dup pair set
+    assert(rows.head._2 == SparkEntry.queries("llm_dedup_near")(s, d).count())
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "tightening the cutoff can't add pairs or docs")
+    }
+    rows.foreach { case (_, p, dd) => assert(dd <= 2 * p && (p == 0L || dd >= 2L)) }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
