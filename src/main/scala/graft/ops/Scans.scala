@@ -280,6 +280,33 @@ object Scans {
           moneySum(when(col("_corrupt").isNull, col("value"))).as("good_cents"))
     }),
 
+    // Whole-file binary ingestion (spark.read.format("binaryFile") — the
+    // entry point a multimodal pipeline uses to lift raw image/audio blobs
+    // into a DataFrame before any decode UDF): 25 docs written out as one
+    // .bin file each, read back as (path, content) rows, keyed by parsing
+    // the id out of the filename. Output pins octet length and md5 of the
+    // BYTES, so the oracle (same hashes off the source strings — UTF-8 on
+    // both sides) proves the filesystem roundtrip bit-exact. The path
+    // column itself never leaves (env-specific). Scale: binaryFile splits
+    // per file; at 100 TB the parallelism unit is the blob, which is
+    // exactly right for per-file decode stages.
+    "scan_binary_files" -> ((s, d) => {
+      val dir = tmpDir(d, "bin")
+      new java.io.File(dir).mkdirs()
+      documents(s, d).filter(col("doc_id") < 25).select("doc_id", "text")
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Corrupt-FILE resilience (the file-level sibling of scan_csv_malformed's
     // row-level quarantine): at 100 TB a handful of unreadable files is a
     // when, not an if — the scan must skip them, not kill the job. Two good
@@ -406,6 +433,12 @@ object Scans {
     "scan_ignore_corrupt_files" ->
       """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // strlen is DuckDB's BYTE count (octet_length only binds to BLOB); md5
+    // of the string hashes the same UTF-8 bytes Spark hashed off disk.
+    "scan_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

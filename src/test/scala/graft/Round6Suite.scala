@@ -784,6 +784,21 @@ class Round6Suite extends AnyFunSuite {
     rows.foreach { case (_, p, dd) => assert(dd <= 2 * p && (p == 0L || dd >= 2L)) }
   }
 
+  test("scan_binary_files: filesystem roundtrip is bit-exact per doc") {
+    val rows = SparkEntry.queries("scan_binary_files")(s, d).collect()
+    assert(rows.length == 25)
+    val src = Tables.documents(s, d).filter(col("doc_id") < 25)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = src(r.getLong(0))
+      assert(r.getLong(1) == t.getBytes("UTF-8").length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(2) == md)
+    }
+  }
+
   test("graph_triangles: pruned subgraph bounds hold; clique fixture counts right") {
     import s.implicits._
     val row = SparkEntry.queries("graph_triangles")(s, d).collect().head
