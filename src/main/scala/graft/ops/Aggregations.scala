@@ -411,6 +411,25 @@ object Aggregations {
         .agg(sum(expr("bit_count(mask)")).as("n_distinct"),
           count(lit(1)).as("n_words"))
         .orderBy("prio")),
+
+    // Gini–Simpson diversity index per user (categorical-mix breadth, the
+    // engagement-diversity report): 1 − Σp² over the user's event-type
+    // distribution. Chosen over Shannon entropy deliberately: 1 − Σp² is
+    // RATIONAL, so `10000·(N² − Σc²) div N²` is exact integer arithmetic —
+    // an entropy twin would race engine ln() ulp differences. Two stacked
+    // partial-aggregatable shuffles, both keyed on user_id. Overflow:
+    // 10⁴·N² needs N ≤ 9.6e6 events/user in BIGINT; beyond that the
+    // agg_weighted DECIMAL(38,0) accumulator rule applies.
+    "agg_diversity_simpson" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+          sum(expr("c * c")).as("s2"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("10000 * (n_events * n_events - s2) div (n_events * n_events)")
+            .as("simpson_bp"))
+        .orderBy("user_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -595,5 +614,12 @@ object Aggregations {
          SELECT prio, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct,
                 count(*) AS n_words
          FROM m GROUP BY prio ORDER BY prio""",
+    "agg_diversity_simpson" ->
+      """WITH pt AS (SELECT user_id, event_type, count(*) AS c
+                     FROM events GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types,
+                CAST(10000 * (sum(c) * sum(c) - sum(c * c))
+                     // (sum(c) * sum(c)) AS BIGINT) AS simpson_bp
+         FROM pt GROUP BY user_id ORDER BY user_id""",
   )
 }

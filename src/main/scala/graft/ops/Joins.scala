@@ -358,6 +358,44 @@ object Joins {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("rev"))
         .orderBy("o_orderpriority")),
+
+    // SCD Type-2 point-in-time lookup (the effective-dated dimension join
+    // every warehouse runs): a versioned dimension is built from each
+    // customer's order-priority history — one version per (custkey, date),
+    // ties broken latest-orderkey-wins, validity [eff_from, eff_to) with
+    // eff_to = next version's date (NULL = current) — then facts probe it
+    // AT a date (order date + 15 days here). Differs from join_asof: the
+    // interval CONTAINMENT gives each probe at most one match by
+    // construction (half-open intervals partition the timeline), and a
+    // probe before the first version legitimately misses (left join keeps
+    // it as NULL). Scale: equi-key custkey drives the join (hash/SMJ — the
+    // range condition is a post-join filter, never a cartesian); dim
+    // versions ≪ facts, so the dim side is the natural broadcast when the
+    // key space allows.
+    "join_scd2_lookup" -> ((s, d) => {
+      val ver = Window.partitionBy("custkey", "eff_from")
+        .orderBy(col("o_orderkey").desc)
+      val timeline = Window.partitionBy("custkey")
+        .orderBy("eff_from")
+      val dim = orders(s, d)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("date").as("eff_from"),
+          col("o_orderpriority").as("prio"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(ver))
+        .filter(col("rn") === 1).drop("rn", "o_orderkey")
+        .withColumn("eff_to", lead("eff_from", 1).over(timeline))
+      val fact = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_add(col("o_orderdate").cast("date"), 15).as("probe_date"))
+      fact.join(dim,
+          fact("o_custkey") === dim("custkey") &&
+            col("probe_date") >= col("eff_from") &&
+            (col("eff_to").isNull || col("probe_date") < col("eff_to")),
+          "left")
+        .select(col("o_orderkey"), col("probe_date"),
+          col("prio").as("active_prio"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +580,25 @@ object Joins {
       s"""SELECT o_orderpriority, count(*) AS n, ${moneySumSql("l_extendedprice")} AS rev
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "join_scd2_lookup" ->
+      """WITH v AS (SELECT o_custkey AS custkey,
+                           CAST(o_orderdate AS DATE) AS eff_from,
+                           o_orderpriority AS prio,
+                           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                              ORDER BY o_orderkey DESC) AS rn
+                    FROM orders),
+              dim AS (SELECT custkey, eff_from, prio,
+                             lead(eff_from) OVER (PARTITION BY custkey
+                                                  ORDER BY eff_from) AS eff_to
+                      FROM v WHERE rn = 1),
+              fact AS (SELECT o_orderkey, o_custkey,
+                              CAST(o_orderdate AS DATE) + 15 AS probe_date
+                       FROM orders)
+         SELECT f.o_orderkey, f.probe_date, d.prio AS active_prio
+         FROM fact f LEFT JOIN dim d
+           ON f.o_custkey = d.custkey
+          AND f.probe_date >= d.eff_from
+          AND (d.eff_to IS NULL OR f.probe_date < d.eff_to)
+         ORDER BY f.o_orderkey""",
   )
 }

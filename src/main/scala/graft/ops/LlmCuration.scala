@@ -470,6 +470,26 @@ object LlmCuration {
           sum(when(col("n_chars") > col("p90"), 1L).otherwise(0L)).as("n_clip_high"))
         .orderBy("lang")
     }),
+
+    // Deterministic span masking (denoising-objective data prep, the
+    // BERT/T5 corruption step made reproducible): every token at 1-based
+    // position p ≡ 3 (mod 7) is replaced by '<mask>' — a position rule, not
+    // a PRNG, so the corruption is identical on every run, engine, and
+    // partition count. n_masked is computed ARITHMETICALLY from n_tokens
+    // (counting '<mask>' strings would miscount a corpus that already
+    // contains the literal). Map-only, zero shuffle; masked text leaves as
+    // md5 + length, never shipping corpus strings.
+    "llm_span_mask" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          concat_ws(" ", expr(
+            "transform(t, (x, i) -> IF((i + 1) % 7 = 3, '<mask>', x))")).as("masked"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CASE WHEN n_tokens >= 3 THEN (n_tokens - 3) div 7 + 1 ELSE CAST(0 AS BIGINT) END")
+            .as("n_masked"),
+          md5(col("masked")).as("masked_md5"))
+        .orderBy("doc_id")),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -701,5 +721,17 @@ object LlmCuration {
                 CAST(sum(CASE WHEN d.n_chars > st.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
          FROM documents d JOIN st USING (lang)
          GROUP BY d.lang ORDER BY d.lang""",
+    // DuckDB list_transform lambdas carry no element index, so the oracle
+    // maps over range(1, n+1) and indexes t[i] (1-based) instead.
+    "llm_span_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN len(t) >= 3 THEN (len(t) - 3) // 7 + 1 ELSE 0 END AS BIGINT) AS n_masked,
+                md5(array_to_string(
+                      list_transform(range(1, len(t) + 1),
+                        i -> CASE WHEN i % 7 = 3 THEN '<mask>' ELSE t[i] END),
+                      ' ')) AS masked_md5
+         FROM t ORDER BY doc_id""",
   )
 }

@@ -229,6 +229,22 @@ object Reshape {
         .select(col("doc_id"),
           coalesce(col("pos").cast("long"), lit(-1L)).as("pos"), col("w"))
         .orderBy("doc_id", "pos")),
+
+    // Hour-of-day seasonal index per event type (the load-profile /
+    // seasonality report): observed hourly count vs the uniform expectation
+    // N/24, as index_bp = 10000·24·n div N (10000 = flat). Exact integers
+    // throughout. Scale: ONE partial-aggregatable (type, hour) count is the
+    // only corpus-sized shuffle; the per-type total runs as a window over
+    // the aggregated ≤ 24·|types|-row frame — metadata-sized at any corpus
+    // size, so the unbucketed partition-by-type window is safe here.
+    "ts_seasonal_index" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"), hour(tsec(col("ts"))).cast("long").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("hr"), col("n"),
+          expr("10000 * 24 * n div tot").as("index_bp"))
+        .orderBy("event_type", "hr")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,5 +394,13 @@ object Reshape {
                 unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
                             ELSE arr END) AS w
          FROM a ORDER BY doc_id, pos""",
+    "ts_seasonal_index" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(hour(date_trunc('second', ts)) AS BIGINT) AS hr,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, hr, n,
+                CAST(10000 * 24 * n // (sum(n) OVER (PARTITION BY event_type)) AS BIGINT) AS index_bp
+         FROM h ORDER BY event_type, hr""",
   )
 }

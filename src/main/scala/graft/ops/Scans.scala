@@ -335,6 +335,32 @@ object Scans {
         .orderBy("n_regionkey")
     }),
 
+    // File-provenance metadata columns (_metadata — the lineage surface a
+    // 100 TB pipeline uses to trace any row back to its source file and to
+    // build per-file audit/quarantine reports without a manifest join).
+    // Customer rows are written hive-partitioned by bucket, read back with
+    // the hidden _metadata struct, and the bucket is recovered FROM THE
+    // FILE PATH (regexp over _metadata.file_path) rather than from data —
+    // the oracle groups the source by the same bucket expression, so a hash
+    // match proves path-derived provenance agrees with the data itself.
+    // (Per-file stats keyed on the actual file NAME would be
+    // nondeterministic — part-file UUIDs — so the partition-value route is
+    // the one that stays reproducible.) Map-side only + one partial-agg.
+    "scan_metadata_cols" -> ((s, d) => {
+      val path = tmpDir(d, "meta")
+      customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), (col("c_custkey") % 4).as("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("c_custkey"), col("c_acctbal"),
+          regexp_extract(col("_metadata.file_path"), "bucket=(\\d+)", 1)
+            .cast("long").as("from_path"))
+        .groupBy("from_path")
+        .agg(count(lit(1)).as("n"), min("c_custkey").as("min_key"),
+          max("c_custkey").as("max_key"), moneySum(col("c_acctbal")).as("bal_cents"))
+        .orderBy("from_path")
+    }),
+
     "scan_full" -> ((s, d) => region(s, d).orderBy("r_regionkey")),
 
     "scan_projection" -> ((s, d) =>
@@ -439,6 +465,11 @@ object Scans {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents WHERE doc_id < 25 ORDER BY doc_id""",
+    "scan_metadata_cols" ->
+      s"""SELECT c_custkey % 4 AS from_path, count(*) AS n,
+                 min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+                 ${moneySumSql("c_acctbal")} AS bal_cents
+          FROM customer GROUP BY 1 ORDER BY 1""",
     "scan_full" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -349,6 +349,39 @@ object Windows {
             ((size(col("fr")) + 1) / 2).cast("int")).as("med7_cents"))
         .orderBy("user_id", "day")
     }),
+
+    // Pareto / ABC classification (the inventory-management 80/15/5 report):
+    // customers ranked by revenue within (segment, nation), cumulative
+    // revenue share in basis points, class A ≤ 80 %, B ≤ 95 %, C above —
+    // convention: a customer's class is decided by the cumulative share
+    // INCLUDING itself. All-integer: per-customer revenue is an exact
+    // decimal sum to cents BEFORE the windows, the share is
+    // `10000·cum div tot`. Scale: orders pre-aggregate per custkey (partial
+    // agg on the only corpus-sized shuffle), THEN join the customer dim;
+    // both windows share one (segment, nationkey) partitioning — group
+    // count scales parallelism (125 here; a coarser grouping would want
+    // win_percent's two-pass bucketed rank instead).
+    "win_pareto_abc" -> ((s, d) => {
+      val rev = orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(moneySum(col("o_totalprice")).as("rev_cents"))
+        .join(customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey")),
+          col("custkey") === col("c_custkey"))
+      val ord = Window.partitionBy("segment", "nationkey")
+        .orderBy(col("rev_cents").desc, col("custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("segment", "nationkey")
+      rev
+        .withColumn("cum_cents", sum("rev_cents").over(ord))
+        .withColumn("tot_cents", sum("rev_cents").over(all))
+        .select(col("segment"), col("nationkey"), col("custkey"), col("rev_cents"),
+          expr("10000 * cum_cents div tot_cents").as("cum_share_bp"))
+        .withColumn("abc_class",
+          expr("CASE WHEN cum_share_bp <= 8000 THEN 'A' " +
+            "WHEN cum_share_bp <= 9500 THEN 'B' ELSE 'C' END"))
+        .orderBy("segment", "nationkey", "cum_share_bp", "custkey")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -538,5 +571,23 @@ object Windows {
          FROM daily
          WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, day""",
+    "win_pareto_abc" ->
+      s"""WITH rev AS (SELECT o_custkey AS custkey, ${moneySumSql("o_totalprice")} AS rev_cents
+                       FROM orders GROUP BY 1),
+              dim AS (SELECT r.custkey, r.rev_cents,
+                             c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+                      FROM rev r JOIN customer c ON r.custkey = c.c_custkey),
+              cum AS (SELECT segment, nationkey, custkey, rev_cents,
+                             sum(rev_cents) OVER (PARTITION BY segment, nationkey
+                                                  ORDER BY rev_cents DESC, custkey
+                                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+                             sum(rev_cents) OVER (PARTITION BY segment, nationkey) AS tot_cents
+                      FROM dim)
+          SELECT segment, nationkey, custkey, rev_cents,
+                 CAST(10000 * cum_cents // tot_cents AS BIGINT) AS cum_share_bp,
+                 CASE WHEN 10000 * cum_cents // tot_cents <= 8000 THEN 'A'
+                      WHEN 10000 * cum_cents // tot_cents <= 9500 THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM cum ORDER BY segment, nationkey, cum_share_bp, custkey""",
   )
 }

@@ -807,4 +807,73 @@ class Round6Suite extends AnyFunSuite {
     // every triangle needs 3 kept edges; wedge bound: ≤ deg_cap·|E| / 3
     assert(nt <= 30L * ne / 3 + 1, s"triangles $nt exceed the degree-pruned wedge bound for $ne edges")
   }
+
+  test("win_pareto_abc: share is monotone to 10000 per group; classes partition by threshold") {
+    val rows = SparkEntry.queries("win_pareto_abc")(s, d)
+      .select("segment", "nationkey", "cum_share_bp", "abc_class").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (g, rs) =>
+      // declared order within a group is ascending cumulative share
+      assert(rs.map(_._3).sameElements(rs.map(_._3).sorted), s"share not monotone in $g")
+      // the last (100 %) row may land on 9999 by integer floor — never above 10000
+      assert(rs.last._3 <= 10000 && rs.last._3 >= 9999, s"final share ${rs.last._3} in $g")
+      rs.foreach { case (_, _, bp, cls) =>
+        val want = if (bp <= 8000) "A" else if (bp <= 9500) "B" else "C"
+        assert(cls == want, s"class $cls at $bp bp in $g")
+      }
+    }
+  }
+
+  test("agg_diversity_simpson: bounds and the single-type/uniform extremes") {
+    val rows = SparkEntry.queries("agg_diversity_simpson")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bp >= 0 && bp < 10000)
+      if (k == 1) assert(bp == 0, s"single-type user must score 0, got $bp")
+      // Gini–Simpson is maximized by the uniform mix: 1 − 1/k
+      assert(bp <= 10000 * (k - 1) / k, s"bp=$bp exceeds uniform max for k=$k")
+      assert(n >= k)
+    }
+  }
+
+  test("llm_span_mask: arithmetic mask count equals the rendered mask count") {
+    val masked = SparkEntry.queries("llm_span_mask")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(masked.keySet == src.keySet)
+    src.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val expectMasked = toks.indices.count(i => (i + 1) % 7 == 3)
+      val (n, nm) = masked(id)
+      assert(n == toks.length.toLong, s"doc $id token count")
+      assert(nm == expectMasked.toLong, s"doc $id mask count: $nm vs $expectMasked")
+    }
+  }
+
+  test("join_scd2_lookup: at most one dim version matches each probe; probe after first version always hits") {
+    val out = SparkEntry.queries("join_scd2_lookup")(s, d).collect()
+    val perKey = out.groupBy(_.getLong(0))
+    // left join must preserve fact cardinality exactly — one row per order
+    assert(perKey.forall(_._2.length == 1),
+      "a probe matched more than one SCD2 validity interval")
+    // every probe is orderdate+15d with a version effective at orderdate ≤ probe,
+    // so the priority must resolve (non-null) for every order
+    assert(out.forall(r => !r.isNullAt(2)), "probe after first version returned NULL")
+  }
+
+  test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
+    val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val n = rs.map(_._2).sum
+      val weighted = rs.map(x => x._2 * x._3).sum
+      // Σ n_h · (10000·24·n_h div N) ≈ 10000·24·Σn_h²/N; sanity: floor error < 24·N
+      val exact = rs.map(x => 10000L * 24 * x._2 * x._2).sum / n
+      assert(weighted <= exact && weighted > exact - 24 * n,
+        s"seasonal index floor drift for $t")
+    }
+  }
 }
