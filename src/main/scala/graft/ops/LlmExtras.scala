@@ -37,6 +37,27 @@ object LlmExtras {
         / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
            * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
 
+  /** DuckDB twin of llm_sim_mmr's greedy loop: iterations 2..5 unrolled to
+    * pK (scores vs selK−1) / kK (argmax pick) / selK (accumulated) CTEs —
+    * the graph_pagerank_fixed unrolling pattern applied to MMR. */
+  private def mmrSteps: String = (2 to 5).map { k =>
+    s"""p$k AS (SELECT c.qid, c.cid, c.sim,
+                      CAST(0.7 AS DOUBLE) * c.sim
+                        - CAST(0.3 AS DOUBLE) * max(x.csim) AS score
+               FROM cand c
+               LEFT JOIN sel${k - 1} dd ON dd.qid = c.qid AND dd.cid = c.cid
+               JOIN cp x ON x.qid = c.qid AND x.ca = c.cid
+               JOIN sel${k - 1} ss ON ss.qid = x.qid AND ss.cid = x.cb
+               WHERE dd.cid IS NULL
+               GROUP BY c.qid, c.cid, c.sim),
+        k$k AS (SELECT qid, cid, sim, $k AS rank FROM (
+                 SELECT qid, cid, sim,
+                        row_number() OVER (PARTITION BY qid
+                                           ORDER BY score DESC, cid) AS rn
+                 FROM p$k) WHERE rn = 1),
+        sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM k$k)"""
+  }.mkString(",\n")
+
   // ---- SimHash: generated 64-bit signature from md5 nibbles ----
   /** Nibble p (1..16) of md5(tok), as 0..15, via the cross-engine instr trick. */
   private def nib(p: Int) = s"(instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1)"
@@ -742,6 +763,62 @@ object LlmExtras {
         s"graft_pipe_${d.hashCode & 0x7fffffff}").getAbsolutePath
       graft.Pipeline.run(s, d, out)
     }),
+
+    // MMR diversified top-k (the retrieval re-ranker that trades relevance
+    // against redundancy — the diversity-aware sibling of llm_sim_topk):
+    // greedy selection of 5 of the top-12 cosine candidates per query,
+    // score = 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s). Determinism: every
+    // similarity flows through the one graft_dot fold (bit-identical to the
+    // oracle's list fold), the MMR combine is two IEEE double mults and a
+    // subtract in the same order on both engines, and every argmax breaks
+    // ties by candidate id — so the greedy trajectory is engine-exact.
+    // Scale: the ONLY corpus-sized stage is the broadcast query probe
+    // (|Q| vectors against the corpus scan) + per-query top-12; the greedy
+    // loop runs 4 unrolled small-frame iterations over ≤ 12·|Q| rows
+    // (localCheckpoint'd so each step starts from materialized blocks, not
+    // a growing lineage).
+    "llm_sim_mmr" -> ((s, d) => {
+      val all = vecs(s, d)
+      val qv = all.filter(col("vec_id") % 100 === 7)
+      val cand = SimKernel.scoreAgainstQueries(s, all, qv)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .filter(col("rn") <= 12)
+        .select(col("qid"), col("vid").as("cid"), col("cos").as("sim"))
+        .localCheckpoint(true)
+      val withV = cand.select("qid", "cid")
+        .join(all.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
+      val cpairs = withV.select(col("qid"), col("cid").as("ca"), col("v").as("va"), col("nrm").as("na"))
+        .join(withV.select(col("qid"), col("cid").as("cb"), col("v").as("vb"), col("nrm").as("nb")), "qid")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("qid"), col("ca"), col("cb"),
+          (expr(dotExpr) / (col("na") * col("nb"))).as("csim"))
+        .localCheckpoint(true)
+      var sel = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("sim"), lit(1L).as("rank"))
+        .localCheckpoint(true)
+      for (k <- 2 to 5) {
+        val pen = cpairs
+          .join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+          .groupBy("qid", "ca").agg(max("csim").as("pen"))
+          .withColumnRenamed("ca", "cid")
+        val pick = cand
+          .join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+          .join(pen, Seq("qid", "cid"))
+          .withColumn("score",
+            expr("CAST(0.7 AS DOUBLE) * sim - CAST(0.3 AS DOUBLE) * pen"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("cid"), col("sim"), lit(k.toLong).as("rank"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      sel.select(col("qid"), col("rank"), col("cid"), d4(col("sim")).as("sim_bp"))
+        .orderBy("qid", "rank")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1232,5 +1309,28 @@ object LlmExtras {
                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
                  ${moneySumSql("CAST(n_chars AS DOUBLE)")} AS total_chars
           FROM kept GROUP BY lang ORDER BY lang""",
+    "llm_sim_mmr" ->
+      s"""WITH cand AS (SELECT qid, cid, sim FROM (
+               SELECT q.vec_id AS qid, c.vec_id AS cid,
+                      ${cosSql("q.embedding", "c.embedding")} AS sim,
+                      row_number() OVER (PARTITION BY q.vec_id
+                                         ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+                                                  c.vec_id) AS rn
+               FROM embeddings q JOIN embeddings c
+                 ON q.vec_id % 100 = 7 AND q.vec_id <> c.vec_id)
+             WHERE rn <= 12),
+           cp AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                         ${cosSql("ea.embedding", "eb.embedding")} AS csim
+                  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+                  JOIN embeddings ea ON ea.vec_id = a.cid
+                  JOIN embeddings eb ON eb.vec_id = b.cid),
+           sel1 AS (SELECT qid, cid, sim, 1 AS rank FROM (
+                     SELECT qid, cid, sim,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY sim DESC, cid) AS rn
+                     FROM cand) WHERE rn = 1),
+           $mmrSteps
+          SELECT qid, CAST(rank AS BIGINT) AS rank, cid, ${d4Sql("sim")} AS sim_bp
+          FROM sel5 ORDER BY qid, rank""",
   )
 }

@@ -864,6 +864,37 @@ class Round6Suite extends AnyFunSuite {
     assert(out.forall(r => !r.isNullAt(2)), "probe after first version returned NULL")
   }
 
+  test("llm_sim_mmr: greedy trajectory equals a driver-side brute force") {
+    // Reference MMR: sequential-fold cosines (same op order as graft_dot),
+    // top-12 candidates, greedy 0.7·sim − 0.3·maxRedundancy with (score
+    // desc, cid) argmax — recomputed from raw embeddings in plain Scala.
+    val raw = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def cos(a: Long, b: Long): Double =
+      dot(raw(a), raw(b)) / (math.sqrt(dot(raw(a), raw(a))) * math.sqrt(dot(raw(b), raw(b))))
+    val expect = raw.keys.filter(_ % 100 == 7).toSeq.sorted.flatMap { qid =>
+      val cand = raw.keys.filter(_ != qid).toSeq
+        .map(c => (c, cos(qid, c))).sortBy { case (c, sim) => (-sim, c) }.take(12)
+      var sel = List(cand.head)
+      for (k <- 2 to 5) {
+        val pick = cand.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (c, sim) =>
+            (c, sim, 0.7 * sim - 0.3 * sel.map(x => cos(c, x._1)).max) }
+          .minBy { case (c, _, score) => (-score, c) }
+        sel = sel :+ ((pick._1, pick._2))
+      }
+      sel.zipWithIndex.map { case ((c, _), i) => (qid, (i + 1).toLong, c) }
+    }
+    val got = SparkEntry.queries("llm_sim_mmr")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"MMR trajectory diverged:\n got=$got\n exp=$expect")
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
