@@ -490,6 +490,34 @@ object LlmCuration {
             .as("n_masked"),
           md5(col("masked")).as("masked_md5"))
         .orderBy("doc_id")),
+
+    // Mixture-weight planning (the step BEFORE llm_domain_mix's fixed
+    // keep-rates: derive per-domain sampling weights from a declared target
+    // mixture). Target shares arrive as an inline VALUES dimension (the
+    // sub_inline_values surface; en-heavy 40/24/15/12/9 split, Σ=10000 bp).
+    // weight_bp = target_bp·N div n — 10000 means sample at natural rate,
+    // >10000 means the domain must repeat (epochs), <10000 means downsample;
+    // planned_docs = target_bp·N div 10000 is the post-resample size at the
+    // same total budget. All integer arithmetic. Scale: one
+    // partial-aggregatable lang count is the only corpus-sized stage; the
+    // 1-row total and the 5-row target dim broadcast onto the |langs|-row
+    // report.
+    "llm_mixture_weights" -> ((s, d) => {
+      val n = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tgt = s.sql(
+        """SELECT * FROM VALUES ('en', CAST(4000 AS BIGINT)), ('zh', 2400L),
+                                ('de', 1500L), ('fr', 1200L), ('es', 900L)
+           AS t(lang, target_bp)""")
+      val total = n.agg(sum("n_docs").as("total"))
+      n.join(broadcast(tgt), "lang")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"),
+          expr("10000 * n_docs div total").as("actual_bp"),
+          col("target_bp"),
+          expr("target_bp * total div n_docs").as("weight_bp"),
+          expr("target_bp * total div 10000").as("planned_docs"))
+        .orderBy("lang")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -733,5 +761,17 @@ object LlmCuration {
                         i -> CASE WHEN i % 7 = 3 THEN '<mask>' ELSE t[i] END),
                       ' ')) AS masked_md5
          FROM t ORDER BY doc_id""",
+    "llm_mixture_weights" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+              g AS (SELECT sum(n_docs) AS total FROM n),
+              t(lang, target_bp) AS (VALUES ('en', 4000), ('zh', 2400),
+                                            ('de', 1500), ('fr', 1200), ('es', 900))
+         SELECT n.lang, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(10000 * n_docs // total AS BIGINT) AS actual_bp,
+                CAST(target_bp AS BIGINT) AS target_bp,
+                CAST(target_bp * total // n_docs AS BIGINT) AS weight_bp,
+                CAST(target_bp * total // 10000 AS BIGINT) AS planned_docs
+         FROM n JOIN t ON t.lang = n.lang CROSS JOIN g
+         ORDER BY n.lang""",
   )
 }

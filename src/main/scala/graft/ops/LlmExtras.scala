@@ -819,6 +819,30 @@ object LlmExtras {
       sel.select(col("qid"), col("rank"), col("cid"), d4(col("sim")).as("sim_bp"))
         .orderBy("qid", "rank")
     }),
+
+    // Entity co-occurrence graph (the bipartite-projection shape: users ×
+    // event types → type-type affinity): distinct (user, type) incidence,
+    // self-joined per user under ta < tb so every unordered type pair
+    // counts once per co-engaged user, plus per-type user counts and the
+    // Jaccard affinity 10000·|A∩B| div |A∪B| — all exact integers. Scale:
+    // the self-join keys on user_id and per-user fan-out is bounded by
+    // |types|² (types is a small closed set), so candidate volume is
+    // C(|types|,2)-bounded per user, never corpus²; the |types|-row count
+    // frame broadcasts back onto the ≤C(|types|,2)-row pair frame.
+    "graph_cooccurrence" -> ((s, d) => {
+      val ut = events(s, d).select("user_id", "event_type").distinct()
+      val nPer = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("common"))
+        .join(broadcast(nPer.select(col("event_type").as("ta"), col("n").as("na"))), "ta")
+        .join(broadcast(nPer.select(col("event_type").as("tb"), col("n").as("nb"))), "tb")
+        .select(col("ta"), col("tb"), col("common"), col("na"), col("nb"),
+          expr("10000 * common div (na + nb - common)").as("jaccard_bp"))
+        .orderBy("ta", "tb")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1332,5 +1356,17 @@ object LlmExtras {
            $mmrSteps
           SELECT qid, CAST(rank AS BIGINT) AS rank, cid, ${d4Sql("sim")} AS sim_bp
           FROM sel5 ORDER BY qid, rank""",
+    "graph_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+              np AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+              pr AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS common
+                     FROM ut a JOIN ut b
+                       ON a.user_id = b.user_id AND a.event_type < b.event_type
+                     GROUP BY 1, 2)
+         SELECT ta, tb, CAST(common AS BIGINT) AS common,
+                CAST(na.n AS BIGINT) AS na, CAST(nb.n AS BIGINT) AS nb,
+                CAST(10000 * common // (na.n + nb.n - common) AS BIGINT) AS jaccard_bp
+         FROM pr JOIN np na ON na.event_type = ta JOIN np nb ON nb.event_type = tb
+         ORDER BY ta, tb""",
   )
 }

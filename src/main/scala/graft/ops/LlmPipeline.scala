@@ -449,6 +449,30 @@ object LlmPipeline {
           sum("lp_u").as("logprob_u"))
         .orderBy("doc_id")
     }),
+
+    // Cross-source duplicate-leakage matrix (the audit before trusting
+    // per-source dedup: which source pairs feed each other clones). Docs
+    // are keyed by their canonical token-set signature — md5 of the sorted
+    // distinct word set, the J=1.0 word-Jaccard class (reordered /
+    // repeated-word clones collide; raw-text md5 would see none of them) —
+    // then (signature, source) incidence self-joins under src_a < src_b so
+    // each source pair counts once per shared clone class. Scale: the join
+    // keys on the signature hash; fan-out per signature is bounded by
+    // |sources|² (sources is a small closed set), so this is the
+    // graph_cooccurrence candidate-bounding argument on content keys —
+    // never corpus². Output ≤ C(|sources|,2) rows.
+    "llm_dup_overlap_matrix" -> ((s, d) => {
+      val hs = documents(s, d)
+        .select(md5(concat_ws(" ",
+          sort_array(array_distinct(split(col("text"), " "))))).as("h"),
+          col("source"))
+        .distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_classes"))
+        .orderBy("src_a", "src_b")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -580,5 +604,13 @@ object LlmPipeline {
          FROM toks LEFT JOIN counts USING (w) CROSS JOIN stats
          WHERE doc_id % 5 = 0
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_dup_overlap_matrix" ->
+      """WITH hs AS (SELECT DISTINCT
+                            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+                            source
+                     FROM documents)
+         SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_classes
+         FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

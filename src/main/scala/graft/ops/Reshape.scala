@@ -245,6 +245,36 @@ object Reshape {
         .select(col("event_type"), col("hr"), col("n"),
           expr("10000 * 24 * n div tot").as("index_bp"))
         .orderBy("event_type", "hr")),
+
+    // CUSUM changepoint detection per event type (the level-shift monitor):
+    // over daily cents totals x_1..x_n, the classic statistic is the max
+    // deviation of the cumulative sum from the proportional line,
+    // S_k = Σ_{i≤k} (x_i − T/n). Multiplying through by n keeps it EXACT:
+    // S'_k = n·prefix_k − k·T is pure BIGINT (no mean division ever
+    // happens), and argmax |S'_k| is the same k. Ties break to the earliest
+    // day. Scale: the one corpus-sized stage is the partial-aggregatable
+    // (type, day) sum; every window runs over the ≤ |days|·|types|-row
+    // daily frame — metadata-sized for any corpus, like ts_seasonal_index.
+    "ts_changepoint_cusum" -> ((s, d) => {
+      val day = expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                      DATE'2024-01-01') AS BIGINT)""")
+      val byType = Window.partitionBy("event_type")
+      val scored = events(s, d)
+        .select(col("event_type"), day.as("day"), col("value"))
+        .groupBy("event_type", "day").agg(moneySum(col("value")).as("x"))
+        .withColumn("k", row_number().over(byType.orderBy("day")).cast("long"))
+        .withColumn("pre", sum("x").over(byType.orderBy("day")))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("t", sum("x").over(byType))
+        .withColumn("s", col("n") * col("pre") - col("k") * col("t"))
+      scored
+        .withColumn("rn", row_number().over(
+          byType.orderBy(abs(col("s")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("s").as("s_at_cp"), col("n").as("n_days"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -402,5 +432,24 @@ object Reshape {
          SELECT event_type, hr, n,
                 CAST(10000 * 24 * n // (sum(n) OVER (PARTITION BY event_type)) AS BIGINT) AS index_bp
          FROM h ORDER BY event_type, hr""",
+    "ts_changepoint_cusum" ->
+      s"""WITH daily AS (SELECT event_type,
+                                date_diff('day', DATE '2024-01-01',
+                                          CAST(date_trunc('day', ts) AS DATE)) AS day,
+                                ${moneySumSql("value")} AS x
+                         FROM events GROUP BY 1, 2),
+              sc AS (SELECT event_type, day,
+                            count(*) OVER (PARTITION BY event_type)
+                              * sum(x) OVER (PARTITION BY event_type ORDER BY day)
+                            - row_number() OVER (PARTITION BY event_type ORDER BY day)
+                              * sum(x) OVER (PARTITION BY event_type) AS s,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM daily)
+         SELECT event_type, CAST(day AS BIGINT) AS cp_day, CAST(s AS BIGINT) AS s_at_cp,
+                CAST(n AS BIGINT) AS n_days
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                            ORDER BY abs(s) DESC, day) AS rn
+               FROM sc)
+         WHERE rn = 1 ORDER BY event_type""",
   )
 }

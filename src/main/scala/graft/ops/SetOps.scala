@@ -165,6 +165,33 @@ object SetOps {
         .select(lit("by_bucket").as("dim"), col("key"), col("cents_sum"), col("n"))
       byStatus.unionByName(byBucket).orderBy("dim", "key")
     }),
+
+    // Key-skew audit (the diagnosis a pipeline runs BEFORE choosing between
+    // a plain, salted, or broadcast join — join_skew_salted's measurement
+    // sibling): per-key event counts feed (a) the 5 heaviest keys under the
+    // (count desc, key) total order with their corpus share and (b) global
+    // skew stats — skew_ratio_bp = 10000·max_n·n_keys div total, i.e.
+    // max/mean in basis points (10000 = perfectly uniform). Scale: one
+    // partial-aggregatable groupBy is the only corpus-sized stage; top-5 is
+    // a TakeOrdered (per-partition heads + driver merge of 5-row heaps, no
+    // global sort), and the 1-row stats frame broadcasts onto it. rank is
+    // assigned on the post-limit 5-row frame, so the unpartitioned window
+    // is free.
+    "util_skew_report" -> ((s, d) => {
+      val per = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val g = per.agg(count(lit(1)).as("n_keys"), sum("n_events").as("total"),
+        max("n_events").as("max_n"))
+      per.orderBy(col("n_events").desc, col("user_id")).limit(5)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_events").desc, col("user_id")))
+            .cast("long"))
+        .crossJoin(broadcast(g))
+        .select(col("rank"), col("user_id"), col("n_events"),
+          expr("10000 * n_events div total").as("share_bp"),
+          col("n_keys"), col("max_n"),
+          expr("10000 * max_n * n_keys div total").as("skew_ratio_bp"))
+        .orderBy("rank")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,5 +260,18 @@ object SetOps {
                   CAST(sum(cents) AS BIGINT) AS cents_sum, count(*) AS n
            FROM base GROUP BY o_custkey % 10)
          ORDER BY dim, key""",
+    "util_skew_report" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+              g AS (SELECT count(*) AS n_keys, sum(n_events) AS total,
+                           max(n_events) AS max_n FROM per),
+              top AS (SELECT user_id, n_events,
+                             row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+                      FROM per ORDER BY n_events DESC, user_id LIMIT 5)
+         SELECT CAST(rank AS BIGINT) AS rank, user_id,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(10000 * n_events // total AS BIGINT) AS share_bp,
+                CAST(n_keys AS BIGINT) AS n_keys, CAST(max_n AS BIGINT) AS max_n,
+                CAST(10000 * max_n * n_keys // total AS BIGINT) AS skew_ratio_bp
+         FROM top, g ORDER BY rank""",
   )
 }

@@ -895,6 +895,81 @@ class Round6Suite extends AnyFunSuite {
     assert(got == expect, s"MMR trajectory diverged:\n got=$got\n exp=$expect")
   }
 
+  test("ts_changepoint_cusum: argmax equals a driver-side brute force; S' is a true CUSUM transform") {
+    val daily = Tables.events(s, d)
+      .selectExpr("event_type",
+        """CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                         DATE'2024-01-01') AS BIGINT) AS day""",
+        "value")
+      .groupBy("event_type", "day").agg(Norm.moneySum(col("value")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2)
+      val n = xs.length.toLong
+      val tot = xs.map(_._3).sum
+      val scored = xs.zipWithIndex.map { case ((_, day, _), i) =>
+        val pre = xs.take(i + 1).map(_._3).sum
+        (day, n * pre - (i + 1) * tot)
+      }
+      val (cpDay, sAtCp) = scored.minBy { case (day, sv) => (-math.abs(sv), day) }
+      t -> ((cpDay, sAtCp, n))
+    }
+    val got = SparkEntry.queries("ts_changepoint_cusum")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"CUSUM diverged: got=$got exp=$expect")
+    // last cumulative deviation is identically zero: S'_n = n·T − n·T
+    daily.groupBy(_._1).foreach { case (_, rows) =>
+      val xs = rows.map(_._3); val n = xs.length.toLong
+      assert(n * xs.sum - n * xs.sum == 0L)
+    }
+  }
+
+  test("util_skew_report: rank-1 is the max key; ratio and shares are internally consistent") {
+    val rows = SparkEntry.queries("util_skew_report")(s, d).collect()
+    assert(rows.length == 5)
+    val maxN = rows.map(_.getLong(5)).distinct
+    assert(maxN.length == 1 && rows.head.getLong(2) == maxN.head,
+      "rank-1 key's count must equal the global max")
+    assert(rows.map(_.getLong(2)).sameElements(rows.map(_.getLong(2)).sorted.reverse),
+      "top-5 must be count-descending")
+    // max ≥ mean ⇒ skew_ratio_bp ≥ 10000 − floor error
+    assert(rows.head.getLong(6) >= 9999, "max/mean ratio below uniform?")
+  }
+
+  test("graph_cooccurrence: Jaccard bounds and common ≤ min(|A|,|B|)") {
+    val rows = SparkEntry.queries("graph_cooccurrence")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(na, nb))
+      assert(j >= 0 && j <= 10000)
+      assert(j == 10000 * common / (na + nb - common))
+    }
+  }
+
+  test("llm_dup_overlap_matrix: ordered pairs, positive counts, and the fixture leaks cross-source clones") {
+    val rows = SparkEntry.queries("llm_dup_overlap_matrix")(s, d).collect()
+    assert(rows.nonEmpty, "fixture has cross-source token-set clones; matrix must not be empty")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be src_a < src_b")
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("llm_mixture_weights: target sums to 10000 bp; weights invert the actual shares") {
+    val rows = SparkEntry.queries("llm_mixture_weights")(s, d).collect()
+    assert(rows.map(_.getLong(3)).sum == 10000L, "target mixture must sum to 10000 bp")
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, target, weight, planned) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(weight == target * total / n)
+      assert(planned == target * total / 10000)
+      // weight > 10000 exactly when the domain is under-represented
+      assert((weight > 10000) == (10000 * n / total < target) ||
+        10000 * n % total == 0)
+    }
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
