@@ -518,6 +518,56 @@ object LlmCuration {
           expr("target_bp * total div 10000").as("planned_docs"))
         .orderBy("lang")
     }),
+
+    // Consecutive-repetition runs (the looping-generation detector — the
+    // run-length sibling of llm_quality_repetition's bag-of-words ratios:
+    // "a b a b" is invisible to dup_word_bp ordering but "a a a a" is a
+    // run). Gaps-and-islands on token positions: pos − row_number within
+    // (doc, tok) is constant exactly along a consecutive run. Emits the
+    // longest run, its token ((run desc, tok) argmax — engine-stable), and
+    // the count of runs ≥ 2. Scale: one explode then everything keys on
+    // doc_id — the (doc, tok) island window, the run count, and the final
+    // per-doc argmax all ride a single doc-keyed partitioning; no global
+    // window, no corpus² stage.
+    "llm_repetition_runs" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok")
+      val runs = toks
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy("doc_id", "tok").orderBy("pos")))
+        .groupBy("doc_id", "tok", "grp").agg(count(lit(1)).as("run"))
+      runs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("run").desc, col("tok"))))
+        .withColumn("max_run", max("run").over(Window.partitionBy("doc_id")))
+        .withColumn("n_runs_ge2", sum(when(col("run") >= 2, 1L).otherwise(0L))
+          .over(Window.partitionBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("max_run"), col("tok").as("run_tok"),
+          col("n_runs_ge2"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split with a stratification audit: the
+    // llm_sample_stratified hash-bucket idiom widened to a 90/5/5 3-way
+    // partition (mixBucket — md5 hex prefix mod 100 — so membership is
+    // engine-, run-, and partition-independent), reported per (lang, split)
+    // with basis-point shares within each language. The audit is the point:
+    // a skewed split (a language whose val slice drifted from 500 bp)
+    // surfaces here before training does. One partial-aggregatable
+    // (lang, split) count; the share window runs on the ≤ 3·|langs|-row
+    // report frame.
+    "llm_split_train_eval" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("b", mixBucket)
+        .withColumn("split", expr(
+          "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_total", sum("n_docs").over(Window.partitionBy("lang")))
+        .select(col("lang"), col("split"), col("n_docs"),
+          expr("10000 * n_docs div lang_total").as("share_bp"))
+        .orderBy("lang", "split")),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -773,5 +823,39 @@ object LlmCuration {
                 CAST(target_bp * total // 10000 AS BIGINT) AS planned_docs
          FROM n JOIN t ON t.lang = n.lang CROSS JOIN g
          ORDER BY n.lang""",
+    // Parallel unnests zip positionally (the udtf_generator idiom); pos is
+    // 0-based on both engines (range(len) here, posexplode in Spark).
+    "llm_repetition_runs" ->
+      """WITH t AS (SELECT doc_id,
+                           unnest(range(len(string_split(text, ' ')))) AS pos,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+              r AS (SELECT doc_id, tok, count(*) AS run
+                    FROM (SELECT doc_id, tok,
+                                 pos - row_number() OVER (PARTITION BY doc_id, tok
+                                                          ORDER BY pos) AS grp
+                          FROM t)
+                    GROUP BY doc_id, tok, grp)
+         SELECT doc_id, CAST(max_run AS BIGINT) AS max_run, tok AS run_tok,
+                CAST(n_runs_ge2 AS BIGINT) AS n_runs_ge2
+         FROM (SELECT doc_id, run, tok,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY run DESC, tok) AS rn,
+                      max(run) OVER (PARTITION BY doc_id) AS max_run,
+                      sum(CASE WHEN run >= 2 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id) AS n_runs_ge2
+               FROM r)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "llm_split_train_eval" ->
+      """WITH k AS (SELECT lang,
+                           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM (SELECT lang,
+                                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                          FROM documents)),
+              n AS (SELECT lang, split, count(*) AS n_docs FROM k GROUP BY 1, 2)
+         SELECT lang, split, n_docs,
+                CAST(10000 * n_docs // (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
+         FROM n ORDER BY lang, split""",
   )
 }

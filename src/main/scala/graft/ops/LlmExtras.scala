@@ -843,6 +843,27 @@ object LlmExtras {
           expr("10000 * common div (na + nb - common)").as("jaccard_bp"))
         .orderBy("ta", "tb")
     }),
+
+    // Per-label embedding centroid state (the k-means/IVF training
+    // primitive and the class-prototype report): each dimension's EXACT
+    // decimal sum + member count — i.e. the mergeable partial-aggregate a
+    // distributed mean is built from, emitted as micro-unit BIGINT so no
+    // engine ever divides (consumers divide sum_u by n; ts_autocorr's
+    // numerator/denominator doctrine). The decimal widening makes the sum
+    // shuffle-arrival-order-immune where a double fold would drift. Scale:
+    // posexplode is narrow (64 rows per vector), then ONE
+    // partial-aggregatable (label, dim) shuffle carrying 64·|labels|
+    // accumulator rows per map task — the canonical centroid-update shape.
+    "llm_embed_centroid" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "dim", "x")
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))), 6) * 1000000 AS BIGINT)")
+            .as("sum_u"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("sum_u"))
+        .orderBy("label", "dim")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1368,5 +1389,14 @@ object LlmExtras {
                 CAST(10000 * common // (na.n + nb.n - common) AS BIGINT) AS jaccard_bp
          FROM pr JOIN np na ON na.event_type = ta JOIN np nb ON nb.event_type = tb
          ORDER BY ta, tb""",
+    "llm_embed_centroid" ->
+      """SELECT label, pos - 1 AS dim, count(*) AS n,
+                CAST(CAST(round(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))), 6)
+                          AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS sum_u
+         FROM (SELECT label,
+                      unnest(range(1, len(embedding) + 1)) AS pos,
+                      unnest(embedding) AS x
+               FROM embeddings)
+         GROUP BY label, pos ORDER BY label, dim""",
   )
 }

@@ -970,6 +970,58 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_repetition_runs: max run equals a driver-side scan of every text") {
+    val texts = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def brute(t: String): (Long, String, Long) = {
+      val toks = t.split(" ")
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      var i = 0
+      while (i < toks.length) {
+        var j = i
+        while (j < toks.length && toks(j) == toks(i)) j += 1
+        runs += ((toks(i), j - i)); i = j
+      }
+      val (tok, mx) = runs.minBy { case (tk, n) => (-n, tk) }
+      (mx.toLong, tok, runs.count(_._2 >= 2).toLong)
+    }
+    val got = SparkEntry.queries("llm_repetition_runs")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+    assert(got.length == texts.size)
+    got.foreach { case (id, res) =>
+      assert(res == brute(texts(id)), s"run profile diverged for doc $id")
+    }
+  }
+
+  test("llm_split_train_eval: splits partition each language; shares sum to 10000 within floor error") {
+    val rows = SparkEntry.queries("llm_split_train_eval")(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perLang = Tables.documents(s, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == perLang(lang), s"split counts must partition $lang")
+      val shares = rs.map(_._4).sum
+      assert(shares <= 10000 && shares > 10000 - 3, s"shares of $lang sum to $shares")
+    }
+  }
+
+  test("llm_embed_centroid: full label×dim grid; counts match; means land near a double fold") {
+    val rows = SparkEntry.queries("llm_embed_centroid")(s, d).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val perLabel = Tables.embeddings(s, d).groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == perLabel.size * 64, "one row per (label, dim)")
+    rows.foreach { case ((l, _), (n, _)) => assert(n == perLabel(l)) }
+    // spot-check dim 0 of each label against a driver double fold
+    val sums = Tables.embeddings(s, d)
+      .selectExpr("label", "CAST(embedding[0] AS DOUBLE) AS x").collect()
+      .groupBy(_.getInt(0)).map { case (l, rs) => l -> rs.map(_.getDouble(1)).sum }
+    sums.foreach { case (l, sx) =>
+      assert(math.abs(rows((l, 0L))._2 / 1e6 - sx) < 1e-4,
+        s"label $l dim 0 decimal sum drifted from the double fold")
+    }
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
