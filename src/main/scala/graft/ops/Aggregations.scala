@@ -15,6 +15,10 @@ import graft.Tables._
   * plan; at 100 TB prefer `agg_approx_distinct` (HLL, constant memory).
   */
 object Aggregations {
+  /** Closed event-type domain probed by agg_sketch_cms (the fixture's
+    * events.event_type values — SURVEY §1.3). */
+  private val eventTypesCms = Seq("click", "error", "purchase", "signup", "view")
+
   val ops: Map[String, Q] = Map(
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
@@ -231,6 +235,29 @@ object Aggregations {
         .unionAll(sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
           .select(lit("ALL").as("l_returnflag"), col("est").as("approx_parts")))
         .orderBy("l_returnflag")
+    }),
+
+    // Count-min sketch heavy-hitter frequencies (the point-query sibling
+    // of agg_sketch_hll's cardinality and agg_approx_topk's top-k): the
+    // kB-sized CMS is built DISTRIBUTIVELY (per-partition sketches merged
+    // by treeAggregate — the same mergeable-state roll-up as the other
+    // sketches; only the merged kB sketch ever reaches the driver, never
+    // data), then probed for each event type's estimated frequency next to
+    // the exact count. CMS guarantees estimate ≥ truth and, at eps=0.001,
+    // ≤ truth + 0.001·N w.h.p. — both bounds unit-tested; estimates are
+    // hash-seed-specific, so the oracle is omitted like the other
+    // sketches. err_bp pins how tight the sketch actually is.
+    "agg_sketch_cms" -> ((s, d) => {
+      val ev = events(s, d)
+      val cms = ev.stat.countMinSketch(col("event_type"), eps = 0.001,
+        confidence = 0.99, seed = 42)
+      val est = eventTypesCms.map(t => (t, cms.estimateCount(t)))
+      val sp = s; import sp.implicits._
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(est.toDF("event_type", "n_est")), "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          expr("10000 * (n_est - n_exact) div n_exact").as("err_bp"))
+        .orderBy("event_type")
     }),
 
     // Linear-regression aggregate family (y = price, x = quantity per flag).

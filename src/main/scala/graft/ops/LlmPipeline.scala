@@ -473,6 +473,42 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n_shared_classes"))
         .orderBy("src_a", "src_b")
     }),
+
+    // Laplace-smoothed BIGRAM LM scoring — the conditional sibling of
+    // llm_unigram_logprob (same train/held-out split, same floored
+    // micro-unit ln so the per-doc sum is shuffle-order-immune):
+    // P(w|prev) = (c(prev,w)+1) / (c(prev)+V), V = train next-word vocab.
+    // Bigrams come from one slice+transform pass over the materialized
+    // token array (the grams5 rule: never index split() inside the
+    // lambda). Scale: train tables are vocab-bounded → both probe joins
+    // broadcast like unigram's; the held-out bigram stream never joins
+    // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
+    // from unseen transitions (cb null) — the two backoff triggers a real
+    // LM distinguishes.
+    "llm_bigram_logprob" -> ((s, d) => {
+      val bigrams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(t, 1, greatest(size(t) - 1, 0)),
+                       (x, i) -> struct(x AS prev, t[i + 1] AS w))""")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+      val train = bigrams.filter(col("doc_id") % 5 =!= 0)
+      val cb = train.groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+      val cp = train.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val vv = train.agg(countDistinct("w").as("vv"))
+      bigrams.filter(col("doc_id") % 5 === 0)
+        .join(broadcast(cb), Seq("prev", "w"), "left")
+        .join(broadcast(cp), Seq("prev"), "left")
+        .crossJoin(broadcast(vv))
+        .withColumn("lp_u", expr(
+          "CAST(floor(1000000 * ln((coalesce(cb, 0) + 1.0) / (coalesce(cp, 0) + vv))) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_unseen_bg"),
+          sum(when(col("cp").isNull, 1L).otherwise(0L)).as("n_unseen_ctx"),
+          sum("lp_u").as("logprob_u"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -612,5 +648,23 @@ object LlmPipeline {
          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_classes
          FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
+    // (1-based list slicing in DuckDB).
+    "llm_bigram_logprob" ->
+      """WITH bg AS (SELECT doc_id,
+                            unnest(string_split(text, ' ')[1:-2]) AS prev,
+                            unnest(string_split(text, ' ')[2:]) AS w
+                     FROM documents),
+              cb AS (SELECT prev, w, count(*) AS cb FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+              cp AS (SELECT prev, count(*) AS cp FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1),
+              vv AS (SELECT count(DISTINCT w) AS vv FROM bg WHERE doc_id % 5 <> 0)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_bg,
+                CAST(sum(CASE WHEN cp.cp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_ctx,
+                CAST(sum(CAST(floor(1000000 * ln((coalesce(cb.cb, 0) + 1.0)
+                                                 / (coalesce(cp.cp, 0) + vv))) AS BIGINT)) AS BIGINT) AS logprob_u
+         FROM bg LEFT JOIN cb USING (prev, w) LEFT JOIN cp USING (prev) CROSS JOIN vv
+         WHERE doc_id % 5 = 0
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }

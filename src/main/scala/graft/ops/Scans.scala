@@ -375,12 +375,52 @@ object Scans {
         .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
         .agg(count(lit(1)).as("n"))
         .orderBy("ship_month")),
+
+    // Nested-directory lake layout WITHOUT hive partition naming (the
+    // "directories are just directories" corpus a crawler or legacy job
+    // leaves behind): docs written under <root>/<lang>/b<bucket>/, then
+    // read back two ways — (a) a path GLOB <root>/*/b1 that selects one
+    // bucket across every language at LISTING time (the whole subtree
+    // never enters the file index, the coarsest possible pruning), and
+    // (b) recursiveFileLookup=true over the root, which walks arbitrary
+    // nesting with NO partition inference (the option exists precisely
+    // because non-hive layouts otherwise fail the inference step). The
+    // two-row report pins both paths' row counts + content sums; lang
+    // survives as a data column because the layout carries it in-file,
+    // not in dir names. Scale: glob/listing cost is proportional to the
+    // selected subtree only.
+    "scan_recursive_glob" -> ((s, d) => {
+      val root = tmpDir(d, "nested")
+      val base = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("doc_id") % 3).as("bucket"))
+      for (lang <- Seq("de", "en", "es", "fr", "zh"); b <- 0 to 2)
+        base.filter(col("lang") === lang && col("bucket") === b)
+          .select("doc_id", "lang", "n_chars")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/$lang/b$b")
+      val glob = s.read.parquet(s"$root/*/b1")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .select(lit("glob_bucket1").as("mode"), col("n_docs"), col("total_chars"))
+      val recur = s.read.option("recursiveFileLookup", "true").parquet(root)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .select(lit("recursive_all").as("mode"), col("n_docs"), col("total_chars"))
+      glob.unionByName(recur).orderBy("mode")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
     "scan_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_recursive_glob" ->
+      """SELECT * FROM (
+           SELECT 'glob_bucket1' AS mode, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT 'recursive_all', count(*), CAST(sum(n_chars) AS BIGINT)
+           FROM documents)
+         ORDER BY mode""",
     "scan_zstd_roundtrip" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${moneySumSql("o_totalprice")} AS total
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

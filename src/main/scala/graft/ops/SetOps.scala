@@ -192,6 +192,72 @@ object SetOps {
           expr("10000 * max_n * n_keys div total").as("skew_ratio_bp"))
         .orderBy("rank")
     }),
+
+    // Data-quality constraint audit (the dq-check stage an ETL pipeline
+    // gates a load on): domain, null, range, and referential-integrity
+    // checks emitted as one (check, n_checked, n_violations) report. The
+    // three row-local checks are differently-filtered aggregates in ONE
+    // scan pass (the agg_filter_clause anti-N-passes shape); the FK check
+    // is the one that genuinely needs a second input — a left-anti count
+    // against the customer keys. A zero-violation row is still a row: the
+    // report asserts the check RAN, not merely that nothing failed. Scale:
+    // one orders pass + one anti join on the FK key; the stack() over two
+    // broadcast 1-row frames is free.
+    "util_assert_constraints" -> ((s, d) => {
+      val rowChecks = orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("v_status"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"))
+      val fk = orders(s, d).select("o_custkey")
+        .join(customer(s, d).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      rowChecks.crossJoin(broadcast(fk)).selectExpr(
+        """stack(4,
+             'fk_orders_customer',    n, v_fk,
+             'o_custkey_not_null',    n, v_null,
+             'o_orderstatus_domain',  n, v_status,
+             'o_totalprice_positive', n, v_price)
+           AS (check_name, n_checked, n_violations)""")
+        .orderBy("check_name")
+    }),
+
+    // Table profiler (the discover-before-you-join utility: one report row
+    // per column with cardinality and range). All five columns profile in
+    // ONE aggregation pass — the multi-distinct Expand plan (agg_multi_
+    // distinct's shape) replaces five separate scans; min/max leave as
+    // canonical STRINGS (keys/cents rendered from BIGINT — never a raw
+    // double string, whose exponent formatting is engine-specific). At
+    // 100 TB exact n_distinct is the expensive column; the sketch
+    // alternative is agg_approx_distinct/agg_sketch_hll.
+    "util_profile_table" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), money(col("o_totalprice")).as("cents"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_orderkey").as("nd_ok"),
+          min("o_orderkey").cast("string").as("mn_ok"),
+          max("o_orderkey").cast("string").as("mx_ok"),
+          countDistinct("o_custkey").as("nd_ck"),
+          min("o_custkey").cast("string").as("mn_ck"),
+          max("o_custkey").cast("string").as("mx_ck"),
+          countDistinct("o_orderstatus").as("nd_st"),
+          min("o_orderstatus").as("mn_st"), max("o_orderstatus").as("mx_st"),
+          countDistinct("o_orderpriority").as("nd_pr"),
+          min("o_orderpriority").as("mn_pr"), max("o_orderpriority").as("mx_pr"),
+          countDistinct("cents").as("nd_tp"),
+          min("cents").cast("string").as("mn_tp"),
+          max("cents").cast("string").as("mx_tp"))
+        .selectExpr(
+          """stack(5,
+               'o_custkey',          n, nd_ck, mn_ck, mx_ck,
+               'o_orderkey',         n, nd_ok, mn_ok, mx_ok,
+               'o_orderpriority',    n, nd_pr, mn_pr, mx_pr,
+               'o_orderstatus',      n, nd_st, mn_st, mx_st,
+               'o_totalprice_cents', n, nd_tp, mn_tp, mx_tp)
+             AS (column_name, n_rows, n_distinct, min_s, max_s)""")
+        .orderBy("column_name")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,5 +339,45 @@ object SetOps {
                 CAST(n_keys AS BIGINT) AS n_keys, CAST(max_n AS BIGINT) AS max_n,
                 CAST(10000 * max_n * n_keys // total AS BIGINT) AS skew_ratio_bp
          FROM top, g ORDER BY rank""",
+    "util_assert_constraints" ->
+      """WITH rc AS (SELECT count(*) AS n,
+                            CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                            CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null
+                     FROM orders),
+              fk AS (SELECT count(*) AS v_fk FROM orders
+                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         SELECT * FROM (
+           SELECT 'fk_orders_customer' AS check_name, n AS n_checked, v_fk AS n_violations FROM rc, fk
+           UNION ALL SELECT 'o_custkey_not_null', n, v_null FROM rc
+           UNION ALL SELECT 'o_orderstatus_domain', n, v_status FROM rc
+           UNION ALL SELECT 'o_totalprice_positive', n, v_price FROM rc)
+         ORDER BY check_name""",
+    "util_profile_table" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                            ${moneySql("o_totalprice")} AS cents
+                     FROM orders),
+              p AS (SELECT count(*) AS n,
+                           count(DISTINCT o_orderkey) AS nd_ok,
+                           CAST(min(o_orderkey) AS VARCHAR) AS mn_ok,
+                           CAST(max(o_orderkey) AS VARCHAR) AS mx_ok,
+                           count(DISTINCT o_custkey) AS nd_ck,
+                           CAST(min(o_custkey) AS VARCHAR) AS mn_ck,
+                           CAST(max(o_custkey) AS VARCHAR) AS mx_ck,
+                           count(DISTINCT o_orderstatus) AS nd_st,
+                           min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+                           count(DISTINCT o_orderpriority) AS nd_pr,
+                           min(o_orderpriority) AS mn_pr, max(o_orderpriority) AS mx_pr,
+                           count(DISTINCT cents) AS nd_tp,
+                           CAST(min(cents) AS VARCHAR) AS mn_tp,
+                           CAST(max(cents) AS VARCHAR) AS mx_tp
+                    FROM o)
+         SELECT * FROM (
+           SELECT 'o_custkey' AS column_name, n AS n_rows, nd_ck AS n_distinct, mn_ck AS min_s, mx_ck AS max_s FROM p
+           UNION ALL SELECT 'o_orderkey', n, nd_ok, mn_ok, mx_ok FROM p
+           UNION ALL SELECT 'o_orderpriority', n, nd_pr, mn_pr, mx_pr FROM p
+           UNION ALL SELECT 'o_orderstatus', n, nd_st, mn_st, mx_st FROM p
+           UNION ALL SELECT 'o_totalprice_cents', n, nd_tp, mn_tp, mx_tp FROM p)
+         ORDER BY column_name""",
   )
 }

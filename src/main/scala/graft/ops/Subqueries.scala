@@ -201,6 +201,20 @@ object Subqueries {
           ON o.o_orderpriority = w.prio
         GROUP BY w.wt ORDER BY w.wt"""
 
+  // EXISTS under a disjunction — the one subquery position a semi join
+  // CANNOT express (a semi join drops non-matching rows, but here a
+  // non-matching row may still pass via the other disjunct). Catalyst
+  // plans the ExistenceJoin variant: a join that ADDS a boolean
+  // exists#… column, consumed by the OR filter above it — still one
+  // hash join on l_orderkey, never a per-row re-execution of the inner
+  // query. Plan shape asserted in Round6Suite.
+  private val SUB_EXISTS_OR =
+    """SELECT o_orderkey, o_orderstatus FROM @orders o
+       WHERE o_totalprice > 400000
+          OR EXISTS (SELECT 1 FROM @lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
+       ORDER BY o_orderkey"""
+
   val ops: Map[String, Q] = Map(
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -220,6 +234,7 @@ object Subqueries {
       finally s.catalog.dropTempView(vn): Unit
     }),
     "sub_inline_values" -> ((s, d) => viaSql(s, d, SUB_VALUES, "orders")),
+    "sub_exists_or"   -> ((s, d) => viaSql(s, d, SUB_EXISTS_OR, "orders", "lineitem")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -237,5 +252,6 @@ object Subqueries {
       .replace(":min_cents", "10000000")
       .replace(":hot1", "'1-URGENT'").replace(":hot2", "'2-HIGH'"),
     "sub_inline_values" -> stripMarkers(SUB_VALUES),
+    "sub_exists_or"   -> stripMarkers(SUB_EXISTS_OR),
   )
 }

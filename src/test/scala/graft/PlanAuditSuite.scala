@@ -244,4 +244,36 @@ class PlanAuditSuite extends AnyFunSuite {
         s"$k: the per-group stats frame must broadcast, not shuffle the fact side:\n${p.take(1500)}")
     }
   }
+
+  test("util_skew_report takes its top-5 via TakeOrdered, never a global sort of the key frame") {
+    val p = plan("util_skew_report")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 keys must be a TakeOrdered heap merge:\n${p.take(1500)}")
+    // the only Sort allowed is the final 5-row presentation sort
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("n_events")) ||
+      p.contains("TakeOrderedAndProject"),
+      s"per-key frame must not globally sort:\n${p.take(1500)}")
+  }
+
+  test("graph_cooccurrence: per-type count frames broadcast onto the pair frame") {
+    val p = plan("graph_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|-row count frames must broadcast:\n${p.take(1500)}")
+  }
+
+  test("llm_embed_centroid partial-aggregates before its one (label, dim) shuffle") {
+    val df = SparkEntry.queries("llm_embed_centroid")(s, d)
+    val p = df.queryExecution.executedPlan.toString()
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one hash exchange for the groupBy + one range exchange for the sort
+    assert(exchanges <= 2, s"centroid must shuffle once (+ output sort):\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"map-side partial aggregation missing:\n${p.take(1500)}")
+  }
+
+  test("llm_bigram_logprob: train tables broadcast onto the held-out stream") {
+    val p = plan("llm_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"vocab-bounded cb/cp must broadcast like llm_unigram_logprob's counts:\n${p.take(1500)}")
+  }
 }

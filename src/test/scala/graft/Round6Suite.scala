@@ -1022,6 +1022,95 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("sub_exists_or: plans an ExistenceJoin (not semi/anti) and matches the hand-lowered union") {
+    val df = SparkEntry.queries("sub_exists_or")(s, d)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("ExistenceJoin"),
+      s"EXISTS under OR must keep the existence-join variant:\n${plan.take(1200)}")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val hot = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val expect = Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice").collect()
+      .filter(r => r.getDouble(1) > 400000 || hot(r.getLong(0)))
+      .map(_.getLong(0)).toSeq.sorted
+    assert(got == expect)
+  }
+
+  test("util_assert_constraints: every check ran over the full table; violations match direct counts") {
+    val rows = SparkEntry.queries("util_assert_constraints")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val n = Tables.orders(s, d).count()
+    assert(rows.size == 4 && rows.values.forall(_._1 == n))
+    val fkV = Tables.orders(s, d).select("o_custkey")
+      .join(Tables.customer(s, d).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(rows("fk_orders_customer")._2 == fkV)
+    assert(rows("o_custkey_not_null")._2 ==
+      Tables.orders(s, d).filter(col("o_custkey").isNull).count())
+    assert(rows("o_totalprice_positive")._2 ==
+      Tables.orders(s, d).filter(col("o_totalprice") <= 0).count())
+  }
+
+  test("scan_recursive_glob: glob selects exactly one bucket; recursive lookup sees everything") {
+    val rows = SparkEntry.queries("scan_recursive_glob")(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(s, d).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows("recursive_all") == ((docs.length.toLong, docs.map(_._2).sum)))
+    val b1 = docs.filter(_._1 % 3 == 1)
+    assert(rows("glob_bucket1") == ((b1.length.toLong, b1.map(_._2).sum)))
+  }
+
+  test("agg_sketch_cms: estimates bound below by truth and above by the eps·N guarantee") {
+    val rows = SparkEntry.queries("agg_sketch_cms")(s, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._1).sum
+    rows.foreach { case (exact, est, errBp) =>
+      assert(est >= exact, "CMS must never underestimate")
+      assert(est <= exact + (0.001 * n).toLong + 1, "estimate exceeded the eps·N bound")
+      assert(errBp >= 0)
+    }
+  }
+
+  test("llm_bigram_logprob: per-doc scores equal a driver-side LM brute force") {
+    val texts = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def bigrams(t: Seq[String]) = t.zip(t.drop(1))
+    val train = texts.filter(_._1 % 5 != 0).values.flatMap(bigrams).toSeq
+    val cb = train.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cp = train.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val vv = train.map(_._2).toSet.size.toLong
+    val expect = texts.filter(_._1 % 5 == 0).map { case (id, t) =>
+      val bgs = bigrams(t)
+      val lps = bgs.map { bg =>
+        math.floor(1e6 * math.log(
+          (cb.getOrElse(bg, 0L) + 1.0) / (cp.getOrElse(bg._1, 0L) + vv))).toLong
+      }
+      id -> ((bgs.size.toLong, bgs.count(!cb.contains(_)).toLong,
+        bgs.count(bg => !cp.contains(bg._1)).toLong, lps.sum))
+    }
+    val got = SparkEntry.queries("llm_bigram_logprob")(s, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, "bigram LM diverged from the driver brute force")
+  }
+
+  test("util_profile_table: profile rows match direct queries") {
+    val rows = SparkEntry.queries("util_profile_table")(s, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    val o = Tables.orders(s, d)
+    val n = o.count()
+    assert(rows.size == 5 && rows.values.forall(_._1 == n))
+    assert(rows("o_orderkey")._2 == n, "orderkey is the PK: distinct == rows")
+    assert(rows("o_orderstatus")._2 ==
+      o.select("o_orderstatus").distinct().count())
+    val (mnK, mxK) = (rows("o_orderkey")._3.toLong, rows("o_orderkey")._4.toLong)
+    val agg = o.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+    assert(mnK == agg.getLong(0) && mxK == agg.getLong(1))
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
