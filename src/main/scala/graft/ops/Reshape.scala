@@ -275,6 +275,34 @@ object Reshape {
           col("s").as("s_at_cp"), col("n").as("n_days"))
         .orderBy("event_type")
     }),
+
+    // SPC control-limit anomalies (the Shewhart-chart day-level sibling of
+    // ts_changepoint_cusum's level-shift statistic): a day is flagged when
+    // its daily cents total sits beyond 1.5 population σ of its type's
+    // days. The test is EXACT: x − μ > 1.5σ cross-multiplied to
+    // 4·(n·x − T)² > 9·(n·Q − T²) so no mean, variance, or square root is
+    // ever materialized — all arithmetic in DECIMAL(38,0) (the agg_gini
+    // accumulator rule; (n·x−T)² ≈ 9e18 at sf0.1, well inside 38 digits),
+    // and only exact BIGINTs leave. Scale: one partial-aggregatable
+    // (type, day) sum; the |types|-row moment frame broadcasts back onto
+    // the metadata-sized daily frame.
+    "ts_anomaly_spc" -> ((s, d) => {
+      val day = expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                      DATE'2024-01-01') AS BIGINT)""")
+      val daily = events(s, d)
+        .select(col("event_type"), day.as("day"), col("value"))
+        .groupBy("event_type", "day").agg(moneySum(col("value")).as("x"))
+      val st = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("t"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+      daily.join(broadcast(st), "event_type")
+        .filter(expr(
+          """4 * (n * CAST(x AS DECIMAL(38,0)) - t) * (n * CAST(x AS DECIMAL(38,0)) - t)
+             > 9 * (n * q - CAST(t AS DECIMAL(38,0)) * t)"""))
+        .select(col("event_type"), col("day"), col("x").as("x_cents"),
+          col("n").as("n_days"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -451,5 +479,20 @@ object Reshape {
                                             ORDER BY abs(s) DESC, day) AS rn
                FROM sc)
          WHERE rn = 1 ORDER BY event_type""",
+    "ts_anomaly_spc" ->
+      s"""WITH daily AS (SELECT event_type,
+                                date_diff('day', DATE '2024-01-01',
+                                          CAST(date_trunc('day', ts) AS DATE)) AS day,
+                                ${moneySumSql("value")} AS x
+                         FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type, count(*) AS n, sum(x) AS t,
+                            sum(CAST(x AS HUGEINT) * x) AS q
+                     FROM daily GROUP BY 1)
+         SELECT event_type, CAST(day AS BIGINT) AS day, x AS x_cents,
+                CAST(n AS BIGINT) AS n_days
+         FROM daily JOIN st USING (event_type)
+         WHERE 4 * (n * CAST(x AS HUGEINT) - t) * (n * CAST(x AS HUGEINT) - t)
+               > 9 * (n * q - CAST(t AS HUGEINT) * t)
+         ORDER BY event_type, day""",
   )
 }

@@ -13,7 +13,8 @@ class ContractSuite extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle keys without a query: ${o -- q}")
     val documentedOmissions =
-      Set("agg_approx_distinct", "agg_approx_percentile", "agg_sketch_hll")
+      Set("agg_approx_distinct", "agg_approx_percentile", "agg_sketch_hll",
+        "agg_sketch_cms")
     assert((q -- o) == documentedOmissions,
       s"undocumented oracle omissions: ${(q -- o) -- documentedOmissions}")
   }

@@ -1111,6 +1111,29 @@ class Round6Suite extends AnyFunSuite {
     assert(mnK == agg.getLong(0) && mxK == agg.getLong(1))
   }
 
+  test("ts_anomaly_spc: flagged days equal the exact 1.5-sigma rule in BigInt") {
+    val daily = Tables.events(s, d)
+      .selectExpr("event_type",
+        """CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                         DATE'2024-01-01') AS BIGINT) AS day""",
+        "value")
+      .groupBy("event_type", "day").agg(Norm.moneySum(col("value")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val n = BigInt(rows.length)
+      val tt = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * r._3).sum
+      rows.filter { case (_, _, x) =>
+        val dev = n * x - tt
+        4 * dev * dev > 9 * (n * q - tt * tt)
+      }.map(r => (t, r._2, r._3))
+    }.toSet
+    val got = SparkEntry.queries("ts_anomaly_spc")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"SPC flag set diverged: got=${got.size} exp=${expect.size}")
+    assert(got.nonEmpty, "the 1.5-sigma gate should flag some days on this fixture")
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
