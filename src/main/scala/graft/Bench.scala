@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,12 +25,20 @@ object Bench {
     // nothing touched) don't read as plan regressions. Pass totals are
     // emitted too, so cross-pass variance itself is visible in the log.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // A query that crashes must not masquerade as a fast query (r5: 62 ops
+    // crashed in ~60 ms each and the silent catch made the bench look
+    // healthy). Record the failure and report it in the JSON tail so the
+    // error count rides along with the timing numbers.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name, e.toString.take(200))
+        System.err.println(s"[bench] $name FAILED: ${e.toString.take(500)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def qJson(rs: Seq[(String, Double)]): String =
@@ -42,12 +51,17 @@ object Bench {
       name -> allPasses.map(_.toMap.apply(name)).min
     }
     val passTotals = allPasses.map(_.map(_._2).sum)
-    val total = best.map(_._2).sum
+    // Failed queries are excluded from the reported total — a crash time is
+    // not a query time, and including it would understate the suite.
+    val total = best.collect { case (n, v) if !errors.contains(n) => v }.sum
     // Per-query detail first; the short machine-readable total LAST so a
     // tail-capture of bounded size always retains it (BENCH_r01 lost the
     // front of the single 4 KB line and the driver parsed null).
     println(s"""{"queries":${qJson(best)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}]}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"error_count":${errors.size},"errors":$errJson}""")
     spark.stop()
   }
 }

@@ -16,16 +16,32 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight canary: load + count every table before the sweep. A data
+    // regeneration that breaks a loader fails HERE with one table-level
+    // diagnosis, instead of as dozens of per-query analysis errors.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { name =>
+      try {
+        val n = (if (name == "events") Tables.events(spark, sfDir)
+                 else Tables.t(spark, sfDir, name)).count()
+        require(n > 0, s"table '$name' is empty")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] PREFLIGHT FAILED on table '$name': $e")
+        throw e
+      }
+    }
     // Queries are independent (distinct output dirs, no shared temp state
     // except one uniquely-named view) and SparkContext schedules concurrent
     // jobs safely — 4 parallel dumps roughly halve verify wall-clock.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            errors.put(name, e.toString.take(300))
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
@@ -47,6 +63,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Crashed queries leave no output dir and hence no correctness row; a
+    // visible artifact keeps a repeat of the r5 silent 62-op wipeout
+    // impossible (empty object on a clean run).
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), errJson)
+    if (!errors.isEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED")
     spark.stop()
   }
 }
