@@ -36,6 +36,8 @@ object Bench {
       // Catalyst prune the projection and under-measure).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
+        // SPARK_GRAFT_STRICT=1 (local sweeps): rethrow, don't tally.
+        if (sys.env.get("SPARK_GRAFT_STRICT").contains("1")) throw e
         errors.getOrElseUpdate(name, e.toString.take(200))
         System.err.println(s"[bench] $name FAILED: ${e.toString.take(500)}")
       }

@@ -41,6 +41,9 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            // SPARK_GRAFT_STRICT=1 (local sweeps): rethrow so the first
+            // failure stops the run loudly instead of being logged past.
+            if (sys.env.get("SPARK_GRAFT_STRICT").contains("1")) throw e
             errors.put(name, e.toString.take(300))
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }

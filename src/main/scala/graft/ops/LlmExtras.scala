@@ -428,6 +428,8 @@ object LlmExtras {
     // block-partitioned cogroup kernel (threshold -2 = emit all), then a
     // per-source window ranks; ranking happens on the RAW double (mirrored
     // in the oracle) and only the emitted cosine is basis-point-scaled.
+    // Exact by oracle contract; at 100 TB build the k-NN graph with
+    // llm_sim_ann_ivf per-shard + merge (SCALE_TUNING substitution rule).
     "llm_sim_knn" -> ((s, d) => {
       val half = SimKernel.cosinePairs(s, vecs(s, d), -2.0)
       val both = half.select(col("vid_a").as("src"), col("vid_b").as("dst"), col("cos"))

@@ -330,11 +330,17 @@ object LlmPipeline {
         .orderBy("threshold_bp")
     }),
 
+    // Exact all-pairs by oracle contract. Safe (block-partitioned, bounded
+    // task memory) but O(n²·dim) total work — beyond ~1e7 vectors substitute
+    // llm_sim_ann_lsh per SCALE_TUNING "exact↔approximate substitution rule".
     "llm_sim_cosine_pairs" -> ((s, d) =>
       SimKernel.cosinePairs(s, vecs(s, d), 0.5)
         .select(col("vid_a"), col("vid_b"), d4(col("cos")).as("cosine"))
         .orderBy("vid_a", "vid_b")),
 
+    // Exact query-vs-corpus scoring; at index-worthy corpus sizes substitute
+    // llm_sim_ann_ivf (SCALE_TUNING substitution rule) and keep this kernel
+    // as the sampled-slice recall oracle.
     "llm_sim_topk" -> ((s, d) =>
       SimKernel.scoreAgainstQueries(s, vecs(s, d), vecs(s, d).filter(col("vec_id") < 10))
         .withColumn("rank", row_number().over(

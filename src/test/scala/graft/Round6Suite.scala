@@ -1134,6 +1134,33 @@ class Round6Suite extends AnyFunSuite {
     assert(got.nonEmpty, "the 1.5-sigma gate should flag some days on this fixture")
   }
 
+  test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
+    // Simulate the r5 incident class: a 'documents' file missing 'text' and
+    // with n_chars drifted to string. Validation must throw ONE descriptive
+    // IllegalStateException at load, not let 62 queries fail downstream.
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    import s.implicits._
+    Seq((1L, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException](Tables.documents(s, dir))
+    assert(e.getMessage.contains("documents") && e.getMessage.contains("missing column"),
+      s"want table+column named in: ${e.getMessage}")
+    Seq((1L, "a b", "en", "src0", "3")).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e2 = intercept[IllegalStateException](Tables.documents(s, dir))
+    assert(e2.getMessage.contains("n_chars") && e2.getMessage.contains("expected one of"),
+      s"want column+expected types named in: ${e2.getMessage}")
+    // And the adaptive events loader: both nanos-long and µs generations load
+    // to TIMESTAMP_NTZ.
+    Seq((1L, 1704067200000000000L, 7L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(Tables.events(s, dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(Tables.events(s, TestSpark.sf).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("ts_seasonal_index: per-type indices average to ~flat (Σ n·idx = 10000·N within floor error)") {
     val rows = SparkEntry.queries("ts_seasonal_index")(s, d).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
