@@ -76,6 +76,37 @@ object LlmCuration {
                 FROM pw GROUP BY ALL)"""
 
   val ops: Map[String, Q] = Map(
+    // Gopher quality rules (Rae et al. 2021, public), adapted to the
+    // space-split token convention: word count in [50, 100000], mean word
+    // length in [3, 10], symbol-to-word ratio <= 0.1, duplicate-token
+    // fraction <= 0.5, and >= 2 distinct stopwords present. Every ratio
+    // test is integer cross-multiplied (no double ever materializes); each
+    // rule emits a 0/1 flag and `pass` is their conjunction, so downstream
+    // filters can audit WHICH rule rejected a doc. One narrow per-row
+    // projection — no shuffle except the presentation sort — so at 100 TB
+    // this is a map-only pass over the corpus.
+    "llm_quality_gopher" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"), col("text"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n"),
+          size(array_distinct(col("t"))).cast("long").as("dn"),
+          length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("sym"),
+          size(array_intersect(array_distinct(col("t")),
+            array(lit("the"), lit("a"), lit("of"), lit("to"), lit("in"), lit("and"))))
+            .cast("long").as("stops"))
+        .select(col("doc_id"), col("n").as("n_toks"),
+          when(col("n") >= 50 && col("n") <= 100000, 1L).otherwise(0L).as("ok_words"),
+          when(col("chars") >= col("n") * 3 && col("chars") <= col("n") * 10, 1L)
+            .otherwise(0L).as("ok_wordlen"),
+          when(col("sym") * 10 <= col("n"), 1L).otherwise(0L).as("ok_symbol"),
+          when(col("dn") * 2 >= col("n"), 1L).otherwise(0L).as("ok_dup"),
+          when(col("stops") >= 2, 1L).otherwise(0L).as("ok_stop"))
+        .withColumn("pass", col("ok_words") * col("ok_wordlen") * col("ok_symbol")
+          * col("ok_dup") * col("ok_stop"))
+        .orderBy("doc_id")),
+
     // Per-doc repetition profile: duplicate-word fraction and top-word
     // fraction in basis points. One explode → (doc_id, word) partial-agg →
     // per-doc agg; both shuffles are keyed on doc_id-bearing keys, so the
@@ -617,6 +648,23 @@ object LlmCuration {
   )
 
   val oracle: Map[String, String] = curationOracleExtra ++ Map(
+    "llm_quality_gopher" ->
+      """WITH b AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dn,
+                CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,
+                CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS sym,
+                CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                        ['the', 'a', 'of', 'to', 'in', 'and'])) AS BIGINT) AS stops
+               FROM documents)
+         SELECT doc_id, n AS n_toks,
+                CAST(CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+                CAST(CASE WHEN chars >= n * 3 AND chars <= n * 10 THEN 1 ELSE 0 END AS BIGINT) AS ok_wordlen,
+                CAST(CASE WHEN sym * 10 <= n THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol,
+                CAST(CASE WHEN dn * 2 >= n THEN 1 ELSE 0 END AS BIGINT) AS ok_dup,
+                CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+                ok_words * ok_wordlen * ok_symbol * ok_dup * ok_stop AS pass
+         FROM b ORDER BY doc_id""",
     "llm_quality_repetition" ->
       s"""WITH ${repetitionSqlCte("doc_id")}
          SELECT doc_id, n_words,

@@ -355,6 +355,41 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023, public): semantic dedup by embedding —
+    // cluster the corpus, then inside each cluster drop every vector that
+    // has a near-duplicate (cos >= 0.3 here; paper uses ~0.95+ on real
+    // embeddings, this synthetic corpus tops out near 0.44) with a smaller
+    // id. Clusters reuse the IVF assignment (first 8 vectors as fixed
+    // centroids — deterministic and oracle-mirrorable). The within-cluster
+    // pair join is the SemDeDup scale story: quadratic work is bounded per
+    // cluster (n/k)², never corpus², and k grows with the corpus
+    // (SCALE_TUNING: centroids ≈ √(n/targetListLen)).
+    "llm_semdedup" -> ((s, d) => {
+      val cent = vecs(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
+      val assign = vecs(s, d)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("ccos", expr(dotExpr) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"), col("va"), col("na"))
+      val l = assign.select(col("cluster"), col("vec_id").as("ia"),
+        col("va"), col("na"))
+      val r = assign.select(col("cluster").as("cr"), col("vec_id").as("ib"),
+        col("va").as("vb"), col("na").as("nb"))
+      val dropped = l.join(r, col("cluster") === col("cr") && col("ia") < col("ib"))
+        .withColumn("cos", expr(dotExpr) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1L))
+      assign.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          (lit(1L) - coalesce(col("dropped"), lit(0L))).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
     // 2 nearest centroids and exactly rerank only those candidate lists.
@@ -974,6 +1009,25 @@ object LlmExtras {
                 min(ev.eval_doc) AS first_eval_doc
          FROM tr JOIN ev USING (shingle)
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    // Same centroid assignment as IVF; dropped = any same-cluster smaller-id
+    // neighbor at cos >= 0.3 (NOT-EXISTS mirrored as a distinct-drop set).
+    "llm_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
+               assign AS (SELECT vec_id, cluster FROM (
+                   SELECT v.vec_id, cent.cid AS cluster,
+                          row_number() OVER (PARTITION BY v.vec_id
+                                             ORDER BY ${cosSql("v.embedding", "cent.cv")} DESC, cent.cid) AS rn
+                   FROM v CROSS JOIN cent) WHERE rn = 1),
+               dropped AS (SELECT DISTINCT b.vec_id FROM assign a
+                   JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                   JOIN v va ON va.vec_id = a.vec_id
+                   JOIN v vb ON vb.vec_id = b.vec_id
+                   WHERE ${cosSql("va.embedding", "vb.embedding")} >= 0.3)
+          SELECT a.vec_id, a.cluster,
+                 CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+          ORDER BY a.vec_id""",
     "llm_sim_ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
                cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),

@@ -1134,6 +1134,51 @@ class Round6Suite extends AnyFunSuite {
     assert(got.nonEmpty, "the 1.5-sigma gate should flag some days on this fixture")
   }
 
+  test("llm_quality_gopher: flags equal a brute-force recomputation on every doc") {
+    val byId = SparkEntry.queries("llm_quality_gopher")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val stopSet = Set("the", "a", "of", "to", "in", "and")
+    Tables.documents(s, d).select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val t = text.split(" ")
+      val n = t.length.toLong
+      val chars = text.replace(" ", "").length.toLong
+      val sym = text.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toLong
+      val okW = if (n >= 50 && n <= 100000) 1L else 0L
+      val okL = if (chars >= 3 * n && chars <= 10 * n) 1L else 0L
+      val okS = if (sym * 10 <= n) 1L else 0L
+      val okD = if (t.distinct.length * 2L >= n) 1L else 0L
+      val okSt = if (t.distinct.count(stopSet) >= 2) 1L else 0L
+      assert(byId(id) == ((n, okW, okL, okS, okD, okSt, okW * okL * okS * okD * okSt)),
+        s"gopher flags diverged for doc $id: got=${byId(id)}")
+    }
+  }
+
+  test("llm_semdedup: dropped vectors have a smaller-id same-cluster near-neighbor; kept have none") {
+    val rows = SparkEntry.queries("llm_semdedup")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per vector")
+    assert(rows.exists(_._3 == 0L) && rows.exists(_._3 == 1L), "both kept and dropped exist")
+    // Brute-force re-derive on the raw embeddings (double fold, same order).
+    val vs = Tables.embeddings(s, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.keySet.subsetOf((0L until 8L).toSet))
+    byCluster.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, kept) =>
+        val hasNbr = ids.takeWhile(_ < id).exists(j => cos(vs(j), vs(id)) >= 0.3)
+        assert(hasNbr == (kept == 0L), s"kept flag wrong for vec $id")
+      }
+    }
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
