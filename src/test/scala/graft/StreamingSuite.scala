@@ -209,6 +209,48 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: windowed-agg state survives stop + new query from same checkpoint") {
+    import java.nio.file.Files
+    val sp = s; import sp.implicits._
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val chk = Files.createTempDirectory("graft_ckpt_chk").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    def query() = sp.readStream.schema("ts TIMESTAMP, event_type STRING").parquet(in)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .count()
+      .select(col("w.start").as("wstart"), col("event_type"), col("count"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append()).start()
+    // Run 1: the 11:10 row advances the watermark to 11:00, which closes the
+    // 10:00 window (emitted) but leaves the 11:00 window OPEN in state.
+    Seq((ts("10:05"), "click"), (ts("10:20"), "click"), (ts("11:10"), "view"))
+      .toDF("ts", "event_type").write.mode("append").parquet(in)
+    val q1 = query()
+    try q1.processAllAvailable() finally q1.stop()
+    def outRows() = sp.read.schema("wstart TIMESTAMP, event_type STRING, count LONG")
+      .parquet(out).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val afterRun1 = outRows()
+    assert(afterRun1 == Set((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)),
+      s"run 1 should emit only the closed 10:00 window: $afterRun1")
+    // Run 2: a NEW query object restarts from the same checkpoint; a 13:00
+    // row advances the watermark past 11:00, so the open window's count —
+    // restored from checkpointed state, its source batch already committed —
+    // finalizes. If state did not survive the restart, the view count would
+    // be missing (its input file is in an already-processed batch).
+    Seq((ts("13:00"), "view")).toDF("ts", "event_type")
+      .write.mode("append").parquet(in)
+    val q2 = query()
+    try q2.processAllAvailable() finally q2.stop()
+    val finalized = outRows()
+    assert(finalized == Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "view", 1L)),
+      s"restored-state finalization diverged: $finalized")
+  }
+
   test("transformWithState: ValueState running count per key (Spark 4 state API)") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
