@@ -457,6 +457,25 @@ object Aggregations {
           expr("10000 * (n_events * n_events - s2) div (n_events * n_events)")
             .as("simpson_bp"))
         .orderBy("user_id")),
+
+    // Shannon diversity — the log-based sibling of agg_diversity_simpson:
+    // H = ln N − (Σ c·ln c)/N per user. Each per-type count's ln is floored
+    // to integer micro-units BEFORE the weighted sum (the
+    // llm_unigram_logprob rule), so the aggregation and the final division
+    // are exact integer arithmetic — shuffle-order-immune, and both engines
+    // floor the ln of the identical double. Same two partial-aggregatable
+    // shuffles as simpson: (user, type) then (user); no corpus-sized state.
+    "agg_diversity_shannon" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+          sum(expr("c * CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)"))
+            .as("clnc_u"))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("""CAST(floor(1000000 * ln(CAST(n_events AS DOUBLE))) AS BIGINT)
+                  - clnc_u div n_events""").as("shannon_u"))
+        .orderBy("user_id")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -648,5 +667,16 @@ object Aggregations {
                 CAST(10000 * (sum(c) * sum(c) - sum(c * c))
                      // (sum(c) * sum(c)) AS BIGINT) AS simpson_bp
          FROM pt GROUP BY user_id ORDER BY user_id""",
+    "agg_diversity_shannon" ->
+      """WITH pt AS (SELECT user_id, event_type, count(*) AS c
+                     FROM events GROUP BY 1, 2),
+              ag AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                            count(*) AS n_types,
+                            CAST(sum(c * CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS clnc_u
+                     FROM pt GROUP BY user_id)
+         SELECT user_id, n_events, n_types,
+                CAST(floor(1000000 * ln(CAST(n_events AS DOUBLE))) AS BIGINT)
+                  - clnc_u // n_events AS shannon_u
+         FROM ag ORDER BY user_id""",
   )
 }

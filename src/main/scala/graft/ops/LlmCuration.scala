@@ -145,6 +145,36 @@ object LlmCuration {
     // Deterministic domain-mix resampling: per-language keep-rates applied
     // by md5(doc_id) bucket (the llm_sample_stratified hash convention —
     // engine- and run-independent, no RNG state). Narrow map + one lang agg.
+    // DSIR-flavored importance resampling (quality-proportional selection,
+    // public idea from importance-resampling data selection): each doc's
+    // keep PROBABILITY is its quality score — kept iff
+    // md5-bucket(doc_id) % 10000 < quality_bp (the llm_text_quality
+    // composite). Deterministic (no RNG), so the sample is reproducible
+    // and stable across incremental re-runs, and each stratum's expected
+    // kept fraction equals its mean quality (emitted side-by-side as
+    // kept_bp vs expected_bp for the audit). Narrow per-row scoring pass +
+    // one lang-keyed agg; nothing corpus-sized shuffles.
+    "llm_importance_resample" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"),
+          expr("CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)")
+            .as("st"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("np"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("quality_bp", expr(
+          "(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)"))
+        .withColumn("kept", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000")
+          < col("quality_bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum("quality_bp").as("sum_quality_bp"))
+        .withColumn("kept_bp", expr("10000 * n_kept div n_total"))
+        .withColumn("expected_bp", expr("sum_quality_bp div n_total"))
+        .orderBy("lang")),
+
     "llm_domain_mix" -> ((s, d) => {
       documents(s, d)
         .withColumn("kept", mixBucket < mixRate)
@@ -665,6 +695,25 @@ object LlmCuration {
                 CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
                 ok_words * ok_wordlen * ok_symbol * ok_dup * ok_stop AS pass
          FROM b ORDER BY doc_id""",
+    "llm_importance_resample" ->
+      """WITH b AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st,
+                CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                CAST(length(text) AS BIGINT) AS len
+               FROM documents),
+              q AS (SELECT doc_id, lang,
+                (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+               FROM b),
+              k AS (SELECT lang, quality_bp,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < quality_bp
+                     THEN 1 ELSE 0 END AS kept
+               FROM q)
+         SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept,
+                CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp,
+                10000 * CAST(sum(kept) AS BIGINT) // count(*) AS kept_bp,
+                CAST(sum(quality_bp) AS BIGINT) // count(*) AS expected_bp
+         FROM k GROUP BY lang ORDER BY lang""",
     "llm_quality_repetition" ->
       s"""WITH ${repetitionSqlCte("doc_id")}
          SELECT doc_id, n_words,

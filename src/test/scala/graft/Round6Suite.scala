@@ -1179,6 +1179,47 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("agg_diversity_shannon: floored micro-ln entropy equals brute-force per user") {
+    val got = SparkEntry.queries("agg_diversity_shannon")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val counts = Tables.events(s, d).groupBy("user_id", "event_type").count()
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (u, cs) =>
+      val n = cs.sum
+      def lnU(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+      val clnc = cs.map(c => c * lnU(c)).sum
+      val exp = (n, cs.length.toLong, lnU(n) - Math.floorDiv(clnc, n))
+      assert(got(u) == exp, s"shannon diverged for user $u: got=${got(u)} exp=$exp")
+    }
+  }
+
+  test("llm_importance_resample: kept counts equal per-doc md5-threshold recomputation") {
+    val got = SparkEntry.queries("llm_importance_resample")(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def md5bucket(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map("%02x".format(_)).mkString, 16) % 10000
+    }
+    val exp = Tables.documents(s, d).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val t = text.split(" ")
+        val n = t.length.toLong
+        val st = t.count(w => w == "the" || w == "a").toLong
+        val np = text.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toLong
+        val len = text.length.toLong
+        val q = (100 * (math.min(n, 50) * n * len + 30 * (n - st) * len
+          + 20 * (len - np) * n)) / (n * len)
+        (lang, if (md5bucket(id) < q) 1L else 0L, q)
+      }.groupBy(_._1).map { case (lang, xs) =>
+        lang -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+      }
+    assert(got == exp, s"resample summary diverged:\n got=$got\n exp=$exp")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
