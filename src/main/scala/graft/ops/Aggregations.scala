@@ -458,6 +458,33 @@ object Aggregations {
             .as("simpson_bp"))
         .orderBy("user_id")),
 
+    // Exact weighted median — the order statistic the percentile family
+    // can't express (each row counts with an integer weight): per return
+    // flag, the smallest price (cents) whose cumulative quantity weight
+    // reaches half the total, tested as 2·cum ≥ W in cross-multiplied
+    // integers — no division, no float. Plan shape: one
+    // partial-aggregatable (flag, cents) weight-sum shuffle collapses the
+    // corpus to the value-bounded distinct-cents frame (≪ rows at any
+    // scale), the running total rides a flag-partitioned window over THAT
+    // frame, and a min-agg picks the crossing point. Weights are integral
+    // by data contract (TPC-H quantity), so the BIGINT cast agrees across
+    // engines.
+    "agg_weighted_median" -> ((s, d) => {
+      val wByPrice = lineitem(s, d)
+        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))
+      wByPrice
+        .withColumn("cum",
+          sum("wc").over(Window.partitionBy("l_returnflag").orderBy("cents")))
+        .withColumn("tot",
+          sum("wc").over(Window.partitionBy("l_returnflag")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // Shannon diversity — the log-based sibling of agg_diversity_simpson:
     // H = ln N − (Σ c·ln c)/N per user. Each per-type count's ln is floored
     // to integer micro-units BEFORE the weighted sum (the
@@ -667,6 +694,19 @@ object Aggregations {
                 CAST(10000 * (sum(c) * sum(c) - sum(c * c))
                      // (sum(c) * sum(c)) AS BIGINT) AS simpson_bp
          FROM pt GROUP BY user_id ORDER BY user_id""",
+    "agg_weighted_median" ->
+      s"""WITH wp AS (SELECT l_returnflag, ${moneySql("l_extendedprice")} AS cents,
+                             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wc
+                      FROM lineitem GROUP BY 1, 2),
+               c AS (SELECT l_returnflag, cents,
+                            sum(wc) OVER (PARTITION BY l_returnflag
+                                          ORDER BY cents) AS cum,
+                            sum(wc) OVER (PARTITION BY l_returnflag) AS tot
+                     FROM wp)
+          SELECT l_returnflag, min(cents) AS wmedian_cents,
+                 CAST(max(tot) AS BIGINT) AS total_weight
+          FROM c WHERE cum * 2 >= tot
+          GROUP BY 1 ORDER BY 1""",
     "agg_diversity_shannon" ->
       """WITH pt AS (SELECT user_id, event_type, count(*) AS c
                      FROM events GROUP BY 1, 2),

@@ -168,6 +168,30 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // Inter-arrival gap profile per user (the burstiness audit a capacity
+    // plan or bot screen runs): consecutive-event gaps in whole seconds off
+    // the second-truncated ts (SURVEY §1.4 rule), tie-broken by event_id in
+    // both engines, then exact integer stats per user. The median rides the
+    // doubled-percentile trick (2·p50 of BIGINTs is integral — the
+    // interpolation midpoint of two integers — so the double is exact and
+    // the BIGINT cast can't hit the truncate-vs-round divergence). One
+    // user-keyed window + one user agg on the same partitioning.
+    "ts_interarrival" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(byU))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).as("gap_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), min("gap_s").as("min_s"),
+          max("gap_s").as("max_s"), sum("gap_s").as("total_s"),
+          expr("CAST(2 * percentile(gap_s, 0.5d) AS BIGINT)").as("median_2x_s"))
+        .withColumn("avg_s", expr("total_s div n_gaps"))
+        .orderBy("user_id")
+    }),
+
     // Week-over-week delta report (the periodic-comparison job): weeks are
     // explicit 7-day buckets anchored at 2024-01-01 — engine-neutral by
     // construction, no date_trunc('week') week-start convention to agree
@@ -416,6 +440,20 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+                    FROM events),
+              g AS (SELECT user_id,
+                           es - lag(es) OVER (PARTITION BY user_id
+                                              ORDER BY es, event_id) AS gap_s
+                    FROM e)
+         SELECT user_id, count(*) AS n_gaps, min(gap_s) AS min_s,
+                max(gap_s) AS max_s, CAST(sum(gap_s) AS BIGINT) AS total_s,
+                CAST(2 * quantile_cont(gap_s, 0.5) AS BIGINT) AS median_2x_s,
+                CAST(sum(gap_s) AS BIGINT) // count(*) AS avg_s
+         FROM g WHERE gap_s IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     "ts_wow_delta" ->
       """WITH wk AS (SELECT event_type,
                             date_diff('day', DATE '2024-01-01',

@@ -1220,6 +1220,43 @@ class Round6Suite extends AnyFunSuite {
     assert(got == exp, s"resample summary diverged:\n got=$got\n exp=$exp")
   }
 
+  test("agg_weighted_median: crossing point equals brute-force weighted median per flag") {
+    val got = SparkEntry.queries("agg_weighted_median")(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong,
+        r.getDouble(2).toLong))
+    rows.groupBy(_._1).foreach { case (flag, xs) =>
+      val byCents = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val w = byCents.map(_._2).sum
+      var cum = 0L
+      val med = byCents.find { case (_, wc) => cum += wc; cum * 2 >= w }.get._1
+      assert(got(flag) == ((med, w)), s"weighted median diverged for $flag: got=${got(flag)} exp=($med,$w)")
+    }
+  }
+
+  test("ts_interarrival: gap stats equal brute-force per user") {
+    val got = SparkEntry.queries("ts_interarrival")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val ev = Tables.events(s, d).select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toEpochSecond(java.time.ZoneOffset.UTC)))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val gaps = xs.sortBy(x => (x._3, x._2)).map(_._3).sliding(2)
+        .map(p => p(1) - p(0)).toVector.sorted
+      if (gaps.isEmpty) assert(!got.contains(u))
+      else {
+        val n = gaps.length
+        val med2x = if (n % 2 == 1) 2 * gaps(n / 2) else gaps(n / 2 - 1) + gaps(n / 2)
+        val exp = (n.toLong, gaps.min, gaps.max, gaps.sum, med2x, Math.floorDiv(gaps.sum, n))
+        assert(got(u) == exp, s"interarrival diverged for user $u: got=${got(u)} exp=$exp")
+      }
+    }
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
