@@ -355,6 +355,34 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // Exact repeated-substring measurement — the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better" family
+    // (public), reduced from suffix arrays to fixed 8-token windows: every
+    // window of every doc is counted corpus-wide, and a window is
+    // DUPLICATED when its 8-gram occurs more than once anywhere (any doc,
+    // any position — the corpus-internal complement of llm_decontaminate's
+    // vs-benchmark screen). Per doc: window count, duplicated-window count,
+    // dup fraction bp — the signal an exact substring-dedup cut applies.
+    // Shapes: one narrow slide-explode, one partial-aggregatable (gram)
+    // count, one gram-keyed join back — never doc×doc. At 100 TB the gram
+    // table is the one big shuffle: hash-partitioned, mergeable, the
+    // canonical inverted-index build.
+    "llm_dedup_substring" -> ((s, d) => {
+      val wins = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(t) - 8),
+                       i -> concat_ws(' ', slice(t, i + 1, 8)))""")).as("g"))
+      val gcount = wins.groupBy("g").agg(count(lit(1)).as("gc"))
+      wins.join(gcount, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("gc") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_bp", expr("10000 * n_dup_windows div n_windows"))
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023, public): semantic dedup by embedding —
     // cluster the corpus, then inside each cluster drop every vector that
     // has a near-duplicate (cos >= 0.3 here; paper uses ~0.95+ on real
@@ -1009,6 +1037,19 @@ object LlmExtras {
                 min(ev.eval_doc) AS first_eval_doc
          FROM tr JOIN ev USING (shingle)
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "llm_dedup_substring" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 6),
+                                        i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           WHERE len(toks) >= 8),
+         gc AS (SELECT g, count(*) AS gc FROM w GROUP BY g)
+         SELECT doc_id, count(*) AS n_windows,
+                CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+                10000 * CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS dup_bp
+         FROM w JOIN gc USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     // Same centroid assignment as IVF; dropped = any same-cluster smaller-id
     // neighbor at cos >= 0.3 (NOT-EXISTS mirrored as a distinct-drop set).
     "llm_semdedup" ->

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Norm._
@@ -203,6 +204,47 @@ object SetOps {
     // report asserts the check RAN, not merely that nothing failed. Scale:
     // one orders pass + one anti join on the FK key; the stack() over two
     // broadcast 1-row frames is free.
+    // Whole-schema referential-integrity audit — the RI sweep a warehouse
+    // runs nightly, one report row per FK relationship: child rows, distinct
+    // child keys, orphan rows, orphan keys. Each relationship is one
+    // left-anti join; every dimension parent broadcasts (region/nation/
+    // customer/part/supplier are dims by contract), the one fact→fact edge
+    // (lineitem→orders) shuffles on the key like any fact join. The seven
+    // 1-row result frames union for free. Complements
+    // util_assert_constraints (per-table row checks + ONE FK probe) with
+    // the full relationship graph.
+    "util_fk_orphans" -> ((s, d) => {
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String, bcastParent: Boolean): DataFrame = {
+        val par = parent.select(col(pk))
+        val orph = child.select(col(ck))
+          .join(if (bcastParent) broadcast(par) else par,
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_rows"),
+            countDistinct(ck).as("n_orphan_keys"))
+        child.select(col(ck))
+          .agg(count(lit(1)).as("n_child"), countDistinct(ck).as("n_keys"))
+          .crossJoin(broadcast(orph))
+          .select(lit(name).as("relationship"), col("n_child"), col("n_keys"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      }
+      rel("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey", bcastParent = true)
+        .unionAll(rel("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey", bcastParent = false))
+        .unionAll(rel("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey", bcastParent = true))
+        .unionAll(rel("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey", bcastParent = true))
+        .unionAll(rel("nation.n_regionkey->region", nation(s, d), "n_regionkey",
+          region(s, d), "r_regionkey", bcastParent = true))
+        .unionAll(rel("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey", bcastParent = true))
+        .unionAll(rel("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+          nation(s, d), "n_nationkey", bcastParent = true))
+        .orderBy("relationship")
+    }),
+
     "util_assert_constraints" -> ((s, d) => {
       val rowChecks = orders(s, d).agg(
         count(lit(1)).as("n"),
@@ -339,6 +381,68 @@ object SetOps {
                 CAST(n_keys AS BIGINT) AS n_keys, CAST(max_n AS BIGINT) AS max_n,
                 CAST(10000 * max_n * n_keys // total AS BIGINT) AS skew_ratio_bp
          FROM top, g ORDER BY rank""",
+    "util_fk_orphans" ->
+      """WITH r AS (
+           SELECT 'customer.c_nationkey->nation' AS relationship,
+                  (SELECT count(*) FROM customer) AS n_child,
+                  (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_keys,
+                  (SELECT count(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey)) AS n_orphan_rows,
+                  (SELECT count(DISTINCT c_nationkey) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey)) AS n_orphan_keys
+           UNION ALL
+           SELECT 'lineitem.l_orderkey->orders',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                  (SELECT count(*) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)),
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey))
+           UNION ALL
+           SELECT 'lineitem.l_partkey->part',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(DISTINCT l_partkey) FROM lineitem),
+                  (SELECT count(*) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey)),
+                  (SELECT count(DISTINCT l_partkey) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+                  (SELECT count(*) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey)),
+                  (SELECT count(DISTINCT l_suppkey) FROM lineitem c
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.l_suppkey))
+           UNION ALL
+           SELECT 'nation.n_regionkey->region',
+                  (SELECT count(*) FROM nation),
+                  (SELECT count(DISTINCT n_regionkey) FROM nation),
+                  (SELECT count(*) FROM nation c
+                    WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey)),
+                  (SELECT count(DISTINCT n_regionkey) FROM nation c
+                    WHERE NOT EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.n_regionkey))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(DISTINCT o_custkey) FROM orders),
+                  (SELECT count(*) FROM orders c
+                    WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)),
+                  (SELECT count(DISTINCT o_custkey) FROM orders c
+                    WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey))
+           UNION ALL
+           SELECT 'supplier.s_nationkey->nation',
+                  (SELECT count(*) FROM supplier),
+                  (SELECT count(DISTINCT s_nationkey) FROM supplier),
+                  (SELECT count(*) FROM supplier c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey)),
+                  (SELECT count(DISTINCT s_nationkey) FROM supplier c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.s_nationkey)))
+         SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+                CAST(n_keys AS BIGINT) AS n_keys,
+                CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+                CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys
+         FROM r ORDER BY relationship""",
     "util_assert_constraints" ->
       """WITH rc AS (SELECT count(*) AS n,
                             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,

@@ -1257,6 +1257,41 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_substring: per-doc duplicated-window counts equal brute force") {
+    val got = SparkEntry.queries("llm_dedup_substring")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector)
+    val wins = docs.flatMap { case (id, t) =>
+      if (t.length < 8) Nil
+      else (0 to t.length - 8).map(i => id -> t.slice(i, i + 8).mkString(" "))
+    }
+    val gc = wins.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val exp = wins.groupBy(_._1).map { case (id, ws) =>
+      val n = ws.size.toLong
+      val dup = ws.count(w => gc(w._2) > 1).toLong
+      id -> (n, dup, 10000 * dup / n)
+    }
+    assert(got == exp, s"substring dup profile diverged (got ${got.size}, exp ${exp.size} docs)")
+  }
+
+  test("util_fk_orphans: every relationship audited; counts match brute force on two edges") {
+    val rows = SparkEntry.queries("util_fk_orphans")(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 7, s"expected 7 relationships, got ${rows.keySet}")
+    val custKeys = Tables.customer(s, d).select("c_custkey").collect().map(_.getLong(0)).toSet
+    val oCust = Tables.orders(s, d).select("o_custkey").collect().map(_.getLong(0))
+    val expOrders = (oCust.length.toLong, oCust.distinct.length.toLong,
+      oCust.count(k => !custKeys(k)).toLong,
+      oCust.distinct.count(k => !custKeys(k)).toLong)
+    assert(rows("orders.o_custkey->customer") == expOrders)
+    val natKeys = Tables.nation(s, d).select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val sNat = Tables.supplier(s, d).select("s_nationkey").collect().map(_.getInt(0))
+    val expSupp = (sNat.length.toLong, sNat.distinct.length.toLong,
+      sNat.count(k => !natKeys(k)).toLong, sNat.distinct.count(k => !natKeys(k)).toLong)
+    assert(rows("supplier.s_nationkey->nation") == expSupp)
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
