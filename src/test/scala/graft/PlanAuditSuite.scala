@@ -276,4 +276,49 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       s"vocab-bounded cb/cp must broadcast like llm_unigram_logprob's counts:\n${p.take(1500)}")
   }
+
+  test("llm_dedup_substring: gram join is keyed — no cartesian/nested-loop stage") {
+    val p = plan("llm_dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window-vs-gram-count must join on the gram key:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join found:\n${p.take(1500)}")
+  }
+
+  test("llm_semdedup: centroid assignment broadcasts; the pair stage joins on the cluster key") {
+    val p = plan("llm_semdedup")
+    // corpus × 8-centroid scoring must be a broadcast nested loop (by
+    // construction: join on lit(true)), never a shuffle of the corpus
+    // against 8 rows; the within-cluster pair join must be keyed.
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid frame must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage must key on cluster, not cross:\n${p.take(1500)}")
+  }
+
+  test("util_fk_orphans: dimension parents broadcast their anti joins") {
+    val p = plan("util_fk_orphans")
+    // 6 of 7 relationships anti-join against broadcast dims; only
+    // lineitem→orders may shuffle. (The 1-row summary crossJoins plan as
+    // broadcast nested loops by construction — free, not audited here.)
+    assert(p.linesIterator.count(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftAnti")) >= 5,
+      s"dim anti joins must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("agg_weighted_median: corpus collapses in a partial-aggregated shuffle before any window") {
+    val df = SparkEntry.queries("agg_weighted_median")(s, d)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("HashAggregate"),
+      s"map-side partial aggregation missing:\n${p.take(1500)}")
+    // windows run on the collapsed (flag, cents) frame: the plan lists
+    // top-down, so the corpus-collapsing aggregate (the LAST HashAggregate)
+    // must sit BELOW the Window nodes — the corpus-sized scan never feeds a
+    // window directly.
+    val lastAggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && lastAggIdx > winIdx,
+      s"the (flag, cents) collapse must run before the windows:\n${p.take(2500)}")
+  }
 }
