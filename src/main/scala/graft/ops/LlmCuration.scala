@@ -145,6 +145,25 @@ object LlmCuration {
     // Deterministic domain-mix resampling: per-language keep-rates applied
     // by md5(doc_id) bucket (the llm_sample_stratified hash convention —
     // engine- and run-independent, no RNG state). Narrow map + one lang agg.
+    // Length-bucket batching audit — the dataloader-efficiency report a
+    // trainer's bucketed-batching strategy is sized from: docs bucket by
+    // floor(log2(n_toks)), computed as length(bin(n)) — the exact integer
+    // log2 (llm_token_histogram rule, no float log whose power-of-two
+    // boundaries could round differently across engines) — and each bucket
+    // reports doc count, token total, length span, and the padding waste a
+    // pad-to-bucket-max batch would spend: Σ(max − n) against Σ max in
+    // integer basis points. One narrow projection + one bucket agg; at any
+    // scale the report is ≤ log2(max doc length) rows.
+    "llm_length_buckets" -> ((s, d) =>
+      documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(length(bin(col("n"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          min("n").as("min_toks"), max("n").as("max_toks"))
+        .withColumn("pad_waste_bp",
+          expr("10000 * (n_docs * max_toks - n_tokens) div (n_docs * max_toks)"))
+        .orderBy("bucket")),
+
     // DSIR-flavored importance resampling (quality-proportional selection,
     // public idea from importance-resampling data selection): each doc's
     // keep PROBABILITY is its quality score — kept iff
@@ -695,6 +714,15 @@ object LlmCuration {
                 CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
                 ok_words * ok_wordlen * ok_symbol * ok_dup * ok_stop AS pass
          FROM b ORDER BY doc_id""",
+    "llm_length_buckets" ->
+      """WITH b AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                    FROM documents)
+         SELECT CAST(length(bin(n)) AS INTEGER) AS bucket,
+                count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+                min(n) AS min_toks, max(n) AS max_toks,
+                10000 * (count(*) * max(n) - CAST(sum(n) AS BIGINT))
+                  // (count(*) * max(n)) AS pad_waste_bp
+         FROM b GROUP BY 1 ORDER BY bucket""",
     "llm_importance_resample" ->
       """WITH b AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,

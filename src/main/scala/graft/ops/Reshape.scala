@@ -168,6 +168,32 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // Rolling 7-day active users per day (the WAU-by-day panel): each
+    // (user, active-day) pair — already distinct and tiny after the first
+    // agg — contributes to the 7 report days it falls inside via a
+    // sequence-explode (×7 on the COLLAPSED frame, not the event stream),
+    // then one (day) countDistinct. Exact, no window-over-distinct (Spark
+    // can't do COUNT(DISTINCT) OVER a moving range); report days span the
+    // data's own [min, max] so both engines agree on the frame. At 100 TB
+    // the event stream collapses in the first partial-aggregatable shuffle;
+    // everything after is (users × 7)-sized.
+    "ts_rolling_active" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .distinct()
+      val span = ud.agg(min("day").as("lo"), max("day").as("hi"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("rday"))
+        .crossJoin(broadcast(span))
+        .filter(col("rday") >= col("lo") && col("rday") <= col("hi"))
+        .groupBy("rday")
+        .agg(countDistinct("user_id").as("wau"))
+        .select(col("rday").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     // Inter-arrival gap profile per user (the burstiness audit a capacity
     // plan or bot screen runs): consecutive-event gaps in whole seconds off
     // the second-truncated ts (SURVEY §1.4 rule), tie-broken by event_id in
@@ -440,6 +466,17 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(date_diff('day', DATE '2024-01-01',
+                                           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day
+                     FROM events),
+              span AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+              x AS (SELECT user_id, day + r AS rday
+                    FROM ud, (SELECT unnest(range(0, 7)) AS r))
+         SELECT rday AS day, count(DISTINCT user_id) AS wau
+         FROM x, span WHERE rday BETWEEN lo AND hi
+         GROUP BY rday ORDER BY day""",
     "ts_interarrival" ->
       """WITH e AS (SELECT user_id, event_id,
                            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es

@@ -1292,6 +1292,34 @@ class Round6Suite extends AnyFunSuite {
     assert(rows("supplier.s_nationkey->nation") == expSupp)
   }
 
+  test("ts_rolling_active: per-day WAU equals brute-force trailing-7-day distinct count") {
+    val got = SparkEntry.queries("ts_rolling_active")(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr(
+        """CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                         DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lo = ud.map(_._2).min
+    val hi = ud.map(_._2).max
+    val exp = (lo to hi).map { day =>
+      day -> ud.filter(x => x._2 <= day && x._2 >= day - 6).map(_._1).distinct.length.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == exp, s"WAU diverged: ${got.toSeq.sorted.take(3)} vs ${exp.toSeq.sorted.take(3)}")
+  }
+
+  test("llm_length_buckets: bucket stats and pad waste equal brute force") {
+    val got = SparkEntry.queries("llm_length_buckets")(s, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ns = Tables.documents(s, d).select("text").collect()
+      .map(_.getString(0).split(" ").length.toLong)
+    val exp = ns.groupBy(n => 64 - java.lang.Long.numberOfLeadingZeros(n)).map { case (b, xs) =>
+      val (nd, tok, mx) = (xs.length.toLong, xs.sum, xs.max)
+      b -> (nd, tok, xs.min, mx, 10000 * (nd * mx - tok) / (nd * mx))
+    }
+    assert(got == exp, s"length buckets diverged: got=$got exp=$exp")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
