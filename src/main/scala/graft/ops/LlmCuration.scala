@@ -145,6 +145,40 @@ object LlmCuration {
     // Deterministic domain-mix resampling: per-language keep-rates applied
     // by md5(doc_id) bucket (the llm_sample_stratified hash convention —
     // engine- and run-independent, no RNG state). Narrow map + one lang agg.
+    // Token-budget data selection — the "best docs until the budget runs
+    // out" cut a fixed-compute pre-training run applies: docs rank by
+    // (quality desc, doc_id) INSIDE each language, a lang-partitioned
+    // running token sum marks the budget frontier (2,000 tokens per lang
+    // here — chosen to BIND at every scale factor, so the cut is exercised,
+    // not vacuous), and the report carries kept/total docs and tokens plus budget
+    // utilization bp. Quality is the integer composite shared with
+    // llm_importance_resample. The only window is lang-partitioned — never
+    // a global single-partition cumsum; at 100 TB the same shape holds per
+    // stratum (a global budget splits into per-stratum quotas first, which
+    // is how real mixtures are specified anyway).
+    "llm_token_budget" -> ((s, d) => {
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"),
+          expr("CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)")
+            .as("st"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("np"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("quality_bp", expr(
+          "(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)"))
+      val byLang = Window.partitionBy("lang")
+        .orderBy(col("quality_bp").desc, col("doc_id"))
+      scored
+        .withColumn("cum_toks", sum("n").over(byLang))
+        .withColumn("kept", col("cum_toks") <= lit(2000L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_toks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_toks"))
+        .withColumn("budget_used_bp", expr("10000 * kept_toks div 2000"))
+        .orderBy("lang")
+    }),
+
     // Length-bucket batching audit — the dataloader-efficiency report a
     // trainer's bucketed-batching strategy is sized from: docs bucket by
     // floor(log2(n_toks)), computed as length(bin(n)) — the exact integer
@@ -714,6 +748,25 @@ object LlmCuration {
                 CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
                 ok_words * ok_wordlen * ok_symbol * ok_dup * ok_stop AS pass
          FROM b ORDER BY doc_id""",
+    "llm_token_budget" ->
+      """WITH b AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st,
+                CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                CAST(length(text) AS BIGINT) AS len
+               FROM documents),
+              q AS (SELECT doc_id, lang, n,
+                (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+               FROM b),
+              c AS (SELECT lang, n,
+                sum(n) OVER (PARTITION BY lang ORDER BY quality_bp DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+               FROM q)
+         SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_toks,
+                CAST(sum(CASE WHEN cum_toks <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN cum_toks <= 2000 THEN n ELSE 0 END) AS BIGINT) AS kept_toks,
+                10000 * CAST(sum(CASE WHEN cum_toks <= 2000 THEN n ELSE 0 END) AS BIGINT) // 2000 AS budget_used_bp
+         FROM c GROUP BY lang ORDER BY lang""",
     "llm_length_buckets" ->
       """WITH b AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
                     FROM documents)

@@ -1320,6 +1320,32 @@ class Round6Suite extends AnyFunSuite {
     assert(got == exp, s"length buckets diverged: got=$got exp=$exp")
   }
 
+  test("llm_token_budget: greedy quality-ordered cut equals brute force per lang") {
+    val got = SparkEntry.queries("llm_token_budget")(s, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val t = text.split(" ")
+        val n = t.length.toLong
+        val st = t.count(w => w == "the" || w == "a").toLong
+        val np = text.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))).toLong
+        val len = text.length.toLong
+        val q = (100 * (math.min(n, 50) * n * len + 30 * (n - st) * len
+          + 20 * (len - np) * n)) / (n * len)
+        (id, lang, n, q)
+      }
+    val exp = docs.groupBy(_._2).map { case (lang, xs) =>
+      val ordered = xs.sortBy(x => (-x._4, x._1))
+      var cum = 0L
+      val kept = ordered.takeWhile { x => cum += x._3; cum <= 2000L }
+      lang -> (xs.length.toLong, xs.map(_._3).sum, kept.length.toLong,
+        kept.map(_._3).sum, 10000 * kept.map(_._3).sum / 2000)
+    }
+    assert(got == exp, s"token budget cut diverged:\n got=$got\n exp=$exp")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
