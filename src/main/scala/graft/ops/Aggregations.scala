@@ -468,7 +468,13 @@ object Aggregations {
     // scale), the running total rides a flag-partitioned window over THAT
     // frame, and a min-agg picks the crossing point. Weights are integral
     // by data contract (TPC-H quantity), so the BIGINT cast agrees across
-    // engines.
+    // engines. Honest scale note: prices are high-cardinality, so the
+    // collapse is weak here and the flag-partitioned window carries
+    // |distinct cents per flag| rows — same accepted shape and bound as
+    // agg_percentile_disc / filter_outlier_mad; if a flag's value set
+    // outgrew task memory, the two-phase bucketed refinement (locate the
+    // crossing bucket from metadata-sized bucket totals, then scan only
+    // that bucket) drops it to O(values/buckets) per task.
     "agg_weighted_median" -> ((s, d) => {
       val wByPrice = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
