@@ -355,6 +355,27 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // Windowed type-token ratio — the MTLD-family lexical-diversity signal
+    // (plain TTR falls with doc length, so it's measured over fixed 20-token
+    // windows and averaged): per doc, mean over non-overlapping 20-token
+    // windows of (distinct tokens in window)/20, in integer basis points
+    // (Σ distinct · 10000 div (500 · nWin) with the /20 folded into the
+    // constant). Entirely higher-order array functions — ZERO shuffle
+    // before the presentation sort; at 100 TB this is a pure map pass, the
+    // cheapest possible plan shape.
+    "llm_text_ttr_windows" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 20)
+        .select(col("doc_id"),
+          expr("CAST(size(t) div 20 AS BIGINT)").as("n_windows"),
+          expr("""aggregate(transform(sequence(0, size(t) div 20 - 1),
+                                      i -> size(array_distinct(slice(t, i * 20 + 1, 20)))),
+                            0L, (acc, x) -> acc + x)""").as("distinct_sum"))
+        .select(col("doc_id"), col("n_windows"),
+          expr("10000 * distinct_sum div (20 * n_windows)").as("ttr_bp"))
+        .orderBy("doc_id")),
+
     // Exact repeated-substring measurement — the Lee et al. 2022
     // "Deduplicating Training Data Makes Language Models Better" family
     // (public), reduced from suffix arrays to fixed 8-token windows: every
@@ -1037,6 +1058,15 @@ object LlmExtras {
                 min(ev.eval_doc) AS first_eval_doc
          FROM tr JOIN ev USING (shingle)
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "llm_text_ttr_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) // 20 AS BIGINT) AS n_windows,
+                10000 * CAST(list_sum(list_transform(range(0, len(toks) // 20),
+                               i -> len(list_distinct(toks[i * 20 + 1 : i * 20 + 20])))) AS BIGINT)
+                  // (20 * CAST(len(toks) // 20 AS BIGINT)) AS ttr_bp
+         FROM t WHERE len(toks) >= 20
+         ORDER BY doc_id""",
     "llm_dedup_substring" ->
       """WITH w AS (
            SELECT doc_id,

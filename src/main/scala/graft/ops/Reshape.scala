@@ -168,6 +168,25 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // Day-of-week × hour activity grid (the ops-dashboard heatmap feed):
+    // event count and share-of-total bp per (dow, hour) cell. Week-day
+    // numbering is pinned engine-neutrally to ISO Monday=1..Sunday=7 —
+    // Spark's dayofweek is Sunday=1 and DuckDB's dow is Sunday=0, so the
+    // Spark side remaps onto isodow explicitly rather than trusting either
+    // default. One partial-aggregatable (dow, hour) shuffle; the 7×24 grid
+    // is metadata-sized and the total broadcasts back.
+    "ts_dow_hour_profile" -> ((s, d) => {
+      val cells = events(s, d)
+        .select(expr("CAST((dayofweek(ts) + 5) % 7 + 1 AS BIGINT)").as("dow"),
+          hour(col("ts")).cast("long").as("hour"))
+        .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("10000 * n div total").as("share_bp"))
+        .orderBy("dow", "hour")
+    }),
+
     // Rolling 7-day active users per day (the WAU-by-day panel): each
     // (user, active-day) pair — already distinct and tiny after the first
     // agg — contributes to the 7 report days it falls inside via a
@@ -466,6 +485,13 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_dow_hour_profile" ->
+      """WITH c AS (SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                           CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT dow, hour, n,
+                10000 * n // CAST((SELECT sum(n) FROM c) AS BIGINT) AS share_bp
+         FROM c ORDER BY dow, hour""",
     "ts_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id,
                             CAST(date_diff('day', DATE '2024-01-01',

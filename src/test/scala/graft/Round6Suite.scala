@@ -1346,6 +1346,32 @@ class Round6Suite extends AnyFunSuite {
     assert(got == exp, s"token budget cut diverged:\n got=$got\n exp=$exp")
   }
 
+  test("llm_text_ttr_windows: windowed TTR equals brute force on every doc") {
+    val got = SparkEntry.queries("llm_text_ttr_windows")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Tables.documents(s, d).select("doc_id", "text").collect().foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1).split(" ").toVector)
+      if (t.length < 20) assert(!got.contains(id))
+      else {
+        val nw = t.length / 20
+        val ds = (0 until nw).map(i => t.slice(i * 20, i * 20 + 20).distinct.length.toLong).sum
+        assert(got(id) == ((nw.toLong, 10000 * ds / (20L * nw))), s"TTR diverged for doc $id")
+      }
+    }
+  }
+
+  test("ts_dow_hour_profile: ISO dow grid sums to total; spot cells match brute force") {
+    val rows = SparkEntry.queries("ts_dow_hour_profile")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keys.forall { case (dw, h) => dw >= 1 && dw <= 7 && h >= 0 && h <= 23 })
+    val ev = Tables.events(s, d).select("ts").collect()
+      .map(_.getAs[java.time.LocalDateTime](0))
+    assert(rows.values.map(_._1).sum == ev.length.toLong)
+    val exp = ev.groupBy(t => (t.getDayOfWeek.getValue.toLong, t.getHour.toLong))
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.view.mapValues(_._1).toMap == exp, "cell counts diverged from ISO-dow brute force")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
