@@ -439,6 +439,37 @@ object LlmExtras {
         .orderBy("vec_id")
     }),
 
+    // Cluster-quality audit over the shared centroid assignment — the
+    // report a clustering/dedup pipeline reads before trusting
+    // cluster-level decisions: per IVF cluster, member count, distinct
+    // labels, and purity = dominant-label share in bp (dominant =
+    // (count desc, label) argmax, deterministic tie-break both engines).
+    // Reuses the semdedup/IVF assignment shape — corpus × 8 broadcast
+    // scoring — then everything after the (cluster, label) agg is
+    // metadata-sized.
+    "llm_cluster_purity" -> ((s, d) => {
+      val cent = vecs(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
+      val assign = vecs(s, d)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("ccos", expr(dotExpr) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"))
+      val cl = assign
+        .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+      cl.withColumn("rk", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("c").desc, col("label"))))
+        .withColumn("n", sum("c").over(Window.partitionBy("cluster")))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("n").as("n_members"), col("nl").as("n_labels"),
+          col("label").as("top_label"), expr("10000 * c div n").as("purity_bp"))
+        .orderBy("cluster")
+    }),
+
     // IVF-style ANN: coarse centroids = first 8 vectors; every vector is
     // assigned to its nearest centroid; queries (vec_id < 10) probe their
     // 2 nearest centroids and exactly rerank only those candidate lists.
@@ -1080,6 +1111,27 @@ object LlmExtras {
                 10000 * CAST(sum(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS dup_bp
          FROM w JOIN gc USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
+    // Same centroid-assignment CTE as semdedup/IVF, with the label carried
+    // through; purity picks the (count desc, label) argmax per cluster.
+    "llm_cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
+               assign AS (SELECT vec_id, cluster, label FROM (
+                   SELECT v.vec_id, cent.cid AS cluster, v.label,
+                          row_number() OVER (PARTITION BY v.vec_id
+                                             ORDER BY ${cosSql("v.embedding", "cent.cv")} DESC, cent.cid) AS rn
+                   FROM v CROSS JOIN cent) WHERE rn = 1),
+               cl AS (SELECT cluster, label, count(*) AS c
+                      FROM assign GROUP BY 1, 2),
+               r AS (SELECT cluster, label, c,
+                            row_number() OVER (PARTITION BY cluster
+                                               ORDER BY c DESC, label) AS rk,
+                            CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+                            CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS nl
+                     FROM cl)
+          SELECT cluster, n AS n_members, nl AS n_labels, label AS top_label,
+                 10000 * c // n AS purity_bp
+          FROM r WHERE rk = 1 ORDER BY cluster""",
     // Same centroid assignment as IVF; dropped = any same-cluster smaller-id
     // neighbor at cos >= 0.3 (NOT-EXISTS mirrored as a distinct-drop set).
     "llm_semdedup" ->

@@ -33,6 +33,18 @@ object SetOps {
     "set_union_distinct" -> ((s, d) => a(s, d).union(b(s, d)).distinct().orderBy("custkey")),
     "set_intersect" -> ((s, d) => a(s, d).intersect(b(s, d)).orderBy("custkey")),
     "set_except" -> ((s, d) => a(s, d).except(b(s, d)).orderBy("custkey")),
+    // Symmetric difference — the one classical set op the A∖B family above
+    // doesn't cover: members of exactly one side, tagged with WHICH side so
+    // the output is actionable (the reconciliation-report shape). Two
+    // anti joins on the same key partitioning; both sides here are
+    // dim-sized, and at scale each anti join broadcasts its smaller side.
+    "set_symmetric_diff" -> ((s, d) =>
+      a(s, d).distinct().join(b(s, d), Seq("custkey"), "left_anti")
+        .withColumn("side", lit("a_only"))
+        .unionAll(
+          b(s, d).join(a(s, d).distinct(), Seq("custkey"), "left_anti")
+            .withColumn("side", lit("b_only")))
+        .orderBy("custkey")),
     "set_intersect_all" -> ((s, d) => a(s, d).intersectAll(b(s, d)).orderBy("custkey")),
     // EXCEPT ALL needs a true multiset on the left to mean anything: event
     // user_ids (with duplicates) minus the distinct ordering customers —
@@ -307,6 +319,15 @@ object SetOps {
     "set_union_distinct" -> s"($aSql) UNION ($bSql) ORDER BY custkey",
     "set_intersect" -> s"($aSql) INTERSECT ($bSql) ORDER BY custkey",
     "set_except" -> s"($aSql) EXCEPT ($bSql) ORDER BY custkey",
+    "set_symmetric_diff" ->
+      s"""SELECT custkey, 'a_only' AS side
+          FROM (SELECT DISTINCT custkey FROM ($aSql)) a
+          WHERE NOT EXISTS (SELECT 1 FROM ($bSql) b WHERE b.custkey = a.custkey)
+          UNION ALL
+          SELECT custkey, 'b_only' AS side
+          FROM ($bSql) b
+          WHERE NOT EXISTS (SELECT 1 FROM ($aSql) a WHERE a.custkey = b.custkey)
+          ORDER BY custkey""",
     "set_intersect_all" -> s"($aSql) INTERSECT ALL ($bSql) ORDER BY custkey",
     "set_except_all" ->
       s"(SELECT user_id AS custkey FROM events) EXCEPT ALL ($bSql) ORDER BY custkey",

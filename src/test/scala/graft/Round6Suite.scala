@@ -1372,6 +1372,33 @@ class Round6Suite extends AnyFunSuite {
     assert(rows.view.mapValues(_._1).toMap == exp, "cell counts diverged from ISO-dow brute force")
   }
 
+  test("set_symmetric_diff: equals (A∖B)∪(B∖A) with correct side tags") {
+    val rows = SparkEntry.queries("set_symmetric_diff")(s, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aKeys = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val bKeys = Tables.orders(s, d).select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expA = aKeys -- bKeys
+    val expB = bKeys -- aKeys
+    assert(rows.filter(_._2 == "a_only").map(_._1).toSet == expA)
+    assert(rows.filter(_._2 == "b_only").map(_._1).toSet == expB)
+    assert(rows.length == expA.size + expB.size, "no key may appear twice")
+  }
+
+  test("llm_cluster_purity: purity and membership consistent with llm_semdedup's clusters") {
+    val purity = SparkEntry.queries("llm_cluster_purity")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    // Same assignment as semdedup: cluster sizes must agree across the ops.
+    val semClusters = SparkEntry.queries("llm_semdedup")(s, d).collect()
+      .map(r => r.getLong(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(purity.view.mapValues(_._1).toMap == semClusters,
+      "cluster membership diverged between purity and semdedup")
+    purity.foreach { case (cl, (n, nl, _, pbp)) =>
+      assert(nl >= 1 && nl <= 10 && pbp >= 10000 / nl / 2 && pbp <= 10000,
+        s"purity out of range for cluster $cl: n=$n nl=$nl purity=$pbp")
+    }
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
