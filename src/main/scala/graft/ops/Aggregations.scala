@@ -468,24 +468,40 @@ object Aggregations {
     // scale), the running total rides a flag-partitioned window over THAT
     // frame, and a min-agg picks the crossing point. Weights are integral
     // by data contract (TPC-H quantity), so the BIGINT cast agrees across
-    // engines. Honest scale note: prices are high-cardinality, so the
-    // collapse is weak here and the flag-partitioned window carries
-    // |distinct cents per flag| rows — same accepted shape and bound as
-    // agg_percentile_disc / filter_outlier_mad; if a flag's value set
-    // outgrew task memory, the two-phase bucketed refinement (locate the
-    // crossing bucket from metadata-sized bucket totals, then scan only
-    // that bucket) drops it to O(values/buckets) per task.
+    // engines. Prices are high-cardinality, so the cents collapse is weak —
+    // a direct flag-partitioned window would carry |distinct cents per
+    // flag| rows in 3 giant partitions. Hence the TWO-PHASE exact shape:
+    // locate the crossing bucket from $1000-wide bucket totals (a
+    // metadata-sized frame — the only window whose partition count is the
+    // flag count runs over ~dozens of buckets), broadcast the 3-row
+    // crossing info back, and run the fine cumsum over ONLY the crossing
+    // bucket's values — O(values/buckets) per task at any scale. Same
+    // result as the single-window form by construction (the oracle keeps
+    // the simple form as the semantic definition).
     "agg_weighted_median" -> ((s, d) => {
       val wByPrice = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))
-      wByPrice
+      val byFlagBucket = wByPrice
+        .withColumn("bucket", expr("cents div 100000"))
+      val bucketTotals = byFlagBucket
+        .groupBy("l_returnflag", "bucket").agg(sum("wc").as("bw"))
         .withColumn("cum",
-          sum("wc").over(Window.partitionBy("l_returnflag").orderBy("cents")))
+          sum("bw").over(Window.partitionBy("l_returnflag").orderBy("bucket")))
         .withColumn("tot",
-          sum("wc").over(Window.partitionBy("l_returnflag")))
+          sum("bw").over(Window.partitionBy("l_returnflag")))
+      val crossing = bucketTotals
         .filter(col("cum") * 2 >= col("tot"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("bucket")))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("bucket"),
+          (col("cum") - col("bw")).as("cum_before"), col("tot"))
+      byFlagBucket.join(broadcast(crossing), Seq("l_returnflag", "bucket"))
+        .withColumn("cum_in",
+          sum("wc").over(Window.partitionBy("l_returnflag").orderBy("cents")))
+        .filter((col("cum_before") + col("cum_in")) * 2 >= col("tot"))
         .groupBy("l_returnflag")
         .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
         .orderBy("l_returnflag")
