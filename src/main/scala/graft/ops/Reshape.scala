@@ -168,6 +168,25 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // First/last-touch attribution per user — the marketing-attribution
+    // primitive: the earliest and latest event's type and value-cents.
+    // "First" is pinned to ONE deterministic total order, (tss, event_id),
+    // via min_by/max_by over a STRUCT key — never ts alone, whose ties
+    // would leave the winner engine-dependent. One user-keyed agg (partial-
+    // aggregatable: min_by/max_by merge associatively), no window, no
+    // second shuffle; the cheapest attribution plan shape at any scale.
+    "ts_attribution_touch" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("tss"),
+          col("event_type"), money(col("value")).as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("min_by(event_type, struct(tss, event_id))").as("first_type"),
+          expr("min_by(cents, struct(tss, event_id))").as("first_cents"),
+          expr("max_by(event_type, struct(tss, event_id))").as("last_type"),
+          expr("max_by(cents, struct(tss, event_id))").as("last_cents"))
+        .orderBy("user_id")),
+
     // Day-of-week × hour activity grid (the ops-dashboard heatmap feed):
     // event count and share-of-total bp per (dow, hour) cell. Week-day
     // numbering is pinned engine-neutrally to ISO Monday=1..Sunday=7 —
@@ -485,6 +504,24 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    // Same (tss, event_id) total order via asc/desc row_number windows —
+    // DuckDB's arg_min on a composite key is avoided on purpose.
+    "ts_attribution_touch" ->
+      s"""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss,
+                            event_type, ${moneySql("value")} AS cents
+                     FROM events),
+               r AS (SELECT user_id, event_type, cents,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY tss, event_id) AS ra,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY tss DESC, event_id DESC) AS rd
+                     FROM e)
+          SELECT user_id, count(*) AS n_events,
+                 max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+                 max(CASE WHEN ra = 1 THEN cents END) AS first_cents,
+                 max(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+                 max(CASE WHEN rd = 1 THEN cents END) AS last_cents
+          FROM r GROUP BY user_id ORDER BY user_id""",
     "ts_dow_hour_profile" ->
       """WITH c AS (SELECT CAST(isodow(ts) AS BIGINT) AS dow,
                            CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n

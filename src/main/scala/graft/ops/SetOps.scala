@@ -216,6 +216,25 @@ object SetOps {
     // report asserts the check RAN, not merely that nothing failed. Scale:
     // one orders pass + one anti join on the FK key; the stack() over two
     // broadcast 1-row frames is free.
+    // Full-row duplicate report — the DQ complement of dedup_distinct
+    // (which silently drops): how much exact duplication exists and how
+    // bad the worst clone group is. Grouping on every column is one
+    // partial-aggregatable shuffle (the row itself is the key); the
+    // summary is a metadata-sized global agg. ts is second-truncated so
+    // the row identity both engines hash is the same one SURVEY §1.4
+    // guarantees comparable.
+    "util_dup_rows" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          tsec(col("ts")).as("tss"), col("value"), col("props"))
+        .groupBy("event_id", "user_id", "event_type", "tss", "value", "props")
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct_rows"),
+          sum("c").as("n_rows"),
+          sum(when(col("c") > 1, lit(1L)).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_excess_rows"),
+          max("c").as("max_multiplicity"))),
+
     // Whole-schema referential-integrity audit — the RI sweep a warehouse
     // runs nightly, one report row per FK relationship: child rows, distinct
     // child keys, orphan rows, orphan keys. Each relationship is one
@@ -402,6 +421,17 @@ object SetOps {
                 CAST(n_keys AS BIGINT) AS n_keys, CAST(max_n AS BIGINT) AS max_n,
                 CAST(10000 * max_n * n_keys // total AS BIGINT) AS skew_ratio_bp
          FROM top, g ORDER BY rank""",
+    "util_dup_rows" ->
+      """WITH g AS (SELECT event_id, user_id, event_type,
+                           date_trunc('second', ts) AS tss, value, props,
+                           count(*) AS c
+                    FROM events GROUP BY ALL)
+         SELECT count(*) AS n_distinct_rows,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+                CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_excess_rows,
+                max(c) AS max_multiplicity
+         FROM g""",
     "util_fk_orphans" ->
       """WITH r AS (
            SELECT 'customer.c_nationkey->nation' AS relationship,

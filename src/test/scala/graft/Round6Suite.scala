@@ -1399,6 +1399,37 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("util_dup_rows: invariants hold and counts match a brute-force row multiset") {
+    val r = SparkEntry.queries("util_dup_rows")(s, d).collect()(0)
+    val (nd, n, ng, ne, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")), col("value"), col("props"))
+      .collect().map(_.toString)
+    val groups = rows.groupBy(identity).values.map(_.length.toLong).toVector
+    assert(nd == groups.length && n == rows.length.toLong)
+    assert(ng == groups.count(_ > 1) && ne == groups.filter(_ > 1).map(_ - 1).sum)
+    assert(mx == groups.max && n == nd + ne)
+  }
+
+  test("ts_attribution_touch: first/last equal the (tss, event_id)-ordered brute force") {
+    val got = SparkEntry.queries("ts_attribution_touch")(s, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).toMap
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime / 1000, r.getString(3),
+        (BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val exp = (xs.length.toLong, sorted.head._4, sorted.head._5,
+        sorted.last._4, sorted.last._5)
+      assert(got(u) == exp, s"attribution diverged for user $u: got=${got(u)} exp=$exp")
+    }
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
