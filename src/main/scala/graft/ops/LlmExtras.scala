@@ -355,6 +355,34 @@ object LlmExtras {
         .orderBy("doc_id")
     }),
 
+    // Source-level similarity matrix — the corpus-provenance audit next to
+    // llm_dup_overlap_matrix (which counts exact clone CLASSES): word-3-gram
+    // Jaccard between every source pair, catching systematic soft
+    // duplication (template reuse, mirrored feeds) that exact clone keys
+    // miss. The corpus collapses to distinct (gram, source) incidence in
+    // one partial-aggregatable shuffle; the self-join keys on the gram and
+    // its fan-out is bounded by |sources|² per gram (the dup_overlap
+    // argument — never corpus²); per-source gram counts broadcast back for
+    // the |A∪B| = |A|+|B|−|A∩B| denominator. Output ≤ C(|sources|,2) rows.
+    "llm_source_similarity" -> ((s, d) => {
+      val gs = documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(t) - 3),
+                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))""")).as("g"))
+        .distinct()
+      val per = gs.groupBy("source").agg(count(lit(1)).as("n"))
+      gs.as("x").join(gs.as("y"),
+          col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("common"))
+        .join(broadcast(per.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+        .join(broadcast(per.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("common"),
+          expr("10000 * common div (na + nb - common)").as("jaccard_bp"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Windowed type-token ratio — the MTLD-family lexical-diversity signal
     // (plain TTR falls with doc length, so it's measured over fixed 20-token
     // windows and averaged): per doc, mean over non-overlapping 20-token
@@ -1089,6 +1117,20 @@ object LlmExtras {
                 min(ev.eval_doc) AS first_eval_doc
          FROM tr JOIN ev USING (shingle)
          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "llm_source_similarity" ->
+      """WITH gs AS (SELECT DISTINCT source,
+                            unnest(list_transform(range(1, len(toks) - 1),
+                                                  i -> list_aggregate(toks[i:i+2], 'string_agg', ' '))) AS g
+                     FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+              per AS (SELECT source, count(*) AS n FROM gs GROUP BY source),
+              pairs AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS common
+                        FROM gs x JOIN gs y ON x.g = y.g AND x.source < y.source
+                        GROUP BY 1, 2)
+         SELECT src_a, src_b, common,
+                10000 * common // (pa.n + pb.n - common) AS jaccard_bp
+         FROM pairs JOIN per pa ON pa.source = src_a
+         JOIN per pb ON pb.source = src_b
+         ORDER BY src_a, src_b""",
     "llm_text_ttr_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          SELECT doc_id,

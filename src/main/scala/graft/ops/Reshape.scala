@@ -168,6 +168,30 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // Early-event path mining — the product-analytics "top user journeys"
+    // report: each user's first 3 events in the pinned (tss, event_id)
+    // total order concatenate into a path string; paths then count and
+    // rank. The row_number slice and the per-user path assembly ride ONE
+    // user partitioning (collect_list is made order-independent by sorting
+    // the (rn, type) structs before the transform — shuffle arrival order
+    // never reaches the path); the final count is path-keyed over a frame
+    // bounded by |types|³ distinct paths.
+    "ts_user_paths" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("tss"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(byU))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(expr("""concat_ws('>',
+                       transform(array_sort(collect_list(struct(rn, event_type))),
+                                 x -> x.event_type))""").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     // First/last-touch attribution per user — the marketing-attribution
     // primitive: the earliest and latest event's type and value-cents.
     // "First" is pinned to ONE deterministic total order, (tss, event_id),
@@ -504,6 +528,15 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY date_trunc('second', ts), event_id) AS rn
+                    FROM events),
+              p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                    FROM e WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users
+         FROM p GROUP BY path ORDER BY n_users DESC, path""",
     // Same (tss, event_id) total order via asc/desc row_number windows —
     // DuckDB's arg_min on a composite key is avoided on purpose.
     "ts_attribution_touch" ->

@@ -1430,6 +1430,37 @@ class Round6Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_source_similarity: pairwise gram Jaccard equals brute force") {
+    val got = SparkEntry.queries("llm_source_similarity")(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val bySource = Tables.documents(s, d).select("source", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.flatMap { r =>
+        val t = r.getString(1).split(" ")
+        (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      }.toSet).toMap
+    val srcs = bySource.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val inter = (bySource(a) & bySource(b)).size.toLong
+      val uni = bySource(a).size + bySource(b).size - inter
+      if (inter > 0)
+        assert(got((a, b)) == ((inter, 10000 * inter / uni)), s"similarity diverged for ($a,$b)")
+      else assert(!got.contains((a, b)))
+    }
+  }
+
+  test("ts_user_paths: path histogram equals the (tss, event_id)-ordered brute force") {
+    val got = SparkEntry.queries("ts_user_paths")(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime, r.getString(3)))
+    val exp = ev.groupBy(_._1).values.map { xs =>
+      xs.sortBy(x => (x._3, x._2)).take(3).map(_._4).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exp, s"paths diverged: got ${got.size} paths, exp ${exp.size}")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
