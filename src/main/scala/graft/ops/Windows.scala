@@ -21,6 +21,31 @@ import graft.Tables._
   */
 object Windows {
   val ops: Map[String, Q] = Map(
+    // Rolling SPC anomaly flag — ts_anomaly_spc's sliding-window sibling:
+    // an event is flagged when its cents value sits beyond 1.5 population σ
+    // of its user's trailing 10 events (itself included, full windows
+    // only). The test stays EXACT integer via the same cross-multiplied
+    // form, 4·(n·x − T)² > 9·(n·Q − T²), over rolling sums — no mean,
+    // variance, or sqrt ever materializes, and the magnitudes (Q ≤ 10·max
+    // cents², ~1e14) sit far inside BIGINT. All four window functions share
+    // ONE (user_id, (tss, event_id)) sort-partitioning — a single exchange
+    // feeds the whole plan at any scale.
+    "win_rolling_anomaly" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      val frame = byU.rowsBetween(-9, 0)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), graft.Norm.tsec(col("ts")).as("tss"),
+          graft.Norm.money(col("value")).as("cents"))
+        .withColumn("rn", row_number().over(byU))
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("t", sum("cents").over(frame))
+        .withColumn("q", sum(expr("cents * cents")).over(frame))
+        .filter(col("rn") >= 10)
+        .filter(expr("4 * (n * cents - t) * (n * cents - t) > 9 * (n * q - t * t)"))
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "win_row_number" -> ((s, d) =>
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
@@ -385,6 +410,25 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_rolling_anomaly" ->
+      s"""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss,
+                            ${graft.Norm.moneySql("value")} AS cents
+                     FROM events),
+               w AS (SELECT user_id, event_id, cents,
+                            row_number() OVER wo AS rn,
+                            count(*) OVER wf AS n,
+                            sum(cents) OVER wf AS t,
+                            sum(cents * cents) OVER wf AS q
+                     FROM e
+                     WINDOW wo AS (PARTITION BY user_id ORDER BY tss, event_id),
+                            wf AS (PARTITION BY user_id ORDER BY tss, event_id
+                                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+          SELECT user_id, event_id, cents
+          FROM w
+          WHERE rn >= 10
+            AND 4 * (n * CAST(cents AS HUGEINT) - t) * (n * CAST(cents AS HUGEINT) - t)
+                > 9 * (n * q - CAST(t AS HUGEINT) * t)
+          ORDER BY user_id, event_id""",
     "win_row_number" ->
       """SELECT o_custkey, o_orderkey,
                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn

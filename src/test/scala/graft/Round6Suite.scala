@@ -1461,6 +1461,28 @@ class Round6Suite extends AnyFunSuite {
     assert(got == exp, s"paths diverged: got ${got.size} paths, exp ${exp.size}")
   }
 
+  test("win_rolling_anomaly: flag set equals BigInt brute force over trailing-10 windows") {
+    val got = SparkEntry.queries("win_rolling_anomaly")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2).getTime,
+        (BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      sorted.indices.drop(9).flatMap { i =>
+        val win = sorted.slice(i - 9, i + 1).map(x => BigInt(x._4))
+        val (x, n) = (BigInt(sorted(i)._4), BigInt(10))
+        val t = win.sum
+        val q = win.map(c => c * c).sum
+        if (4 * (n * x - t) * (n * x - t) > 9 * (n * q - t * t))
+          Some((u, sorted(i)._2)) else None
+      }
+    }.toSet
+    assert(got == exp, s"rolling anomaly flags diverged: got=${got.size} exp=${exp.size}")
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
