@@ -307,6 +307,35 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("win_rolling_anomaly: all four window functions share one exchange") {
+    val df = SparkEntry.queries("win_rolling_anomaly")(s, d)
+    val p = df.queryExecution.executedPlan.toString()
+    // one hash exchange for the (user) windows + one range exchange for the
+    // output sort — a second hash exchange would mean the frames split.
+    val hashEx = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"rolling windows must share one user partitioning:\n${p.take(1800)}")
+  }
+
+  test("llm_source_similarity: gram self-join is keyed; count frames broadcast") {
+    val p = plan("llm_source_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram self-join must key on the gram:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source count frames must broadcast:\n${p.take(1500)}")
+  }
+
+  test("ts_rolling_active: event stream collapses to distinct (user, day) before the x7 explode") {
+    val df = SparkEntry.queries("ts_rolling_active")(s, d)
+    val p = df.queryExecution.executedPlan.toString()
+    // plan lists top-down: the explode (Generate) must sit ABOVE the
+    // distinct-collapse aggregate, i.e. the fan-out runs on the collapsed
+    // frame, not on the raw event stream.
+    val genIdx = p.indexOf("Generate explode")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0 && lastAgg > genIdx,
+      s"explode must consume the collapsed (user, day) frame:\n${p.take(1800)}")
+  }
+
   test("agg_weighted_median: corpus collapses in a partial-aggregated shuffle before any window") {
     val df = SparkEntry.queries("agg_weighted_median")(s, d)
     val p = df.queryExecution.executedPlan.toString()
