@@ -168,6 +168,32 @@ object Reshape {
         .orderBy("user_id")
     }),
 
+    // Late-arrival audit — the out-of-orderness measurement that sizes a
+    // stream's watermark delay: within each user's ingestion order
+    // (event_id), an event is LATE when its event time sits behind the
+    // running maximum so far. Reports per user the late count/fraction and
+    // the worst lateness in seconds — the number a watermark must exceed.
+    // One (user, event_id-ordered) window for the running max + one user
+    // agg on the same partitioning; integer seconds off second-truncated
+    // ts both engines.
+    "ts_late_arrival_audit" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(tsec(col("ts"))).as("es"))
+        .withColumn("mx", max("es").over(byU))
+        .withColumn("late_by",
+          when(col("mx").isNotNull && col("es") < col("mx"),
+            col("mx") - col("es")).otherwise(0L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_by") > 0, 1L).otherwise(0L)).as("n_late"),
+          max("late_by").as("max_late_s"))
+        .withColumn("late_bp", expr("10000 * n_late div n_events"))
+        .orderBy("user_id")
+    }),
+
     // Early-event path mining — the product-analytics "top user journeys"
     // report: each user's first 3 events in the pinned (tss, event_id)
     // total order concatenate into a path string; paths then count and
@@ -528,6 +554,22 @@ object Reshape {
                 n * sxx - sx * sx AS den_x,
                 n * syy - sy * sy AS den_y
          FROM m ORDER BY user_id""",
+    "ts_late_arrival_audit" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+                    FROM events),
+              w AS (SELECT user_id, es,
+                           max(es) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+                    FROM e),
+              l AS (SELECT user_id,
+                           CASE WHEN mx IS NOT NULL AND es < mx THEN mx - es ELSE 0 END AS late_by
+                    FROM w)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                max(late_by) AS max_late_s,
+                10000 * CAST(sum(CASE WHEN late_by > 0 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS late_bp
+         FROM l GROUP BY user_id ORDER BY user_id""",
     "ts_user_paths" ->
       """WITH e AS (SELECT user_id, event_type,
                            row_number() OVER (PARTITION BY user_id

@@ -1483,6 +1483,29 @@ class Round6Suite extends AnyFunSuite {
     assert(got == exp, s"rolling anomaly flags diverged: got=${got.size} exp=${exp.size}")
   }
 
+  test("ts_late_arrival_audit: clean data reports zero; injected disorder is detected exactly") {
+    // Real data: the synthetic stream is ingestion-ordered, so every audit
+    // row must report zero lateness — the zero IS the check's answer.
+    val clean = SparkEntry.queries("ts_late_arrival_audit")(s, d).collect()
+    assert(clean.nonEmpty && clean.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // Injected disorder: event 3 arrives (by event_id) carrying an event
+    // time 15 s BEHIND the running max — the audit must count exactly it
+    // and report the 15 s watermark bound.
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d")
+    Seq((1L, ts(0), 7L, "click", 1.0, "{}"), (2L, ts(60), 7L, "view", 1.0, "{}"),
+        (3L, ts(60 - 75 + 60), 7L, "click", 1.0, "{}"), (4L, ts(180), 7L, "view", 1.0, "{}"),
+        (5L, ts(120), 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ts_late_arrival_audit")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(7L) == ((4L, 1L, 15L, 2500L)),
+      s"injected lateness not detected: ${got(7L)}")
+    assert(got(8L) == ((1L, 0L, 0L, 0L)))
+  }
+
   test("Tables.validate: wrong-schema parquet fails fast with table/column/type diagnosis") {
     // Simulate the r5 incident class: a 'documents' file missing 'text' and
     // with n_chars drifted to string. Validation must throw ONE descriptive
