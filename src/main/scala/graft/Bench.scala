@@ -9,6 +9,10 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Session-wide so a future timestamp[ns] regeneration reads as LONG
+      // instead of failing the scan (set here, not per table read — a conf
+      // mutation inside a getter is a hidden global, r6 advice).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,10 +64,21 @@ object Bench {
     // tail-capture of bounded size always retains it (BENCH_r01 lost the
     // front of the single 4 KB line and the driver parsed null).
     println(s"""{"queries":${qJson(best)},"sf":"$sfDir"}""")
+    // Scrub the FULL control class, not just \n\r\t — any other U+0000-001F
+    // in an exception message would make the machine-parsed tail invalid.
     val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      "\"" + k + "\":\"" + v.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"error_count":${errors.size},"errors":$errJson}""")
+    val tail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"error_count":${errors.size},"errors":$errJson}"""
+    println(tail)
+    // The driver's tail capture is bounded (~59/274 per-query numbers
+    // survive), so the full per-query map is ALSO written as its own
+    // artifact — round-over-round per-query regression checks read this
+    // file instead of depending on tail-capture luck.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"queries":${qJson(best)},"sf":"$sfDir","total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"error_count":${errors.size},"errors":$errJson}""" + "\n")
+    graft.ops.CacheReuse.release()
     spark.stop()
   }
 }

@@ -78,15 +78,13 @@ object Tables {
     df
   }
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Set once per session, before any events read: makes a future
-    // timestamp[ns] regeneration arrive as LongType instead of failing the
-    // scan. Harmless for µs/date columns. (Was previously mutated inside the
-    // events getter — a hidden global toggled at plan-build time from
-    // Verify's thread pool; hoisted here per r5 verdict #4.)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // spark.sql.legacy.parquet.nanosAsLong (future-ns-regeneration guard) is
+  // pinned at SparkSession build in the three entrypoints (Bench, Verify,
+  // TestSpark) alongside the timeZone pin — NOT mutated here per read: a
+  // conf.set inside a getter is a global side effect racing Verify's
+  // 4-thread pool (r6 advice #4).
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
     validate(name, spark.read.parquet(s"$dir/$name.parquet"))
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")

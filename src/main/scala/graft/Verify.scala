@@ -12,6 +12,8 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Session-wide (see Bench): ns-timestamp regenerations read as LONG.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,7 +37,11 @@ object Verify {
     // jobs safely — 4 parallel dumps roughly halve verify wall-clock.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted local parity checks
+    // while iterating (driver runs with it unset = full dump).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -75,6 +81,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/failures.json"), errJson)
     if (!errors.isEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED")
+    graft.ops.CacheReuse.release()
     spark.stop()
   }
 }

@@ -323,38 +323,80 @@ object Aggregations {
     // integer cents it is exact by construction: no interpolation, no float,
     // nothing to round. The continuous variant (agg_percentile) interpolates;
     // this is the one to use when the answer must be a real observation.
-    "agg_percentile_disc" -> ((s, d) =>
-      lineitem(s, d)
+    // Plan shape: NOT the builtin percentile_disc — that buffers a
+    // value→count map per group, and 3 groups × corpus-cardinality cents is
+    // per-task state growing with the corpus (r6 verdict #2; also the #2
+    // bench line). Instead the corpus collapses once to the value-bounded
+    // (flag, cents) histogram and each percentile resolves through the
+    // shared two-phase bucketed shape (Shared.bucketedPdisc — the
+    // agg_weighted_median machinery with weight ≡ 1); both percentiles
+    // reuse the SAME histogram exchange. cume_dist ≥ p is tested in
+    // cross-multiplied integers (2·cum ≥ tot, 10·cum ≥ 9·tot — no float).
+    "agg_percentile_disc" -> ((s, d) => {
+      // Lazy localCheckpoint: both percentile resolutions and the count
+      // read the same value-bounded histogram; without it each broadcast
+      // subtree recompiles the corpus collapse (see agg_gini note).
+      val hist = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
-        .groupBy("l_returnflag")
-        .agg(
-          // percentile_disc returns DOUBLE; the value is an actual integer
-          // datum (≪ 2^53), so the cast back to BIGINT is lossless.
-          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p50_cents"),
-          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90_cents"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val p50 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "p50_cents")
+      val p90 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90_cents")
+      val n = hist.groupBy("l_returnflag").agg(sum("w").as("n"))
+      p50.join(broadcast(p90), "l_returnflag").join(broadcast(n), "l_returnflag")
+        .select("l_returnflag", "p50_cents", "p90_cents", "n")
+        .orderBy("l_returnflag")
+    }),
 
     // Gini coefficient per market segment (spend-inequality analytics),
     // exact: with x ascending and i = rank, G = (2Σi·x − (n+1)Σx)/(n·Σx) —
     // emitted as the (numerator, denominator) integer pair, never divided.
-    // The rank tiebreak (cents, o_orderkey) is a total order, and the i·x
-    // moment accumulates in DECIMAL(38,0) (the agg_weighted overflow rule:
-    // rank×cents ≈ 1e12/row already, ×100 TB would ANSI-overflow a BIGINT
-    // accumulator) before the single narrowing back to BIGINT.
+    // Plan shape: the naive form ranks the whole orders⋈customer frame in a
+    // 5-partition window (5 segments → 5 tasks each sorting 1/5 of the
+    // corpus — the few-group corpus-sized window sort the r6 verdict
+    // flagged). Instead the 2Σi·x moment decomposes over TIE GROUPS: rows
+    // with equal (seg, cents) occupy ranks below+1..below+c regardless of
+    // the o_orderkey tiebreak, so Σ 2i·x over the group = x·c·(2·below+c+1)
+    // — only the group's multiplicity c and its offset `below` (rows with
+    // smaller cents) are needed, never a per-row rank. So: one
+    // partial-aggregatable (seg, cents) collapse (value-bounded, ≪ rows at
+    // any scale), bucket offsets from $1000-wide bucket totals (a
+    // metadata-sized window), in-bucket running counts over partitions
+    // bounded by the 100k-cents bucket WIDTH (independent of corpus size —
+    // the win_percent/agg_weighted_median argument), and the moment sums in
+    // DECIMAL(38,0) (x·c·(2·below+c+1) ≈ 1e28 at 100 TB would ANSI-overflow
+    // BIGINT) before the single narrowing back. Identical to the ranked
+    // form by construction; the oracle keeps the row_number() definition.
     "agg_gini" -> ((s, d) => {
       val j = orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"),
-          col("o_orderkey"))
-      val w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
-      j.withColumn("i", row_number().over(w).cast("long"))
+        .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
+      // Lazy localCheckpoint: the collapsed histogram feeds the offset
+      // broadcast subtree AND the probe side — without it each broadcast
+      // job recompiles the corpus collapse from the scan (their canonical
+      // forms differ by pushed null-filters, so ReuseExchange never fires;
+      // measured 3× recompute). Value-bounded frame, so the checkpoint
+      // blocks are small at any corpus size; freed by the ContextCleaner
+      // when the invocation's plan is dropped.
+      val byVal = j.groupBy("seg", "cents").agg(count(lit(1)).as("c"))
+        .withColumn("bucket", expr("cents div 100000"))
+        .localCheckpoint(false)
+      val offs = byVal.groupBy("seg", "bucket").agg(sum("c").as("bc"))
+        .withColumn("off", coalesce(sum("bc").over(
+          Window.partitionBy("seg").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("seg", "bucket", "off")
+      val wIn = Window.partitionBy("seg", "bucket").orderBy("cents")
+      byVal.join(broadcast(offs), Seq("seg", "bucket"))
+        .withColumn("below", col("off") + sum("c").over(wIn) - col("c"))
         .groupBy("seg")
-        .agg(count(lit(1)).as("n"),
-          expr("CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS BIGINT)").as("six"),
-          expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").as("sx"))
+        .agg(sum("c").as("n"),
+          expr("""sum(CAST(cents AS DECIMAL(38,0)) * c * (2 * below + c + 1))""")
+            .as("twice_six"),
+          expr("CAST(sum(CAST(cents AS DECIMAL(38,0)) * c) AS BIGINT)").as("sx"))
         .select(col("seg"), col("n"),
-          (lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx")).as("gini_num"),
+          expr("CAST(twice_six - (n + 1) * CAST(sx AS DECIMAL(38,0)) AS BIGINT)")
+            .as("gini_num"),
           (col("n") * col("sx")).as("gini_den"))
         .orderBy("seg")
     }),

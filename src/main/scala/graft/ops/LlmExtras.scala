@@ -365,11 +365,17 @@ object LlmExtras {
     // argument — never corpus²); per-source gram counts broadcast back for
     // the |A∪B| = |A|+|B|−|A∩B| denominator. Output ≤ C(|sources|,2) rows.
     "llm_source_similarity" -> ((s, d) => {
+      // Gram positions come from slice(…, greatest(size-2, 0)), not
+      // sequence(0, size-3): on a <3-token doc sequence() descends
+      // ([0,-1,…]) and concat_ws silently drops the out-of-range nulls,
+      // emitting spurious short grams the oracle's range() never yields —
+      // the guard makes both engines emit zero grams for short docs
+      // instead of leaning on the fixture's ≥10-words contract.
       val gs = documents(s, d)
         .select(col("source"), split(col("text"), " ").as("t"))
         .select(col("source"), explode(expr(
-          """transform(sequence(0, size(t) - 3),
-                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))""")).as("g"))
+          """transform(slice(t, 1, greatest(size(t) - 2, 0)),
+                       (x, i) -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))""")).as("g"))
         .distinct()
       val per = gs.groupBy("source").agg(count(lit(1)).as("n"))
       gs.as("x").join(gs.as("y"),

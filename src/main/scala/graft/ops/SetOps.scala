@@ -168,6 +168,12 @@ object SetOps {
         .select(col("o_custkey"), col("o_orderstatus"),
           money(col("o_totalprice")).as("cents"))
         .persist()
+      // The returned plan must stay a cache consumer, so the op itself can
+      // never unpersist; the handle is parked for the entrypoints' teardown
+      // (Bench/Verify call CacheReuse.release() after their last action —
+      // r6 advice: the retained InMemoryRelation otherwise holds executor
+      // memory for the remaining ~270 ops of the session).
+      CacheReuse.park(base)
       base.count(): Unit
       val byStatus = base.groupBy("o_orderstatus")
         .agg(sum("cents").as("cents_sum"), count(lit(1)).as("n"))

@@ -32,7 +32,66 @@ import graft.Tables._
   * replaces recomputation of a deterministic frame with its materialized
   * blocks.
   */
+/** Parking lot for DataFrames an op must `persist()` but cannot itself
+  * release (the returned plan stays a cache consumer until the entrypoint's
+  * action runs). Entrypoints call `release()` in teardown so the cached
+  * blocks don't outlive their last consumer (r6 advice on
+  * `util_cache_reuse`). Unpersisting one handle releases the CacheManager
+  * entry shared by every same-plan DataFrame, so last-put-wins is enough.
+  */
+private[graft] object CacheReuse {
+  private val parked = new ConcurrentHashMap[Long, DataFrame]
+  def park(df: DataFrame): Unit = { parked.put(df.queryExecution.logical.semanticHash().toLong, df); () }
+  def release(): Unit = {
+    parked.values.forEach(df => { df.unpersist(false); () })
+    parked.clear()
+  }
+}
+
 private[ops] object Shared {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Exact percentile_disc over a pre-collapsed (group, value, weight)
+    * histogram — the agg_weighted_median two-phase bucketed shape, shared
+    * by `agg_percentile_disc` and `filter_outlier_mad` (r6 verdict #2:
+    * Spark's exact percentile buffers a value→count map per group, so 3
+    * groups × corpus-cardinality cents is per-task state growing with the
+    * corpus; this shape never holds more than one $1000-wide bucket of
+    * DISTINCT values per task).
+    *
+    * percentile_disc(p) = smallest v with cume_dist(v) ≥ p, tested as
+    * den·cum ≥ num·tot in cross-multiplied integers (p = num/den — no
+    * float). Phase 1 locates the crossing bucket from bucket totals (a
+    * metadata-sized frame: |groups|×|value range|/1e5 rows — the only
+    * few-group window runs there); phase 2 broadcasts the |groups|-row
+    * crossing info back and runs the fine cumsum over ONLY the crossing
+    * bucket's distinct values — partitions bounded by the bucket WIDTH
+    * (100k distinct values), independent of corpus size.
+    *
+    * `hist` must have exactly the columns (grp, v: integral, w: count);
+    * returns one row per group: (grp, out = the percentile value).
+    */
+  def bucketedPdisc(hist: DataFrame, grp: String, v: String, w: String,
+                    num: Int, den: Int, out: String): DataFrame = {
+    val byBucket = hist.select(col(grp), col(v), col(w))
+      .withColumn("__bkt", expr(s"$v div 100000"))
+    val totals = byBucket.groupBy(grp, "__bkt").agg(sum(w).as("__bw"))
+      .withColumn("__cum", sum("__bw").over(Window.partitionBy(grp).orderBy("__bkt")))
+      .withColumn("__tot", sum("__bw").over(Window.partitionBy(grp)))
+    val crossing = totals
+      .filter(col("__cum") * den >= col("__tot") * num)
+      .withColumn("__rk", row_number().over(Window.partitionBy(grp).orderBy("__bkt")))
+      .filter(col("__rk") === 1)
+      .select(col(grp), col("__bkt"), (col("__cum") - col("__bw")).as("__before"),
+        col("__tot"))
+    byBucket.join(broadcast(crossing), Seq(grp, "__bkt"))
+      .withColumn("__cin",
+        sum(w).over(Window.partitionBy(grp, "__bkt").orderBy(v)))
+      .filter((col("__before") + col("__cin")) * den >= col("__tot") * num)
+      .groupBy(grp)
+      .agg(min(v).as(out))
+  }
+
   private val pairsCache  = new ConcurrentHashMap[String, DataFrame]
   private val labelsCache = new ConcurrentHashMap[String, DataFrame]
   private val vecsCache   = new ConcurrentHashMap[String, DataFrame]
