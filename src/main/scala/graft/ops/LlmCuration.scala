@@ -152,10 +152,18 @@ object LlmCuration {
     // here — chosen to BIND at every scale factor, so the cut is exercised,
     // not vacuous), and the report carries kept/total docs and tokens plus budget
     // utilization bp. Quality is the integer composite shared with
-    // llm_importance_resample. The only window is lang-partitioned — never
-    // a global single-partition cumsum; at 100 TB the same shape holds per
-    // stratum (a global budget splits into per-stratum quotas first, which
-    // is how real mixtures are specified anyway).
+    // llm_importance_resample.
+    // Plan shape (reworked in r7): the naive form is a lang-partitioned
+    // corpus-sized cumsum window — few language groups over a frame that
+    // scales with the corpus, the agg_gini hazard. Two-phase bucketed
+    // shape instead: (1) collapse to per-(lang, quality_bp) doc/token
+    // totals (quality_bp has a bounded integer range by construction, so
+    // this frame is value-bounded); whole quality levels classify as
+    // kept/cut from a running total over THAT frame; (2) only the single
+    // CROSSING quality level per lang needs per-doc resolution — its
+    // offset broadcasts back and the fine cumsum runs over just that
+    // level's docs. Identical to the single-window form by construction
+    // (the oracle keeps the simple form as the semantic definition).
     "llm_token_budget" -> ((s, d) => {
       val scored = documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -166,15 +174,31 @@ object LlmCuration {
           length(col("text")).cast("long").as("len"))
         .withColumn("quality_bp", expr(
           "(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)"))
-      val byLang = Window.partitionBy("lang")
-        .orderBy(col("quality_bp").desc, col("doc_id"))
-      scored
-        .withColumn("cum_toks", sum("n").over(byLang))
-        .withColumn("kept", col("cum_toks") <= lit(2000L))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_toks"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_toks"))
+        .localCheckpoint(false)
+      val byQ = scored.groupBy("lang", "quality_bp")
+        .agg(count(lit(1)).as("nd"), sum("n").as("nt"))
+      val wDesc = Window.partitionBy("lang").orderBy(col("quality_bp").desc)
+      val cum = byQ
+        .withColumn("cum_before", coalesce(sum("nt").over(
+          wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum_after", col("cum_before") + col("nt"))
+      val fullAgg = cum.filter(col("cum_after") <= 2000L)
+        .groupBy("lang").agg(sum("nd").as("kd"), sum("nt").as("kt"))
+      val crossing = cum
+        .filter(col("cum_before") < 2000L && col("cum_after") > 2000L)
+        .select(col("lang"), col("quality_bp"), col("cum_before"))
+      val partAgg = scored.join(broadcast(crossing), Seq("lang", "quality_bp"))
+        .withColumn("cum", col("cum_before") +
+          sum("n").over(Window.partitionBy("lang").orderBy("doc_id")))
+        .filter(col("cum") <= 2000L)
+        .groupBy("lang").agg(count(lit(1)).as("pd"), sum("n").as("pt"))
+      scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_toks"))
+        .join(broadcast(fullAgg), Seq("lang"), "left")
+        .join(broadcast(partAgg), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("total_toks"),
+          (coalesce(col("kd"), lit(0L)) + coalesce(col("pd"), lit(0L))).as("n_kept"),
+          (coalesce(col("kt"), lit(0L)) + coalesce(col("pt"), lit(0L))).as("kept_toks"))
         .withColumn("budget_used_bp", expr("10000 * kept_toks div 2000"))
         .orderBy("lang")
     }),

@@ -53,16 +53,35 @@ object Scalars {
     // the previous name within each nation: the window partitions on
     // s_nationkey, so no global sort — and levenshtein is the identical
     // integer DP on both engines, no rounding surface at all.
-    "str_levenshtein" -> ((s, d) =>
-      supplier(s, d)
+    // Name distance to the previous supplier within the nation — lag +
+    // levenshtein. Plan shape: NOT a bare nation-partitioned window (25
+    // nations, supplier corpus-scaled → 25 tasks each sorting 1/25 of the
+    // corpus, the agg_gini hazard). Distributed-lag instead: suppkey-range
+    // buckets bound each window partition by the bucket WIDTH; the only
+    // cross-bucket dependency is each bucket's first row, whose
+    // predecessor is the previous bucket's last name — carried via a lag
+    // over the metadata-sized (nation, bucket) frame and broadcast back.
+    // Identical to the single-window form by construction (the oracle
+    // keeps the simple form as the semantic definition).
+    "str_levenshtein" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_name"))
+        .withColumn("bkt", expr("s_suppkey div 1000"))
+      val carry = sup.groupBy("s_nationkey", "bkt")
+        .agg(max_by(col("s_name"), col("s_suppkey")).as("last_name"))
+        .withColumn("carry", lag("last_name", 1).over(
+          Window.partitionBy("s_nationkey").orderBy("bkt")))
+        .select("s_nationkey", "bkt", "carry")
+      sup.join(broadcast(carry), Seq("s_nationkey", "bkt"))
+        .withColumn("prev_in", lag("s_name", 1).over(
+          Window.partitionBy("s_nationkey", "bkt").orderBy("s_suppkey")))
         .select(col("s_suppkey"), col("s_nationkey"),
-          lag(col("s_name"), 1).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("s_nationkey").orderBy("s_suppkey")).as("prev_name"),
-          col("s_name"))
-        .select(col("s_suppkey"), col("s_nationkey"),
-          coalesce(levenshtein(col("s_name"), col("prev_name")), lit(-1)).as("dist_prev"))
-        .orderBy("s_suppkey")),
+          coalesce(
+            levenshtein(col("s_name"), coalesce(col("prev_in"), col("carry"))),
+            lit(-1)).as("dist_prev"))
+        .orderBy("s_suppkey")
+    }),
 
     "date_parts" -> ((s, d) =>
       orders(s, d)
