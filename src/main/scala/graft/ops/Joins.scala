@@ -317,31 +317,42 @@ object Joins {
     }),
 
     // ε-neighborhood self-join via GRID BLOCKING (the spatial-join shape):
-    // points in (cents, second-of-day) space; each probe row replicates to
-    // its cell's 3×3 neighborhood and equi-joins the build side's single
-    // home cell, so every true pair meets exactly once (in the build row's
-    // home cell) and the candidate set is the 9-cell neighborhood, never the
-    // n² cross product. Cell width = ε makes the neighborhood sound for the
-    // L∞ ball; everything is integer, the exact |Δ| ≤ ε check runs post-
-    // join. Output = per-point neighbor count (each ordered pair found
-    // once ⇒ counts are exact degrees).
+    // points in (cents, second-of-day) space; cell width = ε makes the
+    // 1-cell neighborhood sound for the L∞ ball; everything is integer,
+    // the exact |Δ| ≤ ε check runs post-join.
+    // HALF-NEIGHBORHOOD emission (r7, ~2× off the r6 full-3×3 plan): each
+    // probe row replicates to only 5 cells — home + the 4 FORWARD
+    // neighbors {(0,1),(1,−1),(1,0),(1,1)}, one from each ± pair of the 8
+    // — and equi-joins the build side's single home cell. An unordered
+    // pair in different cells meets exactly once (exactly one of ±δ is
+    // forward); a same-cell pair meets twice, deduped by a<b (which also
+    // drops self-pairs). Probe replication drops 9→5 and the join emits
+    // each pair once instead of twice; degrees come from symmetrizing the
+    // found pairs (each contributes to both endpoints) in a cheap
+    // post-ε-filter union.
     "join_spatial_grid" -> ((s, d) => {
       val pts = events(s, d).select(col("event_id"),
         money(col("value")).as("x"),
         (expr("hour(ts) * 3600 + minute(ts) * 60 + second(ts)")).cast("long").as("y"))
         .withColumn("cx", expr("x div 50")).withColumn("cy", expr("y div 50"))
       val probe = pts.select(col("event_id").as("a"), col("x").as("xa"), col("y").as("ya"),
+        col("cx").as("hx"), col("cy").as("hy"),
         explode(expr(
-          """flatten(transform(sequence(-1L, 1L),
-                       dx -> transform(sequence(-1L, 1L),
-                         dy -> struct(cx + dx AS cx, cy + dy AS cy))))""")).as("c"))
-        .select(col("a"), col("xa"), col("ya"), col("c.cx"), col("c.cy"))
+          """array(struct(0L AS dx, 0L AS dy), struct(0L AS dx, 1L AS dy),
+                   struct(1L AS dx, -1L AS dy), struct(1L AS dx, 0L AS dy),
+                   struct(1L AS dx, 1L AS dy))""")).as("f"))
+        .select(col("a"), col("xa"), col("ya"),
+          (col("hx") + col("f.dx")).as("cx"), (col("hy") + col("f.dy")).as("cy"),
+          col("f.dx").as("dx"), col("f.dy").as("dy"))
       val build = pts.select(col("event_id").as("b"), col("x").as("xb"), col("y").as("yb"),
         col("cx"), col("cy"))
-      probe.join(build, Seq("cx", "cy"))
-        .filter(col("a") =!= col("b") &&
-          abs(col("xa") - col("xb")) <= 50 && abs(col("ya") - col("yb")) <= 50)
-        .groupBy(col("a").as("event_id")).agg(count(lit(1)).as("n_neighbors"))
+      val pairs = probe.join(build, Seq("cx", "cy"))
+        .filter(abs(col("xa") - col("xb")) <= 50 && abs(col("ya") - col("yb")) <= 50 &&
+          ((col("dx") =!= 0L || col("dy") =!= 0L) || col("a") < col("b")))
+        .select("a", "b")
+      pairs.select(col("a").as("event_id"))
+        .unionAll(pairs.select(col("b").as("event_id")))
+        .groupBy("event_id").agg(count(lit(1)).as("n_neighbors"))
         .orderBy("event_id")
     }),
 
