@@ -521,10 +521,14 @@ object Aggregations {
     // result as the single-window form by construction (the oracle keeps
     // the simple form as the semantic definition).
     "agg_weighted_median" -> ((s, d) => {
+      // Lazy localCheckpoint: the collapsed histogram feeds the crossing
+      // broadcast subtree AND the probe side (see agg_gini note on why
+      // ReuseExchange can't dedupe the recompute).
       val wByPrice = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))
+        .localCheckpoint(false)
       val byFlagBucket = wByPrice
         .withColumn("bucket", expr("cents div 100000"))
       val bucketTotals = byFlagBucket

@@ -363,8 +363,12 @@ object LlmCuration {
     // doc_id-keyed aggs, narrow mix filter).
     "llm_curation_e2e" -> ((s, d) => {
       val docs = documents(s, d)
+      // Lazy localCheckpoint: the gated profile feeds the survivor
+      // semi-join AND the final anti-join leg — without it the dominant
+      // explode+agg stage runs twice (the agg_gini recompute note).
       val rep = repetitionProfile(docs, "doc_id", "lang")
         .filter(expr("10000 * (n_words - n_uniq) div n_words < 5000"))
+        .localCheckpoint(false)
       val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
       // the corpus gram leg (the dominant explode+distinct) runs ONLY over
       // docs that survived the repetition gate — the gate drops ~half the

@@ -359,10 +359,14 @@ class PlanAuditSuite extends AnyFunSuite {
     "join_cross", "llm_semdedup", "llm_cluster_purity",
     "llm_sim_ann_ivf", "llm_sim_ann_lsh")
 
+  /** Built once, shared by the three sweep tests (QueryExecution caches
+    * optimizedPlan/executedPlan, so each op is planned a single time). */
+  private lazy val allPlans: Seq[(String, org.apache.spark.sql.DataFrame)] =
+    SparkEntry.queries.keys.toSeq.sorted.map(n => n -> SparkEntry.queries(n)(s, d))
+
   test("sweep: no declared plan contains a CartesianProduct") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val df = SparkEntry.queries(name)(s, d)
-      df.queryExecution.executedPlan.toString.contains("CartesianProduct")
+    val offenders = allPlans.collect {
+      case (name, df) if df.queryExecution.executedPlan.toString.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty,
       s"CartesianProduct (both sides large, no key) in: ${offenders.mkString(", ")}")
@@ -387,9 +391,8 @@ class PlanAuditSuite extends AnyFunSuite {
           l.isInstanceOf[Range]
       }
     }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(bnljReviewed).flatMap { name =>
-        val df = SparkEntry.queries(name)(s, d)
+    val offenders = allPlans
+      .filterNot(p => bnljReviewed(p._1)).flatMap { case (name, df) =>
         if (!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
           None
         else {
@@ -440,10 +443,9 @@ class PlanAuditSuite extends AnyFunSuite {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
       case _ => false
     }
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(windowReviewed).flatMap { name =>
-        val windows = SparkEntry.queries(name)(s, d)
-          .queryExecution.optimizedPlan.collect { case w: Window => w }
+    val offenders = allPlans
+      .filterNot(p => windowReviewed(p._1)).flatMap { case (name, df) =>
+        val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
         windows.flatMap { w =>
           val names = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
           val ok = names.exists(n =>
