@@ -44,7 +44,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ScaleUpCore.run(spark, src, out, copies)
+    spark.stop()
+  }
+}
 
+/** The tiling logic, callable from tests (Round7Suite integrity check)
+  * as well as the [[ScaleUp]] main. */
+object ScaleUpCore {
+  def run(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def span(df: DataFrame, c: String): Long =
       df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
@@ -92,6 +100,5 @@ object ScaleUp {
           expr(s"array_join(transform(split(text, ' '), t -> concat(t, '$i')), ' ')"))
         .withColumn("n_chars", length(col("text")).cast("int")))
     tile("embeddings", Map("vec_id" -> vecSpan), 8)
-    spark.stop()
   }
 }

@@ -48,7 +48,7 @@ private[graft] object CacheReuse {
   }
 }
 
-private[ops] object Shared {
+private[graft] object Shared {
   import org.apache.spark.sql.expressions.Window
 
   /** Exact percentile_disc over a pre-collapsed (group, value, weight)

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 rework equivalences: every scale-reshaped op must produce
+  * EXACTLY the frame its naive declarative form produces — the naive form
+  * stays in the test as the executable semantic definition (the oracles
+  * keep the same role on the DuckDB side).
+  */
+class Round7Suite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def assertSameFrame(got: DataFrame, want: DataFrame, hint: String): Unit = {
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    assert(extra == 0 && missing == 0,
+      s"$hint: +$extra unexpected / -$missing missing rows")
+  }
+
+  test("bucketedPdisc == builtin percentile_disc on lineitem cents (p50 and p90)") {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("cents"))
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+    val naive = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("cents"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("p90"))
+    val got = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "p50")
+      .join(graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90"),
+        "l_returnflag")
+    assertSameFrame(got.select("l_returnflag", "p50", "p90"),
+      naive.select("l_returnflag", "p50", "p90"), "bucketedPdisc vs percentile_disc")
+  }
+
+  test("bucketedPdisc respects weights (== percentile_disc over weight-exploded rows)") {
+    val sp = s; import sp.implicits._
+    // deterministic synthetic histogram: values with multiplicities 1..7
+    val hist = (1 to 500).map { i =>
+      (s"g${i % 3}", (i * 37 % 211).toLong * 997L, (i % 7 + 1).toLong)
+    }.toDF("g", "v", "w")
+    val exploded = hist.select(col("g"), col("v"), explode(expr("sequence(1, w)")))
+    val naive = exploded.groupBy("g")
+      .agg(expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p"))
+    val got = graft.ops.Shared.bucketedPdisc(hist, "g", "v", "w", 1, 4, "p")
+    assertSameFrame(got, naive, "weighted bucketedPdisc vs exploded percentile_disc")
+  }
+
+  test("agg_gini tie-group decomposition == ranked-window definition") {
+    val j = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        graft.Norm.money(col("o_totalprice")).as("cents"), col("o_orderkey"))
+    val w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    val naive = j.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS BIGINT)").as("six"),
+        expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").as("sx"))
+      .select(col("seg"), col("n"),
+        (lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx")).as("gini_num"),
+        (col("n") * col("sx")).as("gini_den"))
+    assertSameFrame(SparkEntry.queries("agg_gini")(s, d), naive.orderBy("seg"),
+      "agg_gini bucketed vs ranked")
+  }
+
+  test("str_levenshtein distributed lag == single nation-partitioned window") {
+    val naive = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        lag(col("s_name"), 1).over(
+          Window.partitionBy("s_nationkey").orderBy("s_suppkey")).as("prev_name"),
+        col("s_name"))
+      .select(col("s_suppkey"), col("s_nationkey"),
+        coalesce(levenshtein(col("s_name"), col("prev_name")), lit(-1)).as("dist_prev"))
+    assertSameFrame(SparkEntry.queries("str_levenshtein")(s, d), naive,
+      "str_levenshtein distributed lag vs single window")
+  }
+
+  test("llm_token_budget two-phase cut == single lang-partitioned cumsum window") {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        expr("CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT)")
+          .as("st"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("np"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("quality_bp", expr(
+        "(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)"))
+    val byLang = Window.partitionBy("lang").orderBy(col("quality_bp").desc, col("doc_id"))
+    val naive = scored
+      .withColumn("cum_toks", sum("n").over(byLang))
+      .withColumn("kept", col("cum_toks") <= lit(2000L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_toks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_toks"))
+      .withColumn("budget_used_bp", expr("10000 * kept_toks div 2000"))
+    assertSameFrame(SparkEntry.queries("llm_token_budget")(s, d), naive,
+      "llm_token_budget two-phase vs single window")
+  }
+
+  test("join_spatial_grid half-neighborhood == full 3x3 ordered-pair emission") {
+    val pts = Tables.events(s, d).select(col("event_id"),
+      graft.Norm.money(col("value")).as("x"),
+      (expr("hour(ts) * 3600 + minute(ts) * 60 + second(ts)")).cast("long").as("y"))
+      .withColumn("cx", expr("x div 50")).withColumn("cy", expr("y div 50"))
+    val probe = pts.select(col("event_id").as("a"), col("x").as("xa"), col("y").as("ya"),
+      explode(expr(
+        """flatten(transform(sequence(-1L, 1L),
+                     dx -> transform(sequence(-1L, 1L),
+                       dy -> struct(cx + dx AS cx, cy + dy AS cy))))""")).as("c"))
+      .select(col("a"), col("xa"), col("ya"), col("c.cx"), col("c.cy"))
+    val build = pts.select(col("event_id").as("b"), col("x").as("xb"), col("y").as("yb"),
+      col("cx"), col("cy"))
+    val naive = probe.join(build, Seq("cx", "cy"))
+      .filter(col("a") =!= col("b") &&
+        abs(col("xa") - col("xb")) <= 50 && abs(col("ya") - col("yb")) <= 50)
+      .groupBy(col("a").as("event_id")).agg(count(lit(1)).as("n_neighbors"))
+    assertSameFrame(SparkEntry.queries("join_spatial_grid")(s, d), naive,
+      "half-neighborhood vs 3x3")
+  }
+
+  test("ScaleUp tiling preserves referential integrity and row counts (x3 on sf0.001)") {
+    val out = System.getProperty("java.io.tmpdir") + "/graft-scaleup-test"
+    graft.ScaleUpCore.run(s, d, out, copies = 3)
+    def t(n: String) = s.read.parquet(s"$out/$n.parquet")
+    assert(t("orders").count() == 3 * Tables.orders(s, d).count())
+    assert(t("lineitem").count() == 3 * Tables.lineitem(s, d).count())
+    assert(t("region").count() == Tables.region(s, d).count(), "fixed dims must not tile")
+    // FK integrity: every tiled orders row must still find its customer,
+    // every lineitem its order — zero orphans, exactly as in the source.
+    val orphanOrders = t("orders").join(t("customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val orphanLines = t("lineitem").join(t("orders"),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(orphanOrders == 0 && orphanLines == 0,
+      s"tiling broke FKs: $orphanOrders order orphans, $orphanLines lineitem orphans")
+    // keys must not collide across copies
+    assert(t("orders").select("o_orderkey").distinct().count() == t("orders").count())
+    assert(t("documents").select("doc_id").distinct().count() == t("documents").count())
+  }
+}
