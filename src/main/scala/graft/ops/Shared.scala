@@ -70,6 +70,9 @@ private[graft] object Shared {
     *
     * `hist` must have exactly the columns (grp, v: integral, w: count);
     * returns one row per group: (grp, out = the percentile value).
+    * Negative values are fine: `div` truncates toward zero, which only
+    * makes bucket 0 span [−width+1, width−1] — bucket order stays monotone
+    * in v, so the crossing search and in-bucket cumsum are unaffected.
     */
   def bucketedPdisc(hist: DataFrame, grp: String, v: String, w: String,
                     num: Int, den: Int, out: String): DataFrame = {
