@@ -20,6 +20,31 @@ object Aggregations {
   private val eventTypesCms = Seq("click", "error", "purchase", "signup", "view")
 
   val ops: Map[String, Q] = Map(
+    // Herfindahl–Hirschman concentration index per market segment (the
+    // market-concentration report a revenue audit runs): firms = customers,
+    // shares = revenue share within the segment. hhi_bp = 10000·Σrᵢ²/(Σrᵢ)²
+    // in EXACT integer arithmetic — per-firm revenue is a moneySum
+    // (decimal-exact), the square-sum rides a DECIMAL(38,0) accumulator
+    // (agg_gini rule: ~1.5e6 firms × (5e7 cents)² ≈ 4e21 ≪ 1e38; ×10000
+    // still ≪ 1e38), and the final ratio is ONE integral divide (both
+    // engines truncate toward zero). Scale: two stacked
+    // partial-aggregatable shuffles — (seg, custkey) then (seg) — with the
+    // customer dim broadcast onto orders; nothing corpus-sized is held,
+    // sorted, or windowed.
+    "agg_hhi" -> ((s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("r"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_firms"),
+          expr("CAST(sum(r) AS DECIMAL(38,0))").as("t"),
+          expr("sum(CAST(r AS DECIMAL(38,0)) * r)").as("sq"))
+        .select(col("seg"), col("n_firms"),
+          expr("10000 * sq div (t * t)").as("hhi_bp"))
+        .orderBy("seg")),
+
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -574,6 +599,19 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // sum(BIGINT·BIGINT) runs in HUGEINT — DuckDB's DECIMAL(38,0)-width twin;
+    // `//` truncates toward zero exactly like Spark's `div`.
+    "agg_hhi" ->
+      s"""WITH rev AS (SELECT c_mktsegment AS seg, o_custkey,
+                              ${moneySumSql("o_totalprice")} AS r
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_mktsegment, o_custkey),
+              a AS (SELECT seg, count(*) AS n_firms,
+                           CAST(sum(r) AS HUGEINT) AS t,
+                           sum(CAST(r AS HUGEINT) * r) AS sq
+                    FROM rev GROUP BY seg)
+         SELECT seg, n_firms, CAST(10000 * sq // (t * t) AS BIGINT) AS hhi_bp
+         FROM a ORDER BY seg""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${moneySumSql("l_quantity")} AS sum_qty,

@@ -76,6 +76,44 @@ object LlmCuration {
                 FROM pw GROUP BY ALL)"""
 
   val ops: Map[String, Q] = Map(
+    // PII scan — the privacy audit a corpus release runs (emails, phone
+    // numbers, long digit runs) reported per source. The fixture corpus
+    // carries no PII, so the scanned column is `text` plus a DETERMINISTIC
+    // synthetic PII suffix derived from doc_id residues (the multimodal
+    // fake-decode convention: both engines construct the identical bytes,
+    // so the regex layer — the part under test — sees a non-trivial,
+    // reproducible hit distribution). Patterns stay in the regex subset
+    // (char classes + bounded repeats) that Java regex and RE2 evaluate
+    // identically; counts are non-overlapping matches on both engines.
+    // Map-only until one partial-aggregatable source groupBy — at 100 TB
+    // the scan cost is the regex pass itself, embarrassingly parallel.
+    "llm_pii_scan" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" acct "), lpad(col("doc_id").cast("string"), 12, "0")))
+            .otherwise(lit(""))))
+        .select(col("source"),
+          regexp_count(col("raw"),
+            lit("[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long").as("em"),
+          regexp_count(col("raw"), lit("555-[0-9]{4}")).cast("long").as("ph"),
+          regexp_count(col("raw"), lit("[0-9]{9,}")).cast("long").as("dr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("em") + col("ph") + col("dr") > 0, 1L).otherwise(0L))
+            .as("n_docs_pii"),
+          sum("em").as("n_emails"),
+          sum("ph").as("n_phones"),
+          sum("dr").as("n_digit_runs"))
+        .orderBy("source")),
+
     // Gopher quality rules (Rae et al. 2021, public), adapted to the
     // space-split token convention: word count in [50, 100000], mean word
     // length in [3, 10], symbol-to-word ratio <= 0.1, duplicate-token
@@ -759,6 +797,31 @@ object LlmCuration {
   )
 
   val oracle: Map[String, String] = curationOracleExtra ++ Map(
+    // len(regexp_extract_all) = non-overlapping match count (RE2), the twin
+    // of Spark's regexp_count (Java regex) on this shared pattern subset.
+    "llm_pii_scan" ->
+      """WITH raw AS (SELECT source, text
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0
+                        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 13 = 0
+                        THEN ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+                        ELSE '' END AS r
+              FROM documents),
+              m AS (SELECT source,
+                CAST(len(regexp_extract_all(r, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS em,
+                CAST(len(regexp_extract_all(r, '555-[0-9]{4}')) AS BIGINT) AS ph,
+                CAST(len(regexp_extract_all(r, '[0-9]{9,}')) AS BIGINT) AS dr
+              FROM raw)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN em + ph + dr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+                CAST(sum(em) AS BIGINT) AS n_emails,
+                CAST(sum(ph) AS BIGINT) AS n_phones,
+                CAST(sum(dr) AS BIGINT) AS n_digit_runs
+         FROM m GROUP BY source ORDER BY source""",
     "llm_quality_gopher" ->
       """WITH b AS (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,

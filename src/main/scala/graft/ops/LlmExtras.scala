@@ -672,6 +672,34 @@ object LlmExtras {
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
     }),
 
+    // Fixed-iteration connected components: 3 rounds of min-label
+    // propagation over the supplier co-supply graph (suppliers linked when
+    // they ship the SAME part at the top quantity tier, l_quantity ≥ 50 —
+    // the selective tier keeps per-part supplier lists short, the same
+    // blocking-bounded candidate argument as join_spatial_grid's cells).
+    // Labels after EXACTLY 3 rounds are the declared result — deterministic
+    // on every engine and partition count regardless of convergence; the
+    // run-to-fixpoint production sibling is graft.Scale.connectedComponents
+    // (used by llm_dedup_clusters). Scale: each round is one keyed join +
+    // one partial-aggregatable min — label frames stay |V|-sized, the edge
+    // set is blocking-bounded, nothing corpus².
+    "graph_cc_fixed" -> ((s, d) => {
+      val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+      val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+      val l0 = inc.select("v").distinct().withColumn("lbl", col("v"))
+      val l3 = (1 to 3).foldLeft(l0) { (l, _) =>
+        l.join(edges, l("v") === edges("src"))
+          .select(col("dst").as("v"), col("lbl"))
+          .union(l)
+          .groupBy("v").agg(min("lbl").as("lbl"))
+      }
+      l3.select(col("v").as("s_suppkey"), col("lbl").as("component"))
+        .orderBy("s_suppkey")
+    }),
+
     // Degree distribution of the near-dup graph (the connectivity audit run
     // before trusting any graph algorithm's cost model): per-node degree,
     // bucketed by bit-length (= ⌊log2⌋+1, exact integer — the
@@ -1018,6 +1046,30 @@ object LlmExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    // 3 propagation rounds unrolled as CTEs (the graph_pagerank_fixed
+    // pattern): l_{k+1}(v) = min over {v} ∪ in-neighbors of l_k.
+    "graph_cc_fixed" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+                      FROM lineitem WHERE l_quantity >= 50),
+              e AS (SELECT DISTINCT a.v AS src, b.v AS dst
+                    FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+              l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM inc)),
+              l1 AS (SELECT s.v, min(s.lbl) AS lbl FROM (
+                       SELECT v, lbl FROM l0
+                       UNION ALL
+                       SELECT e.dst AS v, l0.lbl FROM e JOIN l0 ON e.src = l0.v) s
+                     GROUP BY s.v),
+              l2 AS (SELECT s.v, min(s.lbl) AS lbl FROM (
+                       SELECT v, lbl FROM l1
+                       UNION ALL
+                       SELECT e.dst AS v, l1.lbl FROM e JOIN l1 ON e.src = l1.v) s
+                     GROUP BY s.v),
+              l3 AS (SELECT s.v, min(s.lbl) AS lbl FROM (
+                       SELECT v, lbl FROM l2
+                       UNION ALL
+                       SELECT e.dst AS v, l2.lbl FROM e JOIN l2 ON e.src = l2.v) s
+                     GROUP BY s.v)
+         SELECT v AS s_suppkey, lbl AS component FROM l3 ORDER BY s_suppkey""",
     "llm_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                         FROM documents),

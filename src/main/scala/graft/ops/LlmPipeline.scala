@@ -456,6 +456,44 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Perplexity filter — the model-based quality GATE llm_unigram_logprob
+    // scores for: held-out docs (doc_id%5=0) scored by the train-slice
+    // Laplace unigram LM, normalized to per-token micro-nats with ONE exact
+    // integral divide (both engines truncate toward zero — probed, DuckDB
+    // `//` is trunc for integers), then the bottom quartile dropped at the
+    // global p25 DISCRETE cutoff: an actual score value, resolved through
+    // the bucketed two-phase percentile (Shared.bucketedPdisc — no
+    // per-group value→count map growing with the corpus). Scale: scoring
+    // is the unigram plan (vocab-bounded broadcasts, corpus side narrow
+    // until the doc_id-keyed count); the cutoff is a 1-row broadcast back
+    // onto the score frame; the report is one partial-aggregatable lang
+    // groupBy.
+    "llm_perplexity_filter" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val counts = toks.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val stats = counts.agg(sum("c").as("nn"), count(lit(1)).as("vv"))
+      val scores = toks.filter(col("doc_id") % 5 === 0)
+        .join(broadcast(counts), Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp_u", expr(
+          "CAST(floor(1000000 * ln((coalesce(c, 0) + 1.0) / (nn + vv + 1.0))) AS BIGINT)"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_toks"), sum("lp_u").as("lp"))
+        .withColumn("avg_lp", expr("lp div n_toks"))
+      val hist = scores.groupBy(lit("g").as("grp"), col("avg_lp").as("v"))
+        .agg(count(lit(1)).as("wt"))
+      val cut = Shared.bucketedPdisc(hist, "grp", "v", "wt", 1, 4, "cutoff")
+      scores.crossJoin(broadcast(cut.select("cutoff")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_held"),
+          sum(when(col("avg_lp") >= col("cutoff"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("avg_lp") >= col("cutoff"), col("n_toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .orderBy("lang")
+    }),
+
     // Cross-source duplicate-leakage matrix (the audit before trusting
     // per-source dedup: which source pairs feed each other clones). Docs
     // are keyed by their canonical token-set signature — md5 of the sorted
@@ -636,6 +674,24 @@ object LlmPipeline {
                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
                GROUP BY w)
          GROUP BY 1 ORDER BY 1""",
+    // quantile_disc is DuckDB's discrete-percentile twin of bucketedPdisc
+    // (smallest value whose cume_dist ≥ p — the agg_percentile_disc pairing);
+    // `//` truncates toward zero exactly like Spark's `div`.
+    "llm_perplexity_filter" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+              counts AS (SELECT w, count(*) AS c FROM toks WHERE doc_id % 5 <> 0 GROUP BY w),
+              stats AS (SELECT CAST(sum(c) AS BIGINT) AS nn, count(*) AS vv FROM counts),
+              sc AS (SELECT doc_id, lang, count(*) AS n_toks,
+                            CAST(sum(CAST(floor(1000000 * ln((coalesce(c, 0) + 1.0) / (nn + vv + 1.0))) AS BIGINT)) AS BIGINT) AS lp
+                     FROM toks LEFT JOIN counts USING (w) CROSS JOIN stats
+                     WHERE doc_id % 5 = 0
+                     GROUP BY doc_id, lang),
+              av AS (SELECT lang, n_toks, lp // n_toks AS avg_lp FROM sc),
+              cut AS (SELECT quantile_disc(avg_lp, 0.25) AS cutoff FROM av)
+         SELECT lang, count(*) AS n_held,
+                CAST(sum(CASE WHEN avg_lp >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN avg_lp >= cutoff THEN n_toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM av CROSS JOIN cut GROUP BY lang ORDER BY lang""",
     "llm_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
               counts AS (SELECT w, count(*) AS c FROM toks WHERE doc_id % 5 <> 0 GROUP BY w),

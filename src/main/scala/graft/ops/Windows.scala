@@ -21,6 +21,28 @@ import graft.Tables._
   */
 object Windows {
   val ops: Map[String, Q] = Map(
+    // Max drawdown per user over the cumulative value series (the
+    // equity-curve risk stat): cum = running cents sum ordered by the
+    // (second-truncated ts, event_id) total order both engines share, peak
+    // = running max of cum, drawdown = peak − cum, reported as the per-user
+    // max. Both running windows and the final groupBy ride ONE (user_id,
+    // (tss, event_id)) sort-partitioning — a single exchange feeds the
+    // whole plan at any scale, frames are running (constant state), and
+    // every output is an exact integer.
+    "win_drawdown" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("tss"),
+          money(col("value")).as("v"))
+        .withColumn("cum", sum("v").over(byU))
+        .withColumn("dd", max("cum").over(byU) - col("cum"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("dd").as("max_drawdown_cents"),
+          sum("v").as("final_cents"))
+        .orderBy("user_id")
+    }),
+
     // Rolling SPC anomaly flag — ts_anomaly_spc's sliding-window sibling:
     // an event is flagged when its cents value sits beyond 1.5 population σ
     // of its user's trailing 10 events (itself included, full windows
@@ -410,6 +432,24 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // Window sums land in HUGEINT; every output is CAST back to BIGINT so
+    // the arrow kinds match Spark's longs.
+    "win_drawdown" ->
+      s"""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss,
+                            ${graft.Norm.moneySql("value")} AS v
+                     FROM events),
+              c AS (SELECT user_id, event_id, tss, v,
+                           sum(v) OVER (PARTITION BY user_id
+                                        ORDER BY tss, event_id) AS cum
+                    FROM e),
+              p AS (SELECT user_id, v, cum,
+                           max(cum) OVER (PARTITION BY user_id
+                                          ORDER BY tss, event_id) AS peak
+                    FROM c)
+         SELECT user_id, count(*) AS n_events,
+                CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+                CAST(sum(v) AS BIGINT) AS final_cents
+         FROM p GROUP BY user_id ORDER BY user_id""",
     "win_rolling_anomaly" ->
       s"""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss,
                             ${graft.Norm.moneySql("value")} AS cents

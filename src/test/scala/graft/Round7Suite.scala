@@ -144,4 +144,97 @@ class Round7Suite extends AnyFunSuite {
     assert(t("orders").select("o_orderkey").distinct().count() == t("orders").count())
     assert(t("documents").select("doc_id").distinct().count() == t("documents").count())
   }
+
+  test("agg_hhi == driver BigInt brute force, and bounds [10000/n, 10000]") {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+      .agg(graft.Norm.moneySum(col("o_totalprice")).as("r"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(2))))
+    val want = rev.groupBy(_._1).map { case (seg, rs) =>
+      val t = rs.map(_._2).sum
+      val sq = rs.map(x => x._2 * x._2).sum
+      (seg, rs.size.toLong, (BigInt(10000) * sq / (t * t)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("agg_hhi")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"hhi mismatch: got $got want $want")
+    got.foreach { case (seg, n, bp) =>
+      assert(bp <= 10000 && bp >= 10000 / n, s"$seg hhi_bp=$bp out of [${10000 / n}, 10000]")
+    }
+  }
+
+  test("win_drawdown == driver replay of the per-user cumulative series") {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        graft.Norm.tsec(col("ts")).cast("long").as("tss"),
+        graft.Norm.money(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      var cum = 0L; var peak = Long.MinValue; var dd = 0L
+      ordered.foreach { r =>
+        cum += r._4; peak = math.max(peak, cum); dd = math.max(dd, peak - cum)
+      }
+      (u, ordered.size.toLong, dd, cum)
+    }.toSet
+    val got = SparkEntry.queries("win_drawdown")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"drawdown mismatch (got ${got.size} users, want ${want.size})")
+  }
+
+  test("graph_cc_fixed == driver BFS-3 min label (and labels are graph-valid)") {
+    val inc = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val byPart = inc.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    byPart.values.foreach { ss =>
+      for (a <- ss; b <- ss if a != b) adj(a) = adj(a) + b
+    }
+    val nodes = inc.map(_._2).toSet
+    val want = nodes.map { v =>
+      var frontier = Set(v); var seen = Set(v)
+      (1 to 3).foreach { _ =>
+        frontier = frontier.flatMap(adj) -- seen
+        seen ++= frontier
+      }
+      (v, seen.min)
+    }
+    val got = SparkEntry.queries("graph_cc_fixed")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    assert(got == want, s"cc labels mismatch: ${got.size} got vs ${want.size} want")
+  }
+
+  test("llm_pii_scan counts are exactly the doc_id residue classes per source") {
+    val docs = Tables.documents(s, d).select("doc_id", "source").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)))
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.map(_._1)
+      (src, ids.size.toLong,
+        ids.count(i => i % 7 == 0 || i % 11 == 0 || i % 13 == 0).toLong,
+        ids.count(_ % 7 == 0).toLong, ids.count(_ % 11 == 0).toLong,
+        ids.count(_ % 13 == 0).toLong)
+    }.toSet
+    val got = SparkEntry.queries("llm_pii_scan")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"pii counts mismatch: got $got want $want")
+  }
+
+  test("llm_perplexity_filter: held-out census matches, drop fraction < 25%") {
+    val rows = SparkEntry.queries("llm_perplexity_filter")(s, d).collect()
+    val nHeld = rows.map(_.getLong(1)).sum
+    val nKept = rows.map(_.getLong(2)).sum
+    val heldDocs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0).count()
+    assert(nHeld == heldDocs, s"held census: $nHeld vs $heldDocs docs")
+    // p25 DISCRETE cutoff: strictly fewer than a quarter fall below it.
+    assert((nHeld - nKept) * 4 < nHeld,
+      s"dropped ${nHeld - nKept} of $nHeld — p25 discrete bound violated")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: kept > held")
+    }
+  }
 }
