@@ -114,6 +114,39 @@ object LlmCuration {
           sum("dr").as("n_digit_runs"))
         .orderBy("source")),
 
+    // ROUGE-1 overlap metric (Lin 2004, public) over the deterministic
+    // successor pairing (doc d scored against doc d+1 — the pairing is the
+    // fixture stand-in for any candidate↔reference id map an eval pipeline
+    // supplies). Token-MULTISET overlap Σ min(cₐ, c_b) via per-doc word
+    // counts, then precision/recall/F1 as exact integer basis points:
+    // P = ov/n_b, R = ov/n_a, F1 = 2·ov/(nₐ+n_b) — the F1 identity keeps
+    // even the harmonic mean rational, so no float ever materializes.
+    // Scale: the overlap join keys on (successor id, word) — each doc
+    // meets ONE partner, so the join output is bounded by the token
+    // stream, never pairs²; all aggregations partial-aggregate.
+    "llm_rouge_pairs" -> ((s, d) => {
+      val wc = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val lens = wc.groupBy("doc_id").agg(sum("c").as("n"))
+      val ov = wc.as("a").join(wc.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id") && col("a.w") === col("b.w"))
+        .groupBy(col("a.doc_id").as("doc_a"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("overlap"))
+      lens.as("la").join(lens.as("lb"),
+          col("la.doc_id") + 1 === col("lb.doc_id"))
+        .select(col("la.doc_id").as("doc_a"),
+          (col("la.doc_id") + 1).cast("long").as("doc_b"),
+          col("la.n").as("n_a"), col("lb.n").as("n_b"))
+        .join(ov, Seq("doc_a"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"), col("n_a"), col("n_b"))
+        .withColumn("rouge1_p_bp", expr("10000 * overlap div n_b"))
+        .withColumn("rouge1_r_bp", expr("10000 * overlap div n_a"))
+        .withColumn("rouge1_f_bp", expr("20000 * overlap div (n_a + n_b)"))
+        .orderBy("doc_a")
+    }),
+
     // Gopher quality rules (Rae et al. 2021, public), adapted to the
     // space-split token convention: word count in [50, 100000], mean word
     // length in [3, 10], symbol-to-word ratio <= 0.1, duplicate-token
@@ -797,6 +830,23 @@ object LlmCuration {
   )
 
   val oracle: Map[String, String] = curationOracleExtra ++ Map(
+    "llm_rouge_pairs" ->
+      """WITH wc AS (SELECT doc_id, w, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     GROUP BY doc_id, w),
+              lens AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY doc_id),
+              ov AS (SELECT a.doc_id AS doc_a, CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap
+                     FROM wc a JOIN wc b ON a.doc_id + 1 = b.doc_id AND a.w = b.w
+                     GROUP BY a.doc_id),
+              p AS (SELECT la.doc_id AS doc_a, CAST(la.doc_id + 1 AS BIGINT) AS doc_b,
+                           la.n AS n_a, lb.n AS n_b
+                    FROM lens la JOIN lens lb ON la.doc_id + 1 = lb.doc_id)
+         SELECT p.doc_a, p.doc_b, coalesce(ov.overlap, 0) AS overlap, n_a, n_b,
+                10000 * coalesce(ov.overlap, 0) // n_b AS rouge1_p_bp,
+                10000 * coalesce(ov.overlap, 0) // n_a AS rouge1_r_bp,
+                20000 * coalesce(ov.overlap, 0) // (n_a + n_b) AS rouge1_f_bp
+         FROM p LEFT JOIN ov ON p.doc_a = ov.doc_a ORDER BY p.doc_a""",
     // len(regexp_extract_all) = non-overlapping match count (RE2), the twin
     // of Spark's regexp_count (Java regex) on this shared pattern subset.
     "llm_pii_scan" ->

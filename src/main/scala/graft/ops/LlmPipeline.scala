@@ -456,6 +456,25 @@ object LlmPipeline {
         .orderBy("doc_id")
     }),
 
+    // Portable MinHash signatures (the dedup-sketch layer itself, exposed
+    // as a declared result): 8 salted-md5 hash families, mh_k = min over
+    // the doc's DISTINCT tokens of the first 8 hex digits of
+    // md5('k:'||token) as an integer. md5 is bit-identical everywhere, so
+    // unlike an engine-seeded xxhash the signature is REPRODUCIBLE across
+    // engines/runs/partitions — the property a persisted dedup index needs
+    // when two systems must agree on bucket keys. By min-stability,
+    // reordered/repeated-token clones get identical signatures
+    // (unit-tested). Scale: narrow explode, then ONE doc_id-keyed
+    // partial-aggregatable shuffle carrying 8 longs per (partition, doc).
+    "llm_minhash_signature" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      val mins = (0 until 8).map(k =>
+        min(expr(s"CAST(conv(substr(md5(concat('$k:', w)), 1, 8), 16, 10) AS BIGINT)"))
+          .as(s"mh$k"))
+      toks.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+    }),
+
     // Perplexity filter — the model-based quality GATE llm_unigram_logprob
     // scores for: held-out docs (doc_id%5=0) scored by the train-slice
     // Laplace unigram LM, normalized to per-token micro-nats with ONE exact
@@ -555,7 +574,22 @@ object LlmPipeline {
     }),
   )
 
+  /** DuckDB twin of Spark's `conv(substr(md5(e),1,8),16,10)`: decode the
+    * first 8 hex nibbles positionally (the simhash-oracle instr trick —
+    * DuckDB has no base-conv function). */
+  private def hex8Sql(e: String): String =
+    (1 to 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}")
+      .mkString("(", " + ", ")")
+
   val oracle: Map[String, String] = Map(
+    "llm_minhash_signature" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                        FROM documents)
+          SELECT doc_id,
+                 ${(0 until 8).map(k =>
+                   s"CAST(min(${hex8Sql(s"'$k:' || w")}) AS BIGINT) AS mh$k").mkString(", ")}
+          FROM toks GROUP BY doc_id ORDER BY doc_id""",
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",

@@ -14,6 +14,29 @@ object Reshape {
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val ops: Map[String, Q] = Map(
+    // Burstiness report per event type — the Fano factor (variance-to-mean
+    // ratio of the daily arrival counts; 1 ⇒ Poisson-like, >1 ⇒ bursty) as
+    // an EXACT integer rational: over per-day counts c with n days, S=Σc,
+    // Q=Σc², Var/Mean = (n·Q − S²)/(n·S). Numerator and denominator are
+    // emitted separately (the ts_autocorr doctrine: the engine never
+    // divides, so no float ever reaches the hash). Two stacked
+    // partial-aggregatable shuffles — (type, day) count then (type)
+    // rollup — the only corpus-sized stage carries one row per (partition,
+    // type, day).
+    "ts_burstiness" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
+          sum(expr("c * c")).as("q"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          (col("n_days") * col("q") - col("total") * col("total")).as("fano_num"),
+          (col("n_days") * col("total")).as("fano_den"))
+        .orderBy("event_type")),
+
     // Wide report: one row per user bucket, one column per event type.
     "reshape_pivot" -> ((s, d) => {
       val base = events(s, d).select(pmod(col("user_id"), lit(5)).as("bucket"), col("event_type"))
@@ -444,6 +467,18 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_burstiness" ->
+      """WITH daily AS (SELECT event_type,
+                               date_diff('day', DATE '2024-01-01',
+                                         CAST(date_trunc('day', ts) AS DATE)) AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                count(*) AS n_days,
+                CAST(sum(c) AS BIGINT) AS total,
+                CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT) AS fano_num,
+                CAST(count(*) * sum(c) AS BIGINT) AS fano_den
+         FROM daily GROUP BY event_type ORDER BY event_type""",
     "reshape_pivot" ->
       s"""SELECT user_id % 5 AS bucket,
           ${eventTypes.map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(", ")}

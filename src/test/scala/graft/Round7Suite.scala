@@ -224,6 +224,62 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"pii counts mismatch: got $got want $want")
   }
 
+  test("ts_burstiness == driver brute force over daily counts") {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val cs = rows.map(_._2)
+      val n = cs.size.toLong; val tot = cs.sum; val q = cs.map(c => c * c).sum
+      (t, n, tot, n * q - tot * tot, n * tot)
+    }.toSet
+    val got = SparkEntry.queries("ts_burstiness")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want, s"burstiness mismatch: got $got want $want")
+  }
+
+  test("llm_rouge_pairs == driver multiset-overlap brute force") {
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getString(1).split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap))
+      .toMap
+    val want = docs.keySet.filter(a => docs.contains(a + 1)).map { a =>
+      val (ca, cb) = (docs(a), docs(a + 1))
+      val ov = ca.keysIterator.map(w => math.min(ca(w), cb.getOrElse(w, 0L))).sum
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      (a, a + 1, ov, na, nb, 10000 * ov / nb, 10000 * ov / na, 20000 * ov / (na + nb))
+    }
+    val got = SparkEntry.queries("llm_rouge_pairs")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == want, s"rouge mismatch: ${got.size} got vs ${want.size} want pairs")
+  }
+
+  test("llm_minhash_signature: md5-exact on the driver, clone-invariant by construction") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mh(k: Int, toks: Set[String]): Long = toks.map { w =>
+      val hex = md.digest(s"$k:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }.min
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1).split(" ").toSet)).toMap
+    val got = SparkEntry.queries("llm_minhash_signature")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, (1 to 8).map(r.getLong).toVector)).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val want = (0 until 8).map(mh(_, toks)).toVector
+      assert(got(id) == want, s"doc $id signature mismatch")
+    }
+    // min-stability: equal distinct-token sets ⇒ equal signatures
+    docs.groupBy(_._2).values.filter(_.size > 1).foreach { clones =>
+      assert(clones.keys.map(got).toSet.size == 1, "clone class signatures diverge")
+    }
+  }
+
   test("llm_perplexity_filter: held-out census matches, drop fraction < 25%") {
     val rows = SparkEntry.queries("llm_perplexity_filter")(s, d).collect()
     val nHeld = rows.map(_.getLong(1)).sum
