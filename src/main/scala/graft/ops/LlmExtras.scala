@@ -684,11 +684,18 @@ object LlmExtras {
     // one partial-aggregatable min — label frames stay |V|-sized, the edge
     // set is blocking-bounded, nothing corpus².
     "graph_cc_fixed" -> ((s, d) => {
+      // Lazy checkpoints: `edges` sits under all 3 unrolled iterations (the
+      // lazy fold would re-derive the lineitem scan + self-join per round —
+      // the graph_pagerank_fixed lineage-truncation rule), and `inc` feeds
+      // both self-join sides plus l0. Both frames are blocking-bounded
+      // (distinct top-tier (part, supplier) pairs), far below corpus size.
       val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+        .localCheckpoint(false)
       val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
         .filter(col("a.v") =!= col("b.v"))
         .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+        .localCheckpoint(false)
       val l0 = inc.select("v").distinct().withColumn("lbl", col("v"))
       val l3 = (1 to 3).foldLeft(l0) { (l, _) =>
         l.join(edges, l("v") === edges("src"))
