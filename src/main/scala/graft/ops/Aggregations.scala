@@ -45,6 +45,34 @@ object Aggregations {
           expr("10000 * sq div (t * t)").as("hhi_bp"))
         .orderBy("seg")),
 
+    // Theil T inequality index per market segment — the mean-log-deviation
+    // member of the inequality trio (agg_gini: rank-based; agg_hhi:
+    // concentration; Theil: decomposable entropy form). T·n = Σ (x/μ)·
+    // ln(x/μ) with x/μ = r·n/S; each term is floored to INTEGER micro-nats
+    // BEFORE the sum (the llm_unigram_logprob rule: shuffle-order-immune,
+    // and both engines floor the ln of the identical IEEE double — the
+    // expression text is character-identical on both sides). Emitted as
+    // (sum, n): the engine never divides. r·n ≤ ~1.5e15 stays inside
+    // double's 2^53 exact-integer range — documented headroom, not luck.
+    // Scale: (seg, custkey) partial agg, |segs|-row stats broadcast back,
+    // one final partial-aggregatable seg rollup.
+    "agg_theil" -> ((s, d) => {
+      val rev = orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("r"))
+      val stats = rev.groupBy("seg")
+        .agg(count(lit(1)).as("n_firms"), sum("r").as("tot"))
+      rev.join(broadcast(stats), Seq("seg"))
+        .withColumn("term", expr(
+          "CAST(floor(1000000 * (((r * n_firms) / (tot + 0.0)) * ln((r * n_firms) / (tot + 0.0)))) AS BIGINT)"))
+        .groupBy("seg")
+        .agg(max("n_firms").as("n_firms"), max("tot").as("total_cents"),
+          sum("term").as("theil_micro_sum"))
+        .orderBy("seg")
+    }),
+
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -612,6 +640,19 @@ object Aggregations {
                     FROM rev GROUP BY seg)
          SELECT seg, n_firms, CAST(10000 * sq // (t * t) AS BIGINT) AS hhi_bp
          FROM a ORDER BY seg""",
+    // Character-identical arithmetic text to the Spark side (same IEEE op
+    // order) so the floored micro-nat terms agree exactly.
+    "agg_theil" ->
+      s"""WITH rev AS (SELECT c_mktsegment AS seg, o_custkey,
+                              ${moneySumSql("o_totalprice")} AS r
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_mktsegment, o_custkey),
+              st AS (SELECT seg, count(*) AS n_firms, CAST(sum(r) AS BIGINT) AS tot
+                     FROM rev GROUP BY seg)
+         SELECT seg, CAST(max(n_firms) AS BIGINT) AS n_firms,
+                CAST(max(tot) AS BIGINT) AS total_cents,
+                CAST(sum(CAST(floor(1000000 * (((r * n_firms) / (tot + 0.0)) * ln((r * n_firms) / (tot + 0.0)))) AS BIGINT)) AS BIGINT) AS theil_micro_sum
+         FROM rev JOIN st USING (seg) GROUP BY seg ORDER BY seg""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${moneySumSql("l_quantity")} AS sum_qty,

@@ -114,6 +114,36 @@ object LlmCuration {
           sum("dr").as("n_digit_runs"))
         .orderBy("source")),
 
+    // Cross-document boilerplate detection at the CHUNK level (header/
+    // footer/template text that exact doc-dedup can't see because the
+    // surrounding document differs): the llm_chunk_overlap chunking
+    // (32-token chunks, 24-token stride) keyed by md5, a chunk class is
+    // boilerplate when it appears in ≥2 DISTINCT docs, and each source
+    // reports its chunk volume, boilerplate occurrences, and touched docs.
+    // Scale: chunking is map-only; the class table comes from one
+    // partial-aggregatable md5 groupBy; the class join keys on the hash —
+    // never doc×doc. The shared-class frame is corpus-scaled, so it joins
+    // shuffled (NOT broadcast — the llm_dedup_exact rule).
+    "llm_boilerplate_chunks" -> ((s, d) => {
+      val chunks = documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), size(col("t")).as("n"), col("t"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(0, n - 1, 24),
+                       st -> concat_ws(' ', slice(t, st + 1, 32)))""")).as("txt"))
+        .select(col("doc_id"), col("source"), md5(col("txt")).as("h"))
+      val shared = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+      chunks.join(shared, Seq("h"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).as("n_bp_occurrences"),
+          countDistinct(when(col("nd").isNotNull, col("doc_id")))
+            .as("n_docs_touched"))
+        .orderBy("source")
+    }),
+
     // ROUGE-1 overlap metric (Lin 2004, public) over the deterministic
     // successor pairing (doc d scored against doc d+1 — the pairing is the
     // fixture stand-in for any candidate↔reference id map an eval pipeline
@@ -830,6 +860,19 @@ object LlmCuration {
   )
 
   val oracle: Map[String, String] = curationOracleExtra ++ Map(
+    "llm_boilerplate_chunks" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+              c AS (SELECT doc_id, source, tk, len(tk) AS n,
+                           unnest(range(0, len(tk), 24)) AS st FROM t),
+              ch AS (SELECT doc_id, source,
+                            md5(array_to_string(tk[st + 1 : least(st + 32, n)], ' ')) AS h
+                     FROM c),
+              sh AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+                     HAVING count(DISTINCT doc_id) >= 2)
+         SELECT source, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp_occurrences,
+                CAST(count(DISTINCT CASE WHEN sh.h IS NOT NULL THEN ch.doc_id END) AS BIGINT) AS n_docs_touched
+         FROM ch LEFT JOIN sh USING (h) GROUP BY source ORDER BY source""",
     "llm_rouge_pairs" ->
       """WITH wc AS (SELECT doc_id, w, count(*) AS c
                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

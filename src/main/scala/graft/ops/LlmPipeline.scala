@@ -466,13 +466,26 @@ object LlmPipeline {
     // reordered/repeated-token clones get identical signatures
     // (unit-tested). Scale: narrow explode, then ONE doc_id-keyed
     // partial-aggregatable shuffle carrying 8 longs per (partition, doc).
-    "llm_minhash_signature" -> ((s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      val mins = (0 until 8).map(k =>
-        min(expr(s"CAST(conv(substr(md5(concat('$k:', w)), 1, 8), 16, 10) AS BIGINT)"))
-          .as(s"mh$k"))
-      toks.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+    "llm_minhash_signature" -> ((s, d) => minhashSig(s, d).orderBy("doc_id")),
+
+    // LSH banding candidate-volume report — the capacity-planning step
+    // before committing to a banding scheme at 100 TB: the 8 portable
+    // minhash values band into 4 bands of 2 rows, and per band the report
+    // gives bucket count, the largest bucket, and Σ C(sz,2) candidate
+    // pairs — exactly the shuffle volume a subsequent bucket-join pays.
+    // All integer; the only corpus-sized stage is the partial-aggregatable
+    // (band, bucket-key) groupBy, the band rollup runs on bucket counts.
+    "llm_lsh_bucket_stats" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val bands = (0 until 4).map(b =>
+        sig.select(lit(b.toLong).as("band"),
+          col(s"mh${2 * b}").as("ra"), col(s"mh${2 * b + 1}").as("rb")))
+        .reduce(_ unionAll _)
+      bands.groupBy("band", "ra", "rb").agg(count(lit(1)).as("sz"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"), max("sz").as("max_bucket"),
+          sum(expr("sz * (sz - 1) div 2")).as("candidate_pairs"))
+        .orderBy("band")
     }),
 
     // Perplexity filter — the model-based quality GATE llm_unigram_logprob
@@ -580,6 +593,20 @@ object LlmPipeline {
     }),
   )
 
+  /** Portable 8-family salted-md5 MinHash signatures (doc_id, mh0..mh7):
+    * one narrow distinct-token explode, then ONE doc_id-keyed
+    * partial-aggregatable shuffle carrying 8 longs per (partition, doc).
+    * Shared by `llm_minhash_signature` (the declared signature table) and
+    * `llm_lsh_bucket_stats` (the banding report over it). */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val mins = (0 until 8).map(k =>
+      min(expr(s"CAST(conv(substr(md5(concat('$k:', w)), 1, 8), 16, 10) AS BIGINT)"))
+        .as(s"mh$k"))
+    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** DuckDB twin of Spark's `conv(substr(md5(e),1,8),16,10)`: decode the
     * first 8 hex nibbles positionally (the simhash-oracle instr trick —
     * DuckDB has no base-conv function). */
@@ -588,14 +615,31 @@ object LlmPipeline {
       s"(instr('0123456789abcdef', substr(md5($e), $i, 1)) - 1) * ${BigInt(16).pow(8 - i)}")
       .mkString("(", " + ", ")")
 
+  /** The minhash-signature CTE body (toks + sig), shared by the two
+    * signature-consuming oracles. */
+  private val sigCte: String =
+    s"""toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                 FROM documents),
+        sig AS (SELECT doc_id,
+                       ${(0 until 8).map(k =>
+                         s"CAST(min(${hex8Sql(s"'$k:' || w")}) AS BIGINT) AS mh$k").mkString(", ")}
+                FROM toks GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "llm_minhash_signature" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-                        FROM documents)
-          SELECT doc_id,
-                 ${(0 until 8).map(k =>
-                   s"CAST(min(${hex8Sql(s"'$k:' || w")}) AS BIGINT) AS mh$k").mkString(", ")}
-          FROM toks GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $sigCte
+          SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+          FROM sig ORDER BY doc_id""",
+    "llm_lsh_bucket_stats" ->
+      s"""WITH $sigCte,
+              bands AS (${(0 until 4).map(b =>
+                s"SELECT $b AS band, mh${2 * b} AS ra, mh${2 * b + 1} AS rb FROM sig")
+                .mkString(" UNION ALL ")}),
+              bk AS (SELECT band, ra, rb, count(*) AS sz FROM bands GROUP BY 1, 2, 3)
+          SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+                 CAST(max(sz) AS BIGINT) AS max_bucket,
+                 CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+          FROM bk GROUP BY band ORDER BY band""",
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",

@@ -280,6 +280,56 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("agg_theil == driver replay with identical IEEE arithmetic") {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+      .agg(graft.Norm.moneySum(col("o_totalprice")).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val want = rev.groupBy(_._1).map { case (seg, rs) =>
+      val n = rs.size.toLong; val tot = rs.map(_._2).sum
+      val terms = rs.map { case (_, r) =>
+        val x = (r * n) / (tot + 0.0)
+        math.floor(1000000 * (x * math.log(x))).toLong
+      }
+      (seg, n, tot, terms.sum)
+    }.toSet
+    val got = SparkEntry.queries("agg_theil")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"theil mismatch: got $got want $want")
+  }
+
+  test("llm_boilerplate_chunks == driver chunk-and-count replay") {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getString(2).split(" ")))
+    val chunks = docs.flatMap { case (id, src, t) =>
+      (0 until t.length by 24).map(st =>
+        (id, src, t.slice(st, math.min(st + 32, t.length)).mkString(" ")))
+    }
+    val nd = chunks.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size).toMap
+    val want = chunks.groupBy(_._2).map { case (src, cs) =>
+      (src, cs.size.toLong,
+        cs.count(c => nd(c._3) >= 2).toLong,
+        cs.filter(c => nd(c._3) >= 2).map(_._1).distinct.size.toLong)
+    }.toSet
+    val got = SparkEntry.queries("llm_boilerplate_chunks")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"boilerplate mismatch: got $got want $want")
+  }
+
+  test("llm_lsh_bucket_stats is consistent with the signature table") {
+    val sigs = SparkEntry.queries("llm_minhash_signature")(s, d).collect()
+      .map(r => (1 to 8).map(r.getLong).toVector)
+    val want = (0 until 4).map { b =>
+      val buckets = sigs.groupBy(v => (v(2 * b), v(2 * b + 1))).values.map(_.size.toLong)
+      (b.toLong, buckets.size.toLong, buckets.max,
+        buckets.map(sz => sz * (sz - 1) / 2).sum)
+    }.toSet
+    val got = SparkEntry.queries("llm_lsh_bucket_stats")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"lsh stats mismatch: got $got want $want")
+  }
+
   test("llm_perplexity_filter: held-out census matches, drop fraction < 25%") {
     val rows = SparkEntry.queries("llm_perplexity_filter")(s, d).collect()
     val nHeld = rows.map(_.getLong(1)).sum
