@@ -37,6 +37,29 @@ object Reshape {
           (col("n_days") * col("total")).as("fano_den"))
         .orderBy("event_type")),
 
+    // Outage/gap report per event type (the data-freshness audit next to
+    // ts_late_arrival_audit's ordering audit): collapse to DISTINCT active
+    // days first — the only corpus-sized stage, partial-aggregatable —
+    // then lag() over the metadata-sized daily frame gives day-gaps;
+    // report gap count ≥2 days, the max gap, and span coverage. The
+    // window partitions by event_type over ≤|types|·|days| rows, never
+    // the event stream.
+    "ts_gap_report" -> ((s, d) => {
+      val byT = Window.partitionBy("event_type").orderBy("day")
+      events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .distinct()
+        .withColumn("gap", col("day") - lag("day", 1).over(byT))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("gap") >= 2, 1L).otherwise(0L)).as("n_gaps_ge2"),
+          coalesce(max("gap"), lit(0L)).as("max_gap"),
+          (max("day") - min("day") + 1).as("span_days"))
+        .orderBy("event_type")
+    }),
+
     // Wide report: one row per user bucket, one column per event type.
     "reshape_pivot" -> ((s, d) => {
       val base = events(s, d).select(pmod(col("user_id"), lit(5)).as("bucket"), col("event_type"))
@@ -467,6 +490,19 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_gap_report" ->
+      """WITH daily AS (SELECT DISTINCT event_type,
+                               date_diff('day', DATE '2024-01-01',
+                                         CAST(date_trunc('day', ts) AS DATE)) AS day
+                        FROM events),
+              g AS (SELECT event_type, day,
+                           day - lag(day) OVER (PARTITION BY event_type ORDER BY day) AS gap
+                    FROM daily)
+         SELECT event_type, count(*) AS n_days,
+                CAST(sum(CASE WHEN gap >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_ge2,
+                CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap,
+                CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days
+         FROM g GROUP BY event_type ORDER BY event_type""",
     "ts_burstiness" ->
       """WITH daily AS (SELECT event_type,
                                date_diff('day', DATE '2024-01-01',

@@ -208,6 +208,25 @@ object Scalars {
           d4(array_max(col("embedding")).cast("double")).as("mx"))
         .orderBy("vec_id").limit(20)),
 
+    // Per-row vector profile over the FULL embeddings table (the
+    // feature-health report an embedding pipeline logs before indexing):
+    // dim, element sum via the left-to-right aggregate() fold (list_sum's
+    // documented twin), extrema, and the L2 norm through the codegen
+    // graft_dot — all micro-unit BIGINT outputs. Entirely per-row
+    // higher-order functions: map-only, zero shuffle before the
+    // presentation sort; at 100 TB the cost is the narrow scan itself.
+    "array_reduce_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(col("vec_id"),
+          expr("size(v)").as("dim"),
+          d6(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x)")).as("sum_micro"),
+          d6(expr("array_min(v)")).as("min_micro"),
+          d6(expr("array_max(v)")).as("max_micro"),
+          d6(expr("sqrt(graft_dot(v, v))")).as("nrm_micro"))
+        .orderBy("vec_id")),
+
     "array_higher_order" -> ((s, d) =>
       embeddings(s, d)
         .select(col("vec_id"),
@@ -288,6 +307,19 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    // list_sum folds left-to-right like Spark's aggregate() (probed — the
+    // array_higher_order pairing); the norm twin mirrors graft_dot's
+    // index-order accumulation.
+    "array_reduce_stats" ->
+      s"""WITH v AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings)
+          SELECT vec_id, CAST(len(v) AS INTEGER) AS dim,
+                 ${d6Sql("list_sum(v)")} AS sum_micro,
+                 ${d6Sql("list_aggregate(v, 'min')")} AS min_micro,
+                 ${d6Sql("list_aggregate(v, 'max')")} AS max_micro,
+                 ${d6Sql("sqrt(list_sum(list_transform(v, x -> x * x)))")} AS nrm_micro
+          FROM v ORDER BY vec_id""",
     "str_basic" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
                 trim(c_name) AS tr, ltrim(c_name) AS ltr,

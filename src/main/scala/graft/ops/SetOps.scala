@@ -29,6 +29,30 @@ object SetOps {
   private val bSql = "SELECT DISTINCT o_custkey AS custkey FROM orders"
 
   val ops: Map[String, Q] = Map(
+    // Z-order layout key (the multi-dimensional clustering a 100 TB table
+    // pins its file layout to, so range predicates on EITHER dimension
+    // prune files): 16+16-bit interleave of (dollar bucket, day index) in
+    // pure integer bit arithmetic — Spark shiftleft/shiftright/& and
+    // DuckDB <</>>/& compute the identical BIGINT. Declared output is the
+    // z-range occupancy report (1024-key z-buckets with count + extrema —
+    // what a layout audit reads to size files); the z-key projection
+    // itself is the reusable sink-sort key. Map-only + one
+    // partial-aggregatable bucket groupBy.
+    "util_zorder_key" -> ((s, d) => {
+      val interleave = (0 until 16).map(i =>
+        s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      events(s, d)
+        .select(graft.Norm.money(col("value")).as("cents"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("y"))
+        .select(expr("cents div 100").as("x"), col("y"))
+        .select(expr(s"CAST($interleave AS BIGINT)").as("z"))
+        .groupBy(expr("z div 1024").as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("z_bucket")
+    }),
+
     "set_union_all" -> ((s, d) => a(s, d).unionAll(b(s, d)).orderBy("custkey")),
     "set_union_distinct" -> ((s, d) => a(s, d).union(b(s, d)).distinct().orderBy("custkey")),
     "set_intersect" -> ((s, d) => a(s, d).intersect(b(s, d)).orderBy("custkey")),
@@ -340,6 +364,19 @@ object SetOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "util_zorder_key" -> {
+      val interleave = (0 until 16).map(i =>
+        s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT ${graft.Norm.moneySql("value")} // 100 AS x,
+                            date_diff('day', DATE '2024-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE)) AS y
+                     FROM events),
+              z AS (SELECT CAST($interleave AS BIGINT) AS z FROM b)
+         SELECT z // 1024 AS z_bucket, count(*) AS n,
+                CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+         FROM z GROUP BY 1 ORDER BY 1"""
+    },
     "set_union_all" -> s"($aSql) UNION ALL ($bSql) ORDER BY custkey",
     "set_union_distinct" -> s"($aSql) UNION ($bSql) ORDER BY custkey",
     "set_intersect" -> s"($aSql) INTERSECT ($bSql) ORDER BY custkey",

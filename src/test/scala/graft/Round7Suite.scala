@@ -330,6 +330,62 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"lsh stats mismatch: got $got want $want")
   }
 
+  test("util_zorder_key: interleave is a bijection (driver replay) and buckets census") {
+    def zOf(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    // bijectivity on the used domain: de-interleave recovers (x, y)
+    for (x <- 0L to 520L by 7; y <- 0L to 400L by 11) {
+      val z = zOf(x, y)
+      val xb = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yb = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert((xb, yb) == (x, y), s"de-interleave broke at ($x, $y)")
+    }
+    val ev = Tables.events(s, d)
+      .select(graft.Norm.money(col("value")).as("cents"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("y"))
+      .collect().map(r => zOf(r.getLong(0) / 100, r.getLong(1)))
+    val want = ev.groupBy(_ / 1024).map { case (b, zs) =>
+      (b, zs.size.toLong, zs.min, zs.max)
+    }.toSet
+    val got = SparkEntry.queries("util_zorder_key")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"zorder mismatch: got $got want $want")
+  }
+
+  test("ts_gap_report == driver replay over distinct active days") {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val days = rows.map(_._2).sorted
+      val gaps = days.zip(days.drop(1)).map { case (a, b) => b - a }
+      (t, days.size.toLong, gaps.count(_ >= 2).toLong,
+        if (gaps.isEmpty) 0L else gaps.max, days.max - days.min + 1)
+    }.toSet
+    val got = SparkEntry.queries("ts_gap_report")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want, s"gap report mismatch: got $got want $want")
+  }
+
+  test("array_reduce_stats: norm agrees with graft_dot, extrema with the raw array") {
+    val got = SparkEntry.queries("array_reduce_stats")(s, d)
+    val vecs = Tables.embeddings(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Float](1).map(_.toDouble).toVector)).toMap
+    got.collect().foreach { r =>
+      val v = vecs(r.getAs[Number](0).longValue)
+      assert(r.getInt(1) == v.size)
+      def micro(x: Double) =
+        (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+      assert(r.getLong(3) == micro(v.min) && r.getLong(4) == micro(v.max))
+      assert(r.getLong(5) == micro(math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))))
+    }
+  }
+
   test("llm_perplexity_filter: held-out census matches, drop fraction < 25%") {
     val rows = SparkEntry.queries("llm_perplexity_filter")(s, d).collect()
     val nHeld = rows.map(_.getLong(1)).sum
