@@ -73,6 +73,73 @@ object Aggregations {
         .orderBy("seg")
     }),
 
+    // Benford first-digit audit over order totals — the fraud/data-quality
+    // screen a finance pipeline runs on every ingested ledger. The digit is
+    // taken from the EXACT integer cents (money() BIGINT → string → first
+    // char), so both engines see the identical character; the observed
+    // share and the Benford expectation log10(1+1/d) are both emitted as
+    // integer basis points (one integral divide; floored double for the
+    // expectation, with character-identical IEEE expression text on both
+    // sides). Scale: one partial-aggregatable 9-group groupBy plus a
+    // broadcast 1-row total — nothing corpus-sized held or sorted.
+    "agg_benford" -> ((s, d) => {
+      val digits = orders(s, d)
+        .select(substring(money(col("o_totalprice")).cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("10000 * n div total").as("share_bp"),
+          expr("CAST(floor(10000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)")
+            .as("benford_bp"))
+        .orderBy("digit")
+    }),
+
+    // Pointwise mutual information between event type and ISO day-of-week —
+    // the dependence screen that tells a pipeline whether a categorical
+    // pair is worth a composite partition key. Cell/marginal counts are
+    // exact partial-aggregatable aggregates; the per-cell
+    // pmi = ln(n_xy·N / (n_x·n_y)) is floored to integer micro-nats with
+    // character-identical IEEE expression text on both engines (the
+    // agg_theil rule). Scale: one corpus-sized (type, dow) groupBy — 35
+    // cells — then metadata-sized re-aggregations and broadcast joins.
+    "agg_mutual_info" -> ((s, d) => {
+      val cells = events(s, d)
+        .select(col("event_type"),
+          expr("CAST((dayofweek(ts) + 5) % 7 + 1 AS BIGINT)").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n_xy"))
+      val nx = cells.groupBy("event_type").agg(sum("n_xy").as("n_x"))
+      val ny = cells.groupBy("dow").agg(sum("n_xy").as("n_y"))
+      val tot = cells.agg(sum("n_xy").as("total"))
+      cells.join(broadcast(nx), Seq("event_type")).join(broadcast(ny), Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("n_xy"),
+          expr("CAST(floor(1000000 * ln((CAST(n_xy AS DOUBLE) * total) / (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT)")
+            .as("pmi_micro"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Exact quartile band report (p25/p50/p75 + IQR) per return flag —
+    // the spread profile an outlier policy is calibrated from. All three
+    // quartiles ride Shared.bucketedPdisc over ONE shared (flag, cents)
+    // histogram (checkpointed once — three consumers), so per-task state is
+    // one $1000-wide bucket of distinct values, never the corpus-growing
+    // value→count map of Spark's exact percentile (the agg_percentile_disc
+    // rework rationale, applied as a first-class multi-quantile op).
+    "agg_iqr" -> ((s, d) => {
+      val hist = lineitem(s, d)
+        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val p25 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 4, "p25")
+      val p50 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "p50")
+      val p75 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 3, 4, "p75")
+      p25.join(p50, "l_returnflag").join(p75, "l_returnflag")
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+          (col("p75") - col("p25")).as("iqr"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -653,6 +720,32 @@ object Aggregations {
                 CAST(max(tot) AS BIGINT) AS total_cents,
                 CAST(sum(CAST(floor(1000000 * (((r * n_firms) / (tot + 0.0)) * ln((r * n_firms) / (tot + 0.0)))) AS BIGINT)) AS BIGINT) AS theil_micro_sum
          FROM rev JOIN st USING (seg) GROUP BY seg ORDER BY seg""",
+    "agg_benford" ->
+      s"""WITH dg AS (SELECT substr(CAST(${moneySql("o_totalprice")} AS VARCHAR), 1, 1) AS digit,
+                             count(*) AS n
+                      FROM orders GROUP BY 1)
+         SELECT digit, n,
+                10000 * n // CAST((SELECT sum(n) FROM dg) AS BIGINT) AS share_bp,
+                CAST(floor(10000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT) AS benford_bp
+         FROM dg ORDER BY digit""",
+    "agg_mutual_info" ->
+      """WITH c AS (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n_xy
+                    FROM events GROUP BY 1, 2),
+              nx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+              ny AS (SELECT dow, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+              tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS total FROM c)
+         SELECT event_type, dow, n_xy,
+                CAST(floor(1000000 * ln((CAST(n_xy AS DOUBLE) * total) / (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT) AS pmi_micro
+         FROM c JOIN nx USING (event_type) JOIN ny USING (dow) CROSS JOIN tt
+         ORDER BY event_type, dow""",
+    "agg_iqr" ->
+      s"""SELECT l_returnflag,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.25) AS p25,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.5) AS p50,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.75) AS p75,
+                 quantile_disc(${moneySql("l_extendedprice")}, 0.75)
+                   - quantile_disc(${moneySql("l_extendedprice")}, 0.25) AS iqr
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${moneySumSql("l_quantity")} AS sum_qty,

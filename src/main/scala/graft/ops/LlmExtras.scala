@@ -683,6 +683,39 @@ object LlmExtras {
     // (used by llm_dedup_clusters). Scale: each round is one keyed join +
     // one partial-aggregatable min — label frames stay |V|-sized, the edge
     // set is blocking-bounded, nothing corpus².
+    // Neighbor-set Jaccard for adjacent supplier pairs in the co-supply
+    // graph — the link-prediction / community-strength feature a graph
+    // pipeline materializes per edge. common = wedge count through a shared
+    // neighbor (each edge's fan-out is blocking-bounded by top-tier
+    // parts-per-supplier, the graph_cc_fixed argument), deg from one
+    // partial-aggregatable groupBy; jaccard_bp in pure integer arithmetic
+    // (|N(a)∪N(b)| = deg_a + deg_b − common). The deg frame is |V|-sized
+    // (supplier dim) so both marginal joins broadcast; the wedge join keys
+    // on the shared neighbor — never node×node.
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+        .localCheckpoint(false)
+      val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+        .localCheckpoint(false)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val wedge = edges.select(col("src").as("a"), col("dst").as("c"))
+        .join(edges.select(col("src").as("b"), col("dst").as("c")), "c")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      edges.filter(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b"))
+        .join(wedge, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("common"))
+        .join(broadcast(deg.withColumnRenamed("src", "a").withColumnRenamed("deg", "deg_a")), "a")
+        .join(broadcast(deg.withColumnRenamed("src", "b").withColumnRenamed("deg", "deg_b")), "b")
+        .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+          expr("10000 * common div (deg_a + deg_b - common)").as("jaccard_bp"))
+        .orderBy("a", "b")
+    }),
+
     "graph_cc_fixed" -> ((s, d) => {
       // Lazy checkpoints: `edges` sits under all 3 unrolled iterations (the
       // lazy fold would re-derive the lineitem scan + self-join per round —
@@ -1055,6 +1088,24 @@ object LlmExtras {
   val oracle: Map[String, String] = Map(
     // 3 propagation rounds unrolled as CTEs (the graph_pagerank_fixed
     // pattern): l_{k+1}(v) = min over {v} ∪ in-neighbors of l_k.
+    "graph_jaccard_neighbors" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+                      FROM lineitem WHERE l_quantity >= 50),
+              e AS (SELECT DISTINCT a.v AS src, b.v AS dst
+                    FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+              w AS (SELECT e1.src AS a, e2.src AS b, count(*) AS common
+                    FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+                    GROUP BY 1, 2)
+         SELECT a, b, COALESCE(common, 0) AS common,
+                da.deg AS deg_a, db.deg AS deg_b,
+                10000 * COALESCE(common, 0)
+                  // (da.deg + db.deg - COALESCE(common, 0)) AS jaccard_bp
+         FROM (SELECT src AS a, dst AS b FROM e WHERE src < dst) ed
+         LEFT JOIN w USING (a, b)
+         JOIN deg da ON da.src = a
+         JOIN deg db ON db.src = b
+         ORDER BY a, b""",
     "graph_cc_fixed" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

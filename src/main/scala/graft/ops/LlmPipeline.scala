@@ -406,6 +406,37 @@ object LlmPipeline {
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)),
 
+    // Collocation mining: PMI of adjacent token pairs with support ≥10 —
+    // the phrase-detection pass a tokenizer-training pipeline runs before
+    // merging multi-word units. pmi = ln(n_xy·N / (n_x·n_y)) with one
+    // shared normalizer N (total token count), floored to integer
+    // micro-nats with character-identical IEEE expression text on both
+    // engines (the agg_theil rule). Scale: bigram and unigram counts are
+    // partial-aggregatable shuffles; the unigram table is VOCAB-bounded so
+    // both marginal joins broadcast, and the support filter keeps the
+    // output collocation-sized. Nothing corpus² anywhere.
+    "llm_bigram_pmi" -> ((s, d) => {
+      val toks = documents(s, d).select(split(col("text"), " ").as("t"))
+      val big = toks.select(explode(expr(
+          """transform(slice(t, 1, size(t) - 1),
+                       (x, i) -> concat(x, ' ', t[i + 1]))""")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 10)
+      val uni = toks.select(explode(col("t")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val tot = uni.agg(sum("n_tok").as("total"))
+      big
+        .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+        .join(broadcast(uni.select(col("tok").as("w1"), col("n_tok").as("n_x"))), Seq("w1"))
+        .join(broadcast(uni.select(col("tok").as("w2"), col("n_tok").as("n_y"))), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("n_xy"),
+          expr("CAST(floor(1000000 * ln((CAST(n_xy AS DOUBLE) * total) / (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT)")
+            .as("pmi_micro"))
+        .orderBy("bigram")
+    }),
+
     "llm_lang_profile" -> ((s, d) => {
       val perDoc = documents(s, d).groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), d4(avg("n_chars")).as("avg_chars"))
@@ -740,6 +771,22 @@ object LlmPipeline {
              SELECT unnest(toks[1:len(toks) - 1]) AS w1, unnest(toks[2:len(toks)]) AS w2
              FROM (SELECT string_split(text, ' ') AS toks FROM documents)))
          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""",
+    "llm_bigram_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+              big AS (SELECT concat(w1, ' ', w2) AS bigram, count(*) AS n_xy FROM (
+                        SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+                        FROM toks)
+                      GROUP BY 1 HAVING count(*) >= 10),
+              uni AS (SELECT tok, count(*) AS n_tok
+                      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+              tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM uni)
+         SELECT bigram, n_xy,
+                CAST(floor(1000000 * ln((CAST(n_xy AS DOUBLE) * total) / (CAST(n_x AS DOUBLE) * n_y))) AS BIGINT) AS pmi_micro
+         FROM big
+         JOIN (SELECT tok AS w1x, n_tok AS n_x FROM uni) ON split_part(bigram, ' ', 1) = w1x
+         JOIN (SELECT tok AS w2x, n_tok AS n_y FROM uni) ON split_part(bigram, ' ', 2) = w2x
+         CROSS JOIN tt
+         ORDER BY bigram""",
     "llm_lang_profile" ->
       s"""WITH per_doc AS (SELECT lang, source, count(*) AS n_docs,
                                   ${d4Sql("avg(n_chars)")} AS avg_chars

@@ -60,6 +60,26 @@ object Reshape {
         .orderBy("event_type")
     }),
 
+    // Peak-concurrency sweep per (event type, day): each event opens a
+    // 30-minute session, and the declared result is the per-day maximum of
+    // concurrently-open sessions plus the count of active minutes. The
+    // classic formulation (sort +1/−1 deltas, running sum) is inherently
+    // sequential per key — a corpus-sized window. This one decomposes:
+    // explode each event into its 30 covered minute indices (a NARROW ×30
+    // map, no shuffle), partial-aggregatable count per (type, minute) —
+    // concurrency at minute granularity is exactly "intervals covering the
+    // minute" — then a metadata-sized (≤ types·1440·days rows) rollup to
+    // per-day peaks. No window, no corpus sort, two stacked partial aggs.
+    "ts_peak_concurrency" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("unix_timestamp(date_trunc('second', ts)) div 60").as("m0"))
+        .select(col("event_type"), explode(expr("sequence(m0, m0 + 29)")).as("minute"))
+        .groupBy("event_type", "minute").agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"), expr("minute div 1440").as("day_idx"))
+        .agg(max("n").as("peak"), count(lit(1)).as("active_minutes"))
+        .orderBy("event_type", "day_idx")),
+
     // Wide report: one row per user bucket, one column per event type.
     "reshape_pivot" -> ((s, d) => {
       val base = events(s, d).select(pmod(col("user_id"), lit(5)).as("bucket"), col("event_type"))
@@ -490,6 +510,17 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_peak_concurrency" ->
+      """WITH occ AS (SELECT event_type,
+                             CAST(unnest(generate_series(m0, m0 + 29)) AS BIGINT) AS minute
+                      FROM (SELECT event_type,
+                                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 60 AS m0
+                            FROM events)),
+              c AS (SELECT event_type, minute, count(*) AS n
+                    FROM occ GROUP BY 1, 2)
+         SELECT event_type, minute // 1440 AS day_idx, max(n) AS peak,
+                count(*) AS active_minutes
+         FROM c GROUP BY 1, 2 ORDER BY event_type, day_idx""",
     "ts_gap_report" ->
       """WITH daily AS (SELECT DISTINCT event_type,
                                date_diff('day', DATE '2024-01-01',

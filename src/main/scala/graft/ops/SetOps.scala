@@ -146,6 +146,21 @@ object SetOps {
     // through mod 2^61−1: a BIGINT sum of 2^48-sized hashes overflows
     // ANSI-fatally past ~2^15 rows — sf0.1's 150k rows already tripped it.
     // The Mersenne-prime mod keeps the checksum BIGINT at ANY row count.
+    // Power-of-two magnitude histogram of order totals — the size-class
+    // census a storage planner runs before choosing bucket/file-size
+    // boundaries. The log2 bucket is PURE INTEGER on both engines:
+    // length(bin(cents)) − 1 = floor(log2(cents)) via the binary-string
+    // length, so no libm call can disagree at a power-of-two boundary.
+    // One partial-aggregatable ~20-group groupBy; nothing corpus-sized.
+    "util_log2_histogram" -> ((s, d) =>
+      orders(s, d)
+        .select(money(col("o_totalprice")).as("cents"))
+        .select(col("cents"), (length(expr("bin(cents)")) - 1).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("min_cents"),
+          max("cents").as("max_cents"))
+        .orderBy("bucket")),
+
     "util_checksum" -> ((s, d) =>
       orders(s, d)
         .select(expr(
@@ -377,6 +392,11 @@ object SetOps {
                 CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
          FROM z GROUP BY 1 ORDER BY 1"""
     },
+    "util_log2_histogram" ->
+      s"""WITH c AS (SELECT ${graft.Norm.moneySql("o_totalprice")} AS cents FROM orders)
+         SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket, count(*) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM c GROUP BY 1 ORDER BY bucket""",
     "set_union_all" -> s"($aSql) UNION ALL ($bSql) ORDER BY custkey",
     "set_union_distinct" -> s"($aSql) UNION ($bSql) ORDER BY custkey",
     "set_intersect" -> s"($aSql) INTERSECT ($bSql) ORDER BY custkey",

@@ -399,4 +399,118 @@ class Round7Suite extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: kept > held")
     }
   }
+
+  test("agg_benford == driver replay over exact cents digits") {
+    val cents = Tables.orders(s, d)
+      .select(graft.Norm.money(col("o_totalprice")).as("c"))
+      .collect().map(_.getLong(0))
+    val byDigit = cents.groupBy(c => c.toString.take(1)).map { case (dg, v) =>
+      (dg, v.length.toLong)
+    }
+    val total = cents.length.toLong
+    val want = byDigit.map { case (dg, n) =>
+      (dg, n, 10000 * n / total,
+        math.floor(10000 * math.log10(1.0 + 1.0 / dg.toDouble)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("agg_benford")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"benford mismatch: got $got want $want")
+  }
+
+  test("agg_mutual_info == driver replay, and cells census the event stream") {
+    val rows = SparkEntry.queries("agg_mutual_info")(s, d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == Tables.events(s, d).count(), "cell census != |events|")
+    val nx = rows.groupBy(_._1._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val ny = rows.groupBy(_._1._2).map { case (k, v) => (k, v.map(_._2).sum) }
+    val total = rows.map(_._2).sum
+    rows.foreach { case ((t, dw), nxy, pmi) =>
+      val want = math.floor(1000000 *
+        math.log((nxy.toDouble * total) / (nx(t).toDouble * ny(dw)))).toLong
+      assert(pmi == want, s"($t,$dw): pmi $pmi != replay $want")
+    }
+  }
+
+  test("ts_peak_concurrency == driver minute-occupancy replay") {
+    val m0s = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_timestamp(date_trunc('second', ts)) div 60").as("m0"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val occ = m0s.flatMap { case (t, m0) => (m0 to m0 + 29).map(m => (t, m)) }
+      .groupBy(identity).map { case ((t, m), v) => (t, m, v.length.toLong) }
+    val want = occ.groupBy { case (t, m, _) => (t, m / 1440) }.map { case ((t, dy), v) =>
+      (t, dy, v.map(_._3).max, v.size.toLong)
+    }.toSet
+    val got = SparkEntry.queries("ts_peak_concurrency")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"peak-concurrency mismatch (${got.size} vs ${want.size} rows)")
+  }
+
+  test("llm_bigram_pmi == driver replay from raw token streams") {
+    val toks = Tables.documents(s, d).select(col("text"))
+      .collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, v) => (w, v.size.toLong) }
+    val total = toks.map(_.size.toLong).sum
+    val big = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+      .filter(_._2 >= 10)
+    val want = big.map { case ((w1, w2), nxy) =>
+      (s"$w1 $w2", nxy, math.floor(1000000 *
+        math.log((nxy.toDouble * total) / (uni(w1).toDouble * uni(w2)))).toLong)
+    }.toSet
+    val got = SparkEntry.queries("llm_bigram_pmi")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"bigram-pmi mismatch: +${(got -- want).take(3)} -${(want -- got).take(3)}")
+  }
+
+  test("graph_jaccard_neighbors == driver graph replay") {
+    val inc = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = inc.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    byPart.foreach { vs =>
+      for (a <- vs; b <- vs if a != b) nbrs(a) = nbrs(a) + b
+    }
+    val want = nbrs.toSeq.flatMap { case (a, na) =>
+      na.filter(_ > a).map { b =>
+        val common = (na & nbrs(b)).size.toLong
+        val (da, db) = (na.size.toLong, nbrs(b).size.toLong)
+        (a, b, common, da, db, 10000 * common / (da + db - common))
+      }
+    }.toSet
+    val got = SparkEntry.queries("graph_jaccard_neighbors")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"neighbor-jaccard mismatch (${got.size} vs ${want.size} edges)")
+  }
+
+  test("agg_iqr == builtin percentile_disc quartiles, monotone bands") {
+    val naive = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("c"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p25"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p50"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+    val got = SparkEntry.queries("agg_iqr")(s, d)
+    assertSameFrame(got, naive.select("l_returnflag", "p25", "p50", "p75", "iqr"),
+      "agg_iqr vs builtin percentile_disc")
+    got.collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+        s"${r.getString(0)}: quartiles not monotone")
+    }
+  }
+
+  test("util_log2_histogram: buckets bound their extrema, census is total") {
+    val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert((1L << b) <= mn && mn <= mx && mx < (1L << (b + 1)),
+        s"bucket $b: [$mn, $mx] outside [2^$b, 2^${b + 1})")
+    }
+  }
 }
