@@ -683,6 +683,23 @@ object LlmExtras {
     // (used by llm_dedup_clusters). Scale: each round is one keyed join +
     // one partial-aggregatable min — label frames stay |V|-sized, the edge
     // set is blocking-bounded, nothing corpus².
+    // Normalization-key dedup census — the casefold/punctuation-collapse
+    // pass that catches "same text, different formatting" duplicates exact
+    // byte-dedup misses (the text sibling of llm_url_canonical). The key is
+    // md5 of lower → strip non-alphanumerics → collapse runs → trim; md5 is
+    // bit-identical across engines so the key layer is portable. Per-source
+    // census only (n_docs, distinct keys, dup share in integer bp) — one
+    // map + one partial-aggregatable groupBy with countDistinct; nothing
+    // corpus² and no text ever shuffled (only 32-char keys).
+    "llm_dedup_casefold" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"),
+          md5(expr("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))")).as("k"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_keys"))
+        .withColumn("dup_bp", expr("10000 * (n_docs - n_keys) div n_docs"))
+        .orderBy("source")),
+
     // Neighbor-set Jaccard for adjacent supplier pairs in the co-supply
     // graph — the link-prediction / community-strength feature a graph
     // pipeline materializes per edge. common = wedge count through a shared
@@ -1088,6 +1105,13 @@ object LlmExtras {
   val oracle: Map[String, String] = Map(
     // 3 propagation rounds unrolled as CTEs (the graph_pagerank_fixed
     // pattern): l_{k+1}(v) = min over {v} ∪ in-neighbors of l_k.
+    "llm_dedup_casefold" ->
+      """WITH k AS (SELECT source,
+                           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+                    FROM documents)
+         SELECT source, count(*) AS n_docs, count(DISTINCT k) AS n_keys,
+                10000 * (count(*) - count(DISTINCT k)) // count(*) AS dup_bp
+         FROM k GROUP BY source ORDER BY source""",
     "graph_jaccard_neighbors" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

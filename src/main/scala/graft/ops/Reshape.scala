@@ -80,6 +80,87 @@ object Reshape {
         .agg(max("n").as("peak"), count(lit(1)).as("active_minutes"))
         .orderBy("event_type", "day_idx")),
 
+    // RFM (recency / frequency / monetary) customer quintile scores — the
+    // segmentation a marketing pipeline materializes per customer. Each
+    // metric's four quintile cutpoints ride Shared.bucketedPdisc over a
+    // value-collapsed histogram (per-task state = one bucket of distinct
+    // values, never a corpus-growing percentile map), then broadcast as a
+    // 1-row frame; scores are pure integer comparisons
+    // 1 + Σ(v > q_k) — no float anywhere. Recency is scored mechanically
+    // on days-since-last-order (high score = stale). Scale: one
+    // partial-aggregatable custkey groupBy, three dim-sized histograms,
+    // and a broadcast cutpoint row onto the customer-grain frame.
+    "ts_rfm_scores" -> ((s, d) => {
+      val cust = orders(s, d)
+        .select(col("o_custkey"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("day"),
+          money(col("o_totalprice")).as("cents"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("last_day"), count(lit(1)).as("freq"), sum("cents").as("mon"))
+        .localCheckpoint(false)
+      val refDay = cust.agg(max("last_day").as("ref_day"))
+      val base = cust.crossJoin(broadcast(refDay))
+        .select(col("o_custkey"), (col("ref_day") - col("last_day")).as("rec"),
+          col("freq"), col("mon"))
+        .localCheckpoint(false)
+      // each cutpoint is a COLLAPSED 1-row frame; combining them via
+      // join on the constant "g" key would constant-fold into a textual
+      // CartesianProduct, so chain broadcast crossJoins instead (the
+      // 1-row-stat-frame pattern the plan audit recognizes)
+      def cuts(metric: String): Seq[org.apache.spark.sql.DataFrame] = {
+        val hist = base.select(lit(1L).as("g"), col(metric).as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("w"))
+        (1 to 4).map(k =>
+          Shared.bucketedPdisc(hist, "g", "v", "w", k, 5, s"${metric}_q$k").drop("g"))
+      }
+      val cp = (cuts("rec") ++ cuts("freq") ++ cuts("mon"))
+        .reduce((a, b) => a.crossJoin(broadcast(b)))
+      base.crossJoin(broadcast(cp))
+        .select(col("o_custkey"), col("rec"), col("freq"), col("mon"),
+          expr("1 + CAST(rec > rec_q1 AS BIGINT) + CAST(rec > rec_q2 AS BIGINT)" +
+            " + CAST(rec > rec_q3 AS BIGINT) + CAST(rec > rec_q4 AS BIGINT)").as("r_score"),
+          expr("1 + CAST(freq > freq_q1 AS BIGINT) + CAST(freq > freq_q2 AS BIGINT)" +
+            " + CAST(freq > freq_q3 AS BIGINT) + CAST(freq > freq_q4 AS BIGINT)").as("f_score"),
+          expr("1 + CAST(mon > mon_q1 AS BIGINT) + CAST(mon > mon_q2 AS BIGINT)" +
+            " + CAST(mon > mon_q3 AS BIGINT) + CAST(mon > mon_q4 AS BIGINT)").as("m_score"))
+        .withColumn("rfm", expr("r_score * 100 + f_score * 10 + m_score"))
+        .orderBy("o_custkey")
+    }),
+
+    // Day-of-week seasonality strength per event type: the ANOVA-style
+    // variance decomposition SSB/SST over daily counts, where
+    // SSB = Σ_k S_k²/n_k − S²/n (between-dow) and SST = Q − S²/n. Every
+    // division is floored to integer micro-units BEFORE any cross-group
+    // sum (per-term floors are shuffle-order-immune — the agg_theil rule,
+    // with explicit CAST AS DOUBLE), and the engine never divides SSB by
+    // SST — both are emitted. Scale: one corpus-sized (type, day)
+    // partial agg, then metadata-sized dow/total rollups.
+    "ts_seasonality_strength" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val tot = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("s_tot"),
+          sum(expr("c * c")).as("q_tot"))
+      val dw = daily.groupBy(col("event_type"), expr("day % 7").as("dow"))
+        .agg(count(lit(1)).as("n_k"), sum("c").as("s_k"))
+        .withColumn("term",
+          expr("CAST(floor(1000000 * (CAST(s_k AS DOUBLE) * s_k / n_k)) AS BIGINT)"))
+        .groupBy("event_type").agg(sum("term").as("ssb_terms_micro"))
+      tot.join(dw, Seq("event_type"))
+        .select(col("event_type"), col("n_days"),
+          (col("ssb_terms_micro") -
+            expr("CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT)"))
+            .as("ssb_micro"),
+          (expr("1000000 * q_tot") -
+            expr("CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT)"))
+            .as("sst_micro"))
+        .orderBy("event_type")
+    }),
+
     // Wide report: one row per user bucket, one column per event type.
     "reshape_pivot" -> ((s, d) => {
       val base = events(s, d).select(pmod(col("user_id"), lit(5)).as("bucket"), col("event_type"))
@@ -510,6 +591,55 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_rfm_scores" -> {
+      val monSql = s"CAST(sum(${graft.Norm.moneySql("o_totalprice")}) AS BIGINT)"
+      s"""WITH cust AS (SELECT o_custkey,
+                               max(date_diff('day', DATE '1995-01-01',
+                                             CAST(o_orderdate AS DATE))) AS last_day,
+                               count(*) AS freq, $monSql AS mon
+                        FROM orders GROUP BY 1),
+              base AS (SELECT o_custkey,
+                              CAST((SELECT max(last_day) FROM cust) - last_day AS BIGINT) AS rec,
+                              freq, mon FROM cust),
+              cp AS (SELECT quantile_disc(rec, 0.2) AS rec_q1, quantile_disc(rec, 0.4) AS rec_q2,
+                            quantile_disc(rec, 0.6) AS rec_q3, quantile_disc(rec, 0.8) AS rec_q4,
+                            quantile_disc(freq, 0.2) AS freq_q1, quantile_disc(freq, 0.4) AS freq_q2,
+                            quantile_disc(freq, 0.6) AS freq_q3, quantile_disc(freq, 0.8) AS freq_q4,
+                            quantile_disc(mon, 0.2) AS mon_q1, quantile_disc(mon, 0.4) AS mon_q2,
+                            quantile_disc(mon, 0.6) AS mon_q3, quantile_disc(mon, 0.8) AS mon_q4
+                     FROM base),
+              sc AS (SELECT o_custkey, rec, freq, mon,
+                            1 + CAST(rec > rec_q1 AS BIGINT) + CAST(rec > rec_q2 AS BIGINT)
+                              + CAST(rec > rec_q3 AS BIGINT) + CAST(rec > rec_q4 AS BIGINT) AS r_score,
+                            1 + CAST(freq > freq_q1 AS BIGINT) + CAST(freq > freq_q2 AS BIGINT)
+                              + CAST(freq > freq_q3 AS BIGINT) + CAST(freq > freq_q4 AS BIGINT) AS f_score,
+                            1 + CAST(mon > mon_q1 AS BIGINT) + CAST(mon > mon_q2 AS BIGINT)
+                              + CAST(mon > mon_q3 AS BIGINT) + CAST(mon > mon_q4 AS BIGINT) AS m_score
+                     FROM base CROSS JOIN cp)
+         SELECT o_custkey, rec, CAST(freq AS BIGINT) AS freq, mon,
+                r_score, f_score, m_score,
+                r_score * 100 + f_score * 10 + m_score AS rfm
+         FROM sc ORDER BY o_custkey"""
+    },
+    "ts_seasonality_strength" ->
+      """WITH daily AS (SELECT event_type,
+                               date_diff('day', DATE '2024-01-01',
+                                         CAST(date_trunc('day', ts) AS DATE)) AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+              tot AS (SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS s_tot,
+                             CAST(sum(c * c) AS BIGINT) AS q_tot
+                      FROM daily GROUP BY 1),
+              dw AS (SELECT event_type,
+                            CAST(sum(CAST(floor(1000000 * (CAST(s_k AS DOUBLE) * s_k / n_k)) AS BIGINT)) AS BIGINT) AS ssb_terms_micro
+                     FROM (SELECT event_type, day % 7 AS dow, count(*) AS n_k,
+                                  CAST(sum(c) AS BIGINT) AS s_k
+                           FROM daily GROUP BY 1, 2)
+                     GROUP BY 1)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                ssb_terms_micro - CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT) AS ssb_micro,
+                1000000 * q_tot - CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT) AS sst_micro
+         FROM tot JOIN dw USING (event_type) ORDER BY event_type""",
     "ts_peak_concurrency" ->
       """WITH occ AS (SELECT event_type,
                              CAST(unnest(generate_series(m0, m0 + 29)) AS BIGINT) AS minute

@@ -504,6 +504,74 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("ts_rfm_scores == driver quintile replay") {
+    val base = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("day"),
+        graft.Norm.money(col("o_totalprice")).as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("day").as("ld"), count(lit(1)).as("f"), sum("cents").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = base.map(_._2).max
+    val rows = base.map { case (k, ld, f, m) => (k, ref - ld, f, m) }
+    def cut(vs: Seq[Long], num: Int): Long = {
+      val sorted = vs.sorted; val n = sorted.size.toLong
+      sorted(((n * num + 4) / 5 - 1).toInt) // min v with cum*5 >= tot*num
+    }
+    def score(v: Long, qs: Seq[Long]): Long = 1 + qs.count(v > _)
+    val (rq, fq, mq) = (
+      (1 to 4).map(cut(rows.map(_._2).toSeq, _)),
+      (1 to 4).map(cut(rows.map(_._3).toSeq, _)),
+      (1 to 4).map(cut(rows.map(_._4).toSeq, _)))
+    val want = rows.map { case (k, r, f, m) =>
+      val (rs, fs, ms) = (score(r, rq), score(f, fq), score(m, mq))
+      (k, r, f, m, rs, fs, ms, rs * 100 + fs * 10 + ms)
+    }.toSet
+    val got = SparkEntry.queries("ts_rfm_scores")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == want, s"rfm mismatch: +${(got -- want).take(3)} -${(want -- got).take(3)}")
+  }
+
+  test("ts_seasonality_strength == driver replay, SSB within [0, SST]") {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.size.toLong; val stot = rows.map(_._3).sum
+      val q = rows.map(r => r._3 * r._3).sum
+      val ssbTerms = rows.groupBy(_._2 % 7).map { case (_, g) =>
+        val sk = g.map(_._3).sum; val nk = g.size.toLong
+        math.floor(1000000 * (sk.toDouble * sk / nk)).toLong
+      }.sum
+      val grand = math.floor(1000000 * (stot.toDouble * stot / n)).toLong
+      (t, n, ssbTerms - grand, 1000000 * q - grand)
+    }.toSet
+    val got = SparkEntry.queries("ts_seasonality_strength")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"seasonality mismatch: got $got want $want")
+    got.foreach { case (t, _, ssb, sst) =>
+      assert(ssb >= -7000000 && ssb <= sst, // per-term floors can push SSB a hair under 0
+        s"$t: SSB $ssb outside [~0, SST=$sst]")
+    }
+  }
+
+  test("llm_dedup_casefold == driver normalization replay") {
+    val docs = Tables.documents(s, d).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (src, v) =>
+      val keys = v.map(_._2.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+      val (nd, nk) = (v.size.toLong, keys.distinct.size.toLong)
+      (src, nd, nk, 10000 * (nd - nk) / nd)
+    }.toSet
+    val got = SparkEntry.queries("llm_dedup_casefold")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"casefold mismatch: got $got want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
