@@ -140,6 +140,30 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // Exact trimmed mean per return flag: drop values outside [p10, p90]
+    // (inclusive) and report the surviving census + integer-cent mean.
+    // Cutpoints ride the same bucketedPdisc shape as agg_iqr (no
+    // corpus-growing percentile state), broadcast back as per-group bounds;
+    // the trim itself is one conditional partial-aggregatable re-pass.
+    // The robust-location stat an outlier policy reports next to
+    // filter_outlier_mad's flag column.
+    "agg_trimmed_mean" -> ((s, d) => {
+      val vals = lineitem(s, d)
+        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+        .localCheckpoint(false)
+      val hist = vals.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val lo = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 10, "p10")
+      val hi = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
+      vals.join(broadcast(lo.join(hi, "l_returnflag")), "l_returnflag")
+        .filter(col("cents") >= col("p10") && col("cents") <= col("p90"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"), sum("cents").as("sum_kept"),
+          max("p10").as("p10"), max("p90").as("p90"))
+        .withColumn("trimmed_mean_c", expr("sum_kept div n_kept"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
       lineitem(s, d)
@@ -746,6 +770,20 @@ object Aggregations {
                  quantile_disc(${moneySql("l_extendedprice")}, 0.75)
                    - quantile_disc(${moneySql("l_extendedprice")}, 0.25) AS iqr
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_trimmed_mean" ->
+      s"""WITH v AS (SELECT l_returnflag, ${moneySql("l_extendedprice")} AS cents
+                     FROM lineitem),
+              cp AS (SELECT l_returnflag,
+                            quantile_disc(cents, 0.1) AS p10,
+                            quantile_disc(cents, 0.9) AS p90
+                     FROM v GROUP BY 1)
+         SELECT l_returnflag, count(*) AS n_kept,
+                CAST(sum(cents) AS BIGINT) AS sum_kept,
+                max(p10) AS p10, max(p90) AS p90,
+                CAST(sum(cents) AS BIGINT) // count(*) AS trimmed_mean_c
+         FROM v JOIN cp USING (l_returnflag)
+         WHERE cents >= p10 AND cents <= p90
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${moneySumSql("l_quantity")} AS sum_qty,

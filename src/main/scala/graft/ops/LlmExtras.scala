@@ -733,6 +733,36 @@ object LlmExtras {
         .orderBy("a", "b")
     }),
 
+    // Fixed-iteration k-core peeling (k=2, EXACTLY 3 rounds) over the
+    // co-supply graph — the degeneracy pruning a graph pipeline runs before
+    // expensive per-node work. Each round = one partial-aggregatable degree
+    // count + two keyed semi-joins restricting edges to surviving nodes;
+    // 3 unrolled rounds are the declared result (deterministic regardless
+    // of convergence — the graph_cc_fixed doctrine). Edges checkpointed per
+    // round: each round's frame feeds both the degree count and the next
+    // restriction, and the lazy fold would otherwise re-derive every prior
+    // round per consumer. All frames blocking-bounded, never corpus-sized.
+    "graph_kcore_fixed" -> ((s, d) => {
+      val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+        .localCheckpoint(false)
+      val e0 = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+        .localCheckpoint(false)
+      val e3 = (1 to 3).foldLeft(e0) { (e, _) =>
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select("src")
+        e.join(keep, "src")
+          .join(keep.withColumnRenamed("src", "dst"), "dst")
+          .select("src", "dst")
+          .localCheckpoint(false)
+      }
+      e3.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("s_suppkey"), col("deg"))
+        .orderBy("s_suppkey")
+    }),
+
     "graph_cc_fixed" -> ((s, d) => {
       // Lazy checkpoints: `edges` sits under all 3 unrolled iterations (the
       // lazy fold would re-derive the lineitem scan + self-join per round —
@@ -1130,6 +1160,25 @@ object LlmExtras {
          JOIN deg da ON da.src = a
          JOIN deg db ON db.src = b
          ORDER BY a, b""",
+    "graph_kcore_fixed" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+                      FROM lineitem WHERE l_quantity >= 50),
+              e0 AS (SELECT DISTINCT a.v AS src, b.v AS dst
+                     FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+              k1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY 1)
+                     WHERE deg >= 2),
+              e1 AS (SELECT e0.src, e0.dst FROM e0
+                     JOIN k1 a ON e0.src = a.src JOIN k1 b ON e0.dst = b.src),
+              k2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1 GROUP BY 1)
+                     WHERE deg >= 2),
+              e2 AS (SELECT e1.src, e1.dst FROM e1
+                     JOIN k2 a ON e1.src = a.src JOIN k2 b ON e1.dst = b.src),
+              k3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2 GROUP BY 1)
+                     WHERE deg >= 2),
+              e3 AS (SELECT e2.src, e2.dst FROM e2
+                     JOIN k3 a ON e2.src = a.src JOIN k3 b ON e2.dst = b.src)
+         SELECT src AS s_suppkey, count(*) AS deg
+         FROM e3 GROUP BY 1 ORDER BY s_suppkey""",
     "graph_cc_fixed" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

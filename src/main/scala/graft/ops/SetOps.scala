@@ -146,6 +146,22 @@ object SetOps {
     // through mod 2^61−1: a BIGINT sum of 2^48-sized hashes overflows
     // ANSI-fatally past ~2^15 rows — sf0.1's 150k rows already tripped it.
     // The Mersenne-prime mod keeps the checksum BIGINT at ANY row count.
+    // File-layout plan per source — the sizing pass a 100 TB writer runs
+    // before choosing file counts: docs, total payload chars, extrema, and
+    // the file count at a 1 MiB-of-chars target via pure integer ceiling
+    // division. One partial-aggregatable groupBy over (source); the
+    // declared result is the plan a compaction job would execute
+    // (sink_compacted is the executed sibling).
+    "util_file_plan" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("nc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("total_chars"),
+          min("nc").as("min_chars"), max("nc").as("max_chars"))
+        .withColumn("files_1mib", expr("(total_chars + 1048575) div 1048576"))
+        .withColumn("avg_chars", expr("total_chars div n_docs"))
+        .orderBy("source")),
+
     // Power-of-two magnitude histogram of order totals — the size-class
     // census a storage planner runs before choosing bucket/file-size
     // boundaries. The log2 bucket is PURE INTEGER on both engines:
@@ -392,6 +408,14 @@ object SetOps {
                 CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
          FROM z GROUP BY 1 ORDER BY 1"""
     },
+    "util_file_plan" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars,
+                (CAST(sum(n_chars) AS BIGINT) + 1048575) // 1048576 AS files_1mib,
+                CAST(sum(n_chars) AS BIGINT) // count(*) AS avg_chars
+         FROM documents GROUP BY source ORDER BY source""",
     "util_log2_histogram" ->
       s"""WITH c AS (SELECT ${graft.Norm.moneySql("o_totalprice")} AS cents FROM orders)
          SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket, count(*) AS n,

@@ -572,6 +572,56 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"casefold mismatch: got $got want $want")
   }
 
+  test("graph_kcore_fixed == driver 3-round peel replay") {
+    val inc = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = inc.groupBy(_._1).values.flatMap { g =>
+      val vs = g.map(_._2).toSet
+      for (a <- vs; b <- vs if a != b) yield (a, b)
+    }.toSet
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (v, es) => (v, es.size) }
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val want = edges.groupBy(_._1).map { case (v, es) => (v, es.size.toLong) }.toSet
+    val got = SparkEntry.queries("graph_kcore_fixed")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"kcore mismatch (${got.size} vs ${want.size} nodes)")
+  }
+
+  test("agg_trimmed_mean == driver replay, bounded by full range") {
+    val vals = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = vals.groupBy(_._1).map { case (f, v) =>
+      val sorted = v.map(_._2).sorted; val n = sorted.size.toLong
+      def q(num: Int, den: Int) = sorted(((n * num + den - 1) / den - 1).toInt)
+      val (p10, p90) = (q(1, 10), q(9, 10))
+      val kept = sorted.filter(x => x >= p10 && x <= p90)
+      (f, kept.size.toLong, kept.sum, p10, p90, kept.sum / kept.size)
+    }.toSet
+    val got = SparkEntry.queries("agg_trimmed_mean")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"trimmed-mean mismatch: got $got want $want")
+  }
+
+  test("util_file_plan == driver census replay") {
+    val docs = Tables.documents(s, d).select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val want = docs.groupBy(_._1).map { case (src, v) =>
+      val tot = v.map(_._2).sum
+      (src, v.size.toLong, tot, v.map(_._2).min, v.map(_._2).max,
+        (tot + 1048575) / 1048576, tot / v.size)
+    }.toSet
+    val got = SparkEntry.queries("util_file_plan")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want, s"file-plan mismatch: got $got want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
