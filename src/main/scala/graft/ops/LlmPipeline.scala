@@ -598,6 +598,43 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // Stupid-backoff bigram scoring (Brants et al. 2007) of held-out docs:
+    // seen bigram → ln(cb/cp); unseen → fixed 0.4 penalty times the
+    // Laplace unigram — the backoff LM an n-gram quality filter actually
+    // ships (llm_bigram_logprob is the no-backoff sibling). Every per-token
+    // score is floored to integer micro-nats BEFORE the doc sum
+    // (shuffle-order-immune), with character-identical IEEE expression text
+    // on both engines. Scale: all LM tables are vocab-bounded broadcasts;
+    // the held-out stream is one narrow pass + one doc groupBy.
+    "llm_backoff_logprob" -> ((s, d) => {
+      val bigrams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(t, 1, greatest(size(t) - 1, 0)),
+                       (x, i) -> struct(x AS prev, t[i + 1] AS w))""")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+      val train = bigrams.filter(col("doc_id") % 5 =!= 0)
+      val cb = train.groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+      val cp = train.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val cu = train.groupBy("w").agg(count(lit(1)).as("cu"))
+      val tot = train.agg(count(lit(1)).as("nt"), countDistinct("w").as("vv"))
+      bigrams.filter(col("doc_id") % 5 === 0)
+        .join(broadcast(cb), Seq("prev", "w"), "left")
+        .join(broadcast(cp), Seq("prev"), "left")
+        .join(broadcast(cu), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", expr(
+          """CASE WHEN cb IS NOT NULL
+                  THEN CAST(floor(1000000 * ln(CAST(cb AS DOUBLE) / cp)) AS BIGINT)
+                  ELSE CAST(floor(1000000 * ln(0.4 * ((coalesce(cu, 0) + 1.0) / (nt + vv)))) AS BIGINT)
+             END"""))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum("lp").as("logprob_micro"))
+        .orderBy("doc_id")
+    }),
+
     "llm_bigram_logprob" -> ((s, d) => {
       val bigrams = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -843,6 +880,26 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_backoff_logprob" ->
+      """WITH bg AS (SELECT doc_id,
+                            unnest(string_split(text, ' ')[1:-2]) AS prev,
+                            unnest(string_split(text, ' ')[2:]) AS w
+                     FROM documents),
+              cb AS (SELECT prev, w, count(*) AS cb FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+              cp AS (SELECT prev, count(*) AS cp FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1),
+              cu AS (SELECT w, count(*) AS cu FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1),
+              tt AS (SELECT count(*) AS nt, count(DISTINCT w) AS vv
+                     FROM bg WHERE doc_id % 5 <> 0)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+                CAST(sum(CASE WHEN cb.cb IS NOT NULL
+                              THEN CAST(floor(1000000 * ln(CAST(cb.cb AS DOUBLE) / cp.cp)) AS BIGINT)
+                              ELSE CAST(floor(1000000 * ln(0.4 * ((coalesce(cu.cu, 0) + 1.0) / (nt + vv)))) AS BIGINT)
+                         END) AS BIGINT) AS logprob_micro
+         FROM bg LEFT JOIN cb USING (prev, w) LEFT JOIN cp USING (prev)
+                 LEFT JOIN cu USING (w) CROSS JOIN tt
+         WHERE doc_id % 5 = 0
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_bigram_logprob" ->
       """WITH bg AS (SELECT doc_id,
                             unnest(string_split(text, ' ')[1:-2]) AS prev,

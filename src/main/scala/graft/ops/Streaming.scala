@@ -73,6 +73,24 @@ object Streaming {
         .orderBy("user_id", "event_type")
     }),
 
+    // Stream-static enrichment — the most common production streaming
+    // shape: a watermarked event stream joined to a BROADCAST static
+    // dimension (no state for the static side; Spark re-plans the dim per
+    // microbatch), then a tumbling daily rollup per enriched attribute.
+    // The batch form here uses the identical join + window expressions a
+    // readStream pipeline runs; the MemoryStream twin in StreamingSuite
+    // proves batch/stream equality on the same operator chain.
+    "stream_static_enrich" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), tsec(col("ts")).as("ts_s"), col("value"))
+        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts_s"), "1 day").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("c_mktsegment"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "c_mktsegment")),
+
     "stream_tumbling" -> ((s, d) =>
       events(s, d)
         .select(tsec(col("ts")).as("ts_s"), col("event_type"), col("value"))
@@ -272,6 +290,12 @@ object Streaming {
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+    "stream_static_enrich" ->
+      s"""SELECT time_bucket(INTERVAL '1 day', ts_s) AS window_start,
+                 c_mktsegment, count(*) AS n, ${moneySumSql("value")} AS sum_value
+          FROM (SELECT user_id, $tsS AS ts_s, value FROM events) e
+          JOIN customer ON user_id = c_custkey
+          GROUP BY 1, 2 ORDER BY window_start, c_mktsegment""",
     "stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
                  time_bucket(INTERVAL '1 hour', ts_s) + INTERVAL '1 hour' AS window_end,

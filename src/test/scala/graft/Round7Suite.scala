@@ -622,6 +622,33 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"file-plan mismatch: got $got want $want")
   }
 
+  test("llm_backoff_logprob == driver replay of the stupid-backoff score") {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1).split(" ", -1).toSeq))
+    val bigrams = docs.flatMap { case (id, t) => t.zip(t.drop(1)).map(p => (id, p._1, p._2)) }
+    val train = bigrams.filter(_._1 % 5 != 0)
+    val cb = train.groupBy(b => (b._2, b._3)).map { case (k, v) => (k, v.size.toLong) }
+    val cp = train.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val cu = train.groupBy(_._3).map { case (k, v) => (k, v.size.toLong) }
+    val nt = train.size.toLong
+    val vv = train.map(_._3).distinct.size.toLong
+    val want = bigrams.filter(_._1 % 5 == 0).groupBy(_._1).map { case (id, bs) =>
+      val lps = bs.map { case (_, p, w) =>
+        cb.get((p, w)) match {
+          case Some(c) => math.floor(1000000 * math.log(c.toDouble / cp(p))).toLong
+          case None =>
+            val laplace = (BigDecimal(cu.getOrElse(w, 0L)) + BigDecimal("1.0")) / (nt + vv)
+            math.floor(1000000 * math.log(0.4 * laplace.toDouble)).toLong
+        }
+      }
+      (id, bs.size.toLong, bs.count(b => !cb.contains((b._2, b._3))).toLong, lps.sum)
+    }.toSet
+    val got = SparkEntry.queries("llm_backoff_logprob")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"backoff mismatch: +${(got -- want).take(3)} -${(want -- got).take(3)}")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")

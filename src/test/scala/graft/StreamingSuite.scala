@@ -41,6 +41,30 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrich twin: broadcast dim join in a stream == batch join") {
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("k", "seg")
+    val data = Seq(
+      (ts("10:05"), 1L, 10.0), (ts("10:15"), 2L, 20.0),
+      (ts("11:05"), 1L, 30.0), (ts("11:10"), 9L, 40.0)) // 9 has no dim row
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .join(broadcast(dim), col("uid") === col("k"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("seg"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("w.start"), col("seg"), col("n"), col("sv"))
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    mem.addData(data: _*)
+    val q = enrich(mem.toDF().toDF("ts", "uid", "value"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = sp.table("enrich_out").collect().map(_.toString).sorted.toSeq
+    val batch = enrich(data.toDF("ts", "uid", "value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("watermark drops a row later than watermark - but keeps on-time rows") {
     val sp = s; import sp.implicits._
     implicit val ctx = sp.sqlContext
