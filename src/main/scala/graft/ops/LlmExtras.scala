@@ -683,6 +683,37 @@ object LlmExtras {
     // (used by llm_dedup_clusters). Scale: each round is one keyed join +
     // one partial-aggregatable min — label frames stay |V|-sized, the edge
     // set is blocking-bounded, nothing corpus².
+    // Embedding-norm outlier audit — the vector-health gate before an
+    // index build: L2 norms in exact d6 micro-units (codegen graft_dot),
+    // global median and MAD both via the bucketed exact-percentile shape
+    // (never a corpus-growing percentile map), outlier = dev > 3·1.4826·MAD
+    // tested by pure integer cross-multiply (dev·10000 > mad·44478 — no
+    // float boundary can disagree). Per-label census output; the norm
+    // frame is checkpointed once and both percentile passes and the final
+    // census consume it.
+    "llm_embed_outliers" -> ((s, d) => {
+      val norms = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(col("vec_id"), col("label"), d6(expr("sqrt(graft_dot(v, v))")).as("nmic"))
+        .localCheckpoint(false)
+      val h1 = norms.select(lit(1L).as("g"), col("nmic"))
+        .groupBy("g", "nmic").agg(count(lit(1)).as("w"))
+      val med = Shared.bucketedPdisc(h1, "g", "nmic", "w", 1, 2, "med").drop("g")
+      val devs = norms.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("nmic") - col("med")))
+        .localCheckpoint(false)
+      val h2 = devs.select(lit(1L).as("g"), col("dev"))
+        .groupBy("g", "dev").agg(count(lit(1)).as("w"))
+      val mad = Shared.bucketedPdisc(h2, "g", "dev", "w", 1, 2, "mad").drop("g")
+      devs.crossJoin(broadcast(mad))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(expr("CAST(dev * 10000 > mad * 44478 AS BIGINT)")).as("n_outliers"),
+          max("med").as("med_micro"), max("mad").as("mad_micro"))
+        .orderBy("label")
+    }),
+
     // Normalization-key dedup census — the casefold/punctuation-collapse
     // pass that catches "same text, different formatting" duplicates exact
     // byte-dedup misses (the text sibling of llm_url_canonical). The key is
@@ -1135,6 +1166,23 @@ object LlmExtras {
   val oracle: Map[String, String] = Map(
     // 3 propagation rounds unrolled as CTEs (the graph_pagerank_fixed
     // pattern): l_{k+1}(v) = min over {v} ∪ in-neighbors of l_k.
+    "llm_embed_outliers" -> {
+      val nmicSql = graft.Norm.d6Sql(
+        "sqrt(list_sum(list_transform(v, x -> x * x)))")
+      s"""WITH nv AS (SELECT vec_id, label,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+              n AS (SELECT vec_id, label, $nmicSql AS nmic FROM nv),
+              med AS (SELECT quantile_disc(nmic, 0.5) AS med FROM n),
+              dv AS (SELECT label, nmic, abs(nmic - med) AS dev FROM n CROSS JOIN med),
+              mad AS (SELECT quantile_disc(dev, 0.5) AS mad FROM dv)
+         SELECT label, count(*) AS n_vecs,
+                CAST(sum(CAST(dev * 10000 > mad * 44478 AS BIGINT)) AS BIGINT) AS n_outliers,
+                CAST(max(med) AS BIGINT) AS med_micro,
+                CAST(max(mad) AS BIGINT) AS mad_micro
+         FROM dv CROSS JOIN mad CROSS JOIN med
+         GROUP BY label ORDER BY label"""
+    },
     "llm_dedup_casefold" ->
       """WITH k AS (SELECT source,
                            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k

@@ -99,6 +99,35 @@ object Scans {
     // then compacted to 4 with a single repartition, and the compacted copy
     // is aggregated. The file-count collapse is asserted in ScaleSuite; the
     // oracle proves the data survived both rewrites byte-for-byte.
+    // Parquet bloom-filter sink: write orders with a column-level bloom
+    // filter on o_custkey (parquet.bloom.filter.enabled#col — the writer
+    // option a 100 TB point-lookup table ships with so equality probes can
+    // skip row groups by bloom test alone, beyond min/max pruning), then
+    // probe two keys back. The declared result is the probe aggregate; the
+    // oracle reads the ORIGINAL parquet, so a hash match proves the
+    // bloom-written file is lossless and the probe path returns exactly
+    // the base-table rows.
+    "sink_parquet_bloom" -> ((s, d) => {
+      val path = tmpDir(d, "bloomsink")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("cents"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        // at fixture scale the key column would dictionary-encode fully and
+        // parquet then OMITS the bloom filter (the dictionary is already an
+        // exact membership test); disable dictionary for the key column so
+        // the written file carries the bloom filter a 100 TB key column
+        // (dictionary-infeasible) would carry — asserted in Round7Suite
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_custkey").isin(42, 77))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("o_custkey")
+    }),
+
     "sink_compacted" -> ((s, d) => {
       val small = tmpDir(d, "smallfiles")
       val packed = tmpDir(d, "compacted")
@@ -427,6 +456,11 @@ object Scans {
     "sink_compacted" ->
       s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_parquet_bloom" ->
+      s"""SELECT o_custkey, count(*) AS n,
+                 CAST(sum(${graft.Norm.moneySql("o_totalprice")}) AS BIGINT) AS total_cents
+          FROM orders WHERE o_custkey IN (42, 77)
+          GROUP BY o_custkey ORDER BY o_custkey""",
     // Untouched partitions keep original cents; the overwritten one doubles.
     "sink_dynamic_overwrite" ->
       s"""SELECT event_type, count(*) AS n,

@@ -24,6 +24,33 @@ class PipelineSuite extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("lang"))
   }
 
+  test("runtime bloom filter injects might_contain on a selective shuffle join") {
+    val sp = s
+    val prevBroadcast = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(sp, d).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(sp, d)
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(1500)}")
+      // the filter is a pruning overlay only — results are unchanged
+      val n = joined.count()
+      sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == li.join(sel, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      sp.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      sp.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      sp.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     val sp = s; import sp.implicits._
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")

@@ -649,6 +649,49 @@ class Round7Suite extends AnyFunSuite {
       s"backoff mismatch: +${(got -- want).take(3)} -${(want -- got).take(3)}")
   }
 
+  test("sink_parquet_bloom: footer carries a bloom filter for o_custkey") {
+    SparkEntry.queries("sink_parquet_bloom")(s, d).collect() // materialize the sink
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bloomsink${Math.abs(d.hashCode)}")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val conf = s.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getRowGroups.get(0)
+      val custCol = block.getColumns.asScala.find(_.getPath.toDotString == "o_custkey").get
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(custCol)
+      assert(bloom != null, "no bloom filter written for o_custkey")
+      assert(bloom.findHash(bloom.hash(42L)) || bloom.findHash(bloom.hash(42: Int)),
+        "bloom misses a key that exists")
+    } finally reader.close()
+  }
+
+  test("llm_embed_outliers == driver replay of the median/MAD gate") {
+    def micro(x: Double): Long =
+      (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    val rows = Tables.embeddings(s, d).select("label", "embedding")
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        (r.getAs[Number](0).longValue, micro(math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))))
+      }
+    def medOf(vs: Seq[Long]): Long = {
+      val sorted = vs.sorted; sorted(((sorted.size + 1) / 2) - 1)
+    }
+    val med = medOf(rows.map(_._2).toSeq)
+    val devs = rows.map { case (l, n) => (l, math.abs(n - med)) }
+    val mad = medOf(devs.map(_._2).toSeq)
+    val want = devs.groupBy(_._1).map { case (l, v) =>
+      (l, v.size.toLong, v.count(_._2 * 10000 > mad * 44478).toLong, med, mad)
+    }.toSet
+    val got = SparkEntry.queries("llm_embed_outliers")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"embed-outliers mismatch: got $got want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
