@@ -131,10 +131,8 @@ object Aggregations {
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
-      val p25 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 4, "p25")
-      val p50 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "p50")
-      val p75 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 3, 4, "p75")
-      p25.join(p50, "l_returnflag").join(p75, "l_returnflag")
+      Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
+          Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")))
         .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
           (col("p75") - col("p25")).as("iqr"))
         .orderBy("l_returnflag")
@@ -153,15 +151,57 @@ object Aggregations {
         .localCheckpoint(false)
       val hist = vals.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
-      val lo = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 10, "p10")
-      val hi = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
-      vals.join(broadcast(lo.join(hi, "l_returnflag")), "l_returnflag")
+      val cp = Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
+        Seq((1, 10, "p10"), (9, 10, "p90")))
+      vals.join(broadcast(cp), "l_returnflag")
         .filter(col("cents") >= col("p10") && col("cents") <= col("p90"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_kept"), sum("cents").as("sum_kept"),
           max("p10").as("p10"), max("p90").as("p90"))
         .withColumn("trimmed_mean_c", expr("sum_kept div n_kept"))
         .orderBy("l_returnflag")
+    }),
+
+    // Revenue concentration in the top-10 customers — the "whale share"
+    // stat next to agg_gini/agg_hhi. The top-10 rides a TakeOrdered global
+    // top-k over the customer-collapsed frame (never a full sort; ties
+    // broken by custkey so the limit boundary is engine-stable), totals
+    // ride a 1-row broadcast; share is one integral divide.
+    "agg_topn_share" -> ((s, d) => {
+      val rev = orders(s, d).groupBy("o_custkey")
+        .agg(moneySum(col("o_totalprice")).as("r"))
+        .localCheckpoint(false)
+      val top = rev.orderBy(col("r").desc, col("o_custkey")).limit(10)
+      val tot = rev.agg(sum("r").as("total"), count(lit(1)).as("n_cust"))
+      top.agg(sum("r").as("top10_cents"), min("r").as("cutoff_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_cust"), col("total").as("total_cents"), col("top10_cents"),
+          col("cutoff_cents"), expr("10000 * top10_cents div total").as("top10_share_bp"))
+    }),
+
+    // 2D Pareto frontier (skyline) of customers over (order count, revenue):
+    // the non-dominated set — no other customer has strictly more orders AND
+    // at least as much revenue. The naive skyline is a corpus-sized
+    // single-partition window sort; this decomposes: per-freq max revenue
+    // (freq domain is bounded — tens of distinct order counts), then the
+    // running max over freq DESC runs on that METADATA-sized frame only.
+    // A frontier point is a per-freq maximum that beats every higher-freq
+    // maximum. Ties on revenue keep the smallest custkey (engine-stable).
+    "agg_pareto_frontier" -> ((s, d) => {
+      val rev = orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("freq"), moneySum(col("o_totalprice")).as("mon"))
+      val perF = rev.groupBy("freq")
+        .agg(max("mon").as("max_mon"))
+      val wDesc = Window.orderBy(col("freq").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontierF = perF
+        .withColumn("best_higher", max("max_mon").over(wDesc))
+        .filter(col("best_higher").isNull || col("max_mon") > col("best_higher"))
+        .select(col("freq"), col("max_mon").as("mon"))
+      rev.join(broadcast(frontierF), Seq("freq", "mon"))
+        .groupBy("freq", "mon").agg(min("o_custkey").as("o_custkey"))
+        .select("o_custkey", "freq", "mon")
+        .orderBy(col("freq").desc)
     }),
 
     // TPC-H Q1 pricing summary — the flagship.
@@ -484,10 +524,10 @@ object Aggregations {
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
-      val p50 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "p50_cents")
-      val p90 = Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90_cents")
+      val ps = Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
+        Seq((1, 2, "p50_cents"), (9, 10, "p90_cents")))
       val n = hist.groupBy("l_returnflag").agg(sum("w").as("n"))
-      p50.join(broadcast(p90), "l_returnflag").join(broadcast(n), "l_returnflag")
+      ps.join(broadcast(n), "l_returnflag")
         .select("l_returnflag", "p50_cents", "p90_cents", "n")
         .orderBy("l_returnflag")
     }),
@@ -784,6 +824,30 @@ object Aggregations {
          FROM v JOIN cp USING (l_returnflag)
          WHERE cents >= p10 AND cents <= p90
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_topn_share" ->
+      s"""WITH rev AS (SELECT o_custkey, ${moneySumSql("o_totalprice")} AS r
+                       FROM orders GROUP BY 1),
+              top AS (SELECT r FROM rev ORDER BY r DESC, o_custkey LIMIT 10),
+              tt AS (SELECT CAST(sum(r) AS BIGINT) AS total, count(*) AS n_cust FROM rev)
+         SELECT n_cust, total AS total_cents,
+                CAST(sum(top.r) AS BIGINT) AS top10_cents,
+                CAST(min(top.r) AS BIGINT) AS cutoff_cents,
+                10000 * CAST(sum(top.r) AS BIGINT) // total AS top10_share_bp
+         FROM top CROSS JOIN tt GROUP BY n_cust, total""",
+    "agg_pareto_frontier" ->
+      s"""WITH rev AS (SELECT o_custkey, count(*) AS freq,
+                              ${moneySumSql("o_totalprice")} AS mon
+                       FROM orders GROUP BY 1),
+              pf AS (SELECT freq, max(mon) AS mon FROM rev GROUP BY 1),
+              fr AS (SELECT freq, mon,
+                            max(mon) OVER (ORDER BY freq DESC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              AS best_higher
+                     FROM pf)
+         SELECT min(o_custkey) AS o_custkey, CAST(freq AS BIGINT) AS freq, mon
+         FROM rev JOIN (SELECT freq, mon FROM fr
+                        WHERE best_higher IS NULL OR mon > best_higher) USING (freq, mon)
+         GROUP BY freq, mon ORDER BY freq DESC""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
           ${moneySumSql("l_quantity")} AS sum_qty,

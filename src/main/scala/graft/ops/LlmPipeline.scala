@@ -598,6 +598,32 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // Conditional bigram entropy rate per language — the predictability
+    // statistic that separates natural prose from template/boilerplate
+    // corpora (low H(W|prev) = repetitive). Each (prev, w) contributes
+    // cb·ln(cb/cp), floored to integer micro-nats BEFORE the language sum
+    // (order-immune, CAST-AS-DOUBLE rule); emitted as (Σcb, Σterms) — the
+    // engine never divides, −Σterms/N is the reader's entropy rate.
+    // Scale: two partial-aggregatable groupBys over bigram-type-bounded
+    // frames, then a keyed (lang, prev) shuffle join — never broadcast
+    // (bigram vocab grows with corpus), never corpus².
+    "llm_ngram_entropy_rate" -> ((s, d) => {
+      val bg = documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("t"))
+        .select(col("lang"), explode(expr(
+          """transform(slice(t, 1, greatest(size(t) - 1, 0)),
+                       (x, i) -> struct(x AS prev, t[i + 1] AS w))""")).as("b"))
+        .select(col("lang"), col("b.prev").as("prev"), col("b.w").as("w"))
+      val cb = bg.groupBy("lang", "prev", "w").agg(count(lit(1)).as("cb"))
+      val cp = bg.groupBy("lang", "prev").agg(count(lit(1)).as("cp"))
+      cb.join(cp, Seq("lang", "prev"))
+        .withColumn("term", expr(
+          "CAST(floor(1000000 * (CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE) / cp))) AS BIGINT)"))
+        .groupBy("lang")
+        .agg(sum("cb").as("n_bigrams"), sum("term").as("neg_ent_micro_sum"))
+        .orderBy("lang")
+    }),
+
     // Stupid-backoff bigram scoring (Brants et al. 2007) of held-out docs:
     // seen bigram → ln(cb/cp); unseen → fixed 0.4 penalty times the
     // Laplace unigram — the backoff LM an n-gram quality filter actually
@@ -880,6 +906,17 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_ngram_entropy_rate" ->
+      """WITH bg AS (SELECT lang,
+                            unnest(string_split(text, ' ')[1:-2]) AS prev,
+                            unnest(string_split(text, ' ')[2:]) AS w
+                     FROM documents),
+              cb AS (SELECT lang, prev, w, count(*) AS cb FROM bg GROUP BY 1, 2, 3),
+              cp AS (SELECT lang, prev, count(*) AS cp FROM bg GROUP BY 1, 2)
+         SELECT lang, CAST(sum(cb) AS BIGINT) AS n_bigrams,
+                CAST(sum(CAST(floor(1000000 * (CAST(cb AS DOUBLE) * ln(CAST(cb AS DOUBLE) / cp))) AS BIGINT)) AS BIGINT) AS neg_ent_micro_sum
+         FROM cb JOIN cp USING (lang, prev)
+         GROUP BY lang ORDER BY lang""",
     "llm_backoff_logprob" ->
       """WITH bg AS (SELECT doc_id,
                             unnest(string_split(text, ' ')[1:-2]) AS prev,

@@ -103,17 +103,17 @@ object Reshape {
         .select(col("o_custkey"), (col("ref_day") - col("last_day")).as("rec"),
           col("freq"), col("mon"))
         .localCheckpoint(false)
-      // each cutpoint is a COLLAPSED 1-row frame; combining them via
-      // join on the constant "g" key would constant-fold into a textual
-      // CartesianProduct, so chain broadcast crossJoins instead (the
-      // 1-row-stat-frame pattern the plan audit recognizes)
-      def cuts(metric: String): Seq[org.apache.spark.sql.DataFrame] = {
+      // each metric's 4 quintile cutpoints resolve in ONE multi-cut pass;
+      // the three 1-row results combine via broadcast crossJoins (a join
+      // on the constant "g" key would constant-fold into a textual
+      // CartesianProduct, which the plan sweep rejects)
+      def cuts(metric: String): org.apache.spark.sql.DataFrame = {
         val hist = base.select(lit(1L).as("g"), col(metric).as("v"))
           .groupBy("g", "v").agg(count(lit(1)).as("w"))
-        (1 to 4).map(k =>
-          Shared.bucketedPdisc(hist, "g", "v", "w", k, 5, s"${metric}_q$k").drop("g"))
+        Shared.bucketedPdiscMulti(hist, "g", "v", "w",
+          (1 to 4).map(k => (k, 5, s"${metric}_q$k"))).drop("g")
       }
-      val cp = (cuts("rec") ++ cuts("freq") ++ cuts("mon"))
+      val cp = Seq(cuts("rec"), cuts("freq"), cuts("mon"))
         .reduce((a, b) => a.crossJoin(broadcast(b)))
       base.crossJoin(broadcast(cp))
         .select(col("o_custkey"), col("rec"), col("freq"), col("mon"),
@@ -160,6 +160,62 @@ object Reshape {
             .as("sst_micro"))
         .orderBy("event_type")
     }),
+
+    // Fulfillment lag per order priority: days from order date to the
+    // LAST ship date of the order's line items, profiled per priority.
+    // The per-order lag collapses in a partial-aggregatable (orderkey) max
+    // before any percentile; the lag domain is bounded (0..~122 days), so
+    // the exact percentile state is bounded regardless of corpus size —
+    // the documented safe case for builtin percentile_disc (agg_percentile
+    // rule), unlike cents-grain inputs. Dim side broadcast onto lineitem.
+    "ts_fulfillment_lag" -> ((s, d) => {
+      val lag = lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("sd"))
+        .groupBy("l_orderkey").agg(max("sd").as("last_ship"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), (col("last_ship") - col("od")).as("lag_days"))
+      lag.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_days) AS BIGINT)").as("p50_days"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_days) AS BIGINT)").as("p90_days"),
+          max("lag_days").as("max_days"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // 2D equi-width histogram over (order month, $500 price bucket) — the
+    // occupancy grid the util_zorder_key layout decision reads (how many
+    // rows would each z-range file hold). Pure integer bucketing, one
+    // partial-aggregatable 2-key groupBy; at 100 TB this is the cheapest
+    // possible full-table profile (map + metadata-sized shuffle).
+    "reshape_histogram2d" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
+            .as("month_idx"),
+          money(col("o_totalprice")).as("cents"))
+        .select(col("month_idx"), expr("cents div 50000").as("price_bucket"))
+        .groupBy("month_idx", "price_bucket").agg(count(lit(1)).as("n"))
+        .orderBy("month_idx", "price_bucket")),
+
+    // Per-user lifetime profile: first/last active day, distinct active
+    // days, event count, span, and activity density in integer bp — the
+    // engagement table a retention model trains on. One partial-
+    // aggregatable user groupBy (countDistinct day rides Spark's two-phase
+    // Expand); all arithmetic integer.
+    "ts_active_lifetime" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .groupBy("user_id")
+        .agg(min("day").as("first_day"), max("day").as("last_day"),
+          countDistinct("day").as("active_days"), count(lit(1)).as("n_events"))
+        .withColumn("span_days", col("last_day") - col("first_day") + 1)
+        .withColumn("density_bp", expr("10000 * active_days div span_days"))
+        .orderBy("user_id")),
 
     // Wide report: one row per user bucket, one column per event type.
     "reshape_pivot" -> ((s, d) => {
@@ -591,6 +647,33 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_active_lifetime" ->
+      """WITH e AS (SELECT user_id,
+                           date_diff('day', DATE '2024-01-01',
+                                     CAST(date_trunc('day', ts) AS DATE)) AS day
+                    FROM events)
+         SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+                CAST(max(day) AS BIGINT) AS last_day,
+                count(DISTINCT day) AS active_days, count(*) AS n_events,
+                CAST(max(day) - min(day) + 1 AS BIGINT) AS span_days,
+                10000 * count(DISTINCT day) // CAST(max(day) - min(day) + 1 AS BIGINT) AS density_bp
+         FROM e GROUP BY user_id ORDER BY user_id""",
+    "ts_fulfillment_lag" ->
+      """WITH lag AS (SELECT o_orderpriority,
+                             max(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)))
+                               - max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS lag_days
+                      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      GROUP BY o_orderpriority, l_orderkey)
+         SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(quantile_disc(lag_days, 0.5) AS BIGINT) AS p50_days,
+                CAST(quantile_disc(lag_days, 0.9) AS BIGINT) AS p90_days,
+                CAST(max(lag_days) AS BIGINT) AS max_days
+         FROM lag GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "reshape_histogram2d" ->
+      s"""SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 30 AS month_idx,
+                 ${graft.Norm.moneySql("o_totalprice")} // 50000 AS price_bucket,
+                 count(*) AS n
+          FROM orders GROUP BY 1, 2 ORDER BY month_idx, price_bucket""",
     "ts_rfm_scores" -> {
       val monSql = s"CAST(sum(${graft.Norm.moneySql("o_totalprice")}) AS BIGINT)"
       s"""WITH cust AS (SELECT o_custkey,

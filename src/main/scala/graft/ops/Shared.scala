@@ -95,6 +95,47 @@ private[graft] object Shared {
       .agg(min(v).as(out))
   }
 
+  /** Multi-cut [[bucketedPdisc]]: resolves SEVERAL percentiles of the same
+    * (grp, v, w) histogram in ONE two-phase pass instead of one chain per
+    * cut (agg_iqr went 3 chains → 1, ts_rfm_scores 12 → 3 — the bench
+    * motivation). Same algorithm; the cut list is exploded as a literal
+    * array so phase 1's bucket frame carries |cuts|× rows (still
+    * metadata-sized) and phase 2's in-bucket cumsum partitions by
+    * (grp, cut, bucket) — per-task state unchanged. Returns one row per
+    * group with one column per cut name. */
+  def bucketedPdiscMulti(hist: DataFrame, grp: String, v: String, w: String,
+                         cuts: Seq[(Int, Int, String)]): DataFrame = {
+    val byBucket = hist.select(col(grp), col(v), col(w))
+      .withColumn("__bkt", expr(s"$v div 100000"))
+    val totals = byBucket.groupBy(grp, "__bkt").agg(sum(w).as("__bw"))
+      .withColumn("__cum", sum("__bw").over(Window.partitionBy(grp).orderBy("__bkt")))
+      .withColumn("__tot", sum("__bw").over(Window.partitionBy(grp)))
+    val fracArr = array(cuts.map { case (n, dn, name) =>
+      struct(lit(n).as("__num"), lit(dn).as("__den"), lit(name).as("__cut"))
+    }: _*)
+    val crossing = totals.withColumn("__f", explode(fracArr))
+      .select(col(grp), col("__bkt"), col("__bw"), col("__cum"), col("__tot"),
+        col("__f.__num").as("__num"), col("__f.__den").as("__den"),
+        col("__f.__cut").as("__cut"))
+      .filter(col("__cum") * col("__den") >= col("__tot") * col("__num"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(grp, "__cut").orderBy("__bkt")))
+      .filter(col("__rk") === 1)
+      .select(col(grp), col("__cut"), col("__num"), col("__den"), col("__bkt"),
+        (col("__cum") - col("__bw")).as("__before"), col("__tot"))
+    byBucket.join(broadcast(crossing), Seq(grp, "__bkt"))
+      .withColumn("__cin",
+        sum(w).over(Window.partitionBy(grp, "__cut", "__bkt").orderBy(v)))
+      .filter((col("__before") + col("__cin")) * col("__den") >= col("__tot") * col("__num"))
+      .groupBy(col(grp), col("__cut")).agg(min(v).as("__val"))
+      .groupBy(grp)
+      .agg(cuts.head._3 match { case h =>
+        max(when(col("__cut") === h, col("__val"))).as(h)
+      }, cuts.tail.map { case (_, _, name) =>
+        max(when(col("__cut") === name, col("__val"))).as(name)
+      }: _*)
+  }
+
   private val pairsCache  = new ConcurrentHashMap[String, DataFrame]
   private val labelsCache = new ConcurrentHashMap[String, DataFrame]
   private val vecsCache   = new ConcurrentHashMap[String, DataFrame]

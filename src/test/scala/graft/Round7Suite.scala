@@ -51,6 +51,20 @@ class Round7Suite extends AnyFunSuite {
     assertSameFrame(got, naive, "weighted bucketedPdisc vs exploded percentile_disc")
   }
 
+  test("bucketedPdiscMulti == one bucketedPdisc per cut") {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("cents"))
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+    val cuts = Seq((1, 10, "c10"), (1, 4, "c25"), (1, 2, "c50"), (9, 10, "c90"))
+    val multi = graft.ops.Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w", cuts)
+    val singles = cuts.map { case (n, dn, name) =>
+      graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", n, dn, name)
+    }.reduce(_.join(_, "l_returnflag"))
+    assertSameFrame(multi.select("l_returnflag", "c10", "c25", "c50", "c90"),
+      singles.select("l_returnflag", "c10", "c25", "c50", "c90"),
+      "multi-cut vs per-cut bucketedPdisc")
+  }
+
   test("agg_gini tie-group decomposition == ranked-window definition") {
     val j = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -690,6 +704,116 @@ class Round7Suite extends AnyFunSuite {
       .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     assert(got == want, s"embed-outliers mismatch: got $got want $want")
+  }
+
+  test("ts_fulfillment_lag == driver replay over per-order ship maxima") {
+    val ship = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).max) }
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("od"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ords.flatMap { case (k, pri, od) => ship.get(k).map(sdm => (pri, sdm - od)) }
+    def q(vs: Seq[Long], num: Int, den: Int): Long = {
+      val sorted = vs.sorted; val n = sorted.size.toLong
+      sorted(((n * num + den - 1) / den - 1).toInt)
+    }
+    val want = lags.groupBy(_._1).map { case (pri, v) =>
+      val xs = v.map(_._2).toSeq
+      (pri, xs.size.toLong, q(xs, 1, 2), q(xs, 9, 10), xs.max)
+    }.toSet
+    val got = SparkEntry.queries("ts_fulfillment_lag")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"fulfillment-lag mismatch: got $got want $want")
+  }
+
+  test("reshape_histogram2d == driver census, buckets non-negative") {
+    val rows = SparkEntry.queries("reshape_histogram2d")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == Tables.orders(s, d).count(), "grid census != |orders|")
+    assert(rows.forall { case (m, b, n) => m >= 0 && b >= 0 && n > 0 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length, "duplicate cells")
+  }
+
+  test("agg_topn_share == driver replay of the whale-share stat") {
+    val rev = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) =>
+        val sum10 = v.map(x => BigDecimal(java.lang.Double.toString(x._2))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        (k, (sum10.setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      }
+    val top = rev.toSeq.sortBy { case (k, r) => (-r, k) }.take(10).map(_._2)
+    val total = rev.values.sum
+    val want = (rev.size.toLong, total, top.sum, top.min, 10000 * top.sum / total)
+    val r = SparkEntry.queries("agg_topn_share")(s, d).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(got == want, s"topn-share mismatch: got $got want $want")
+  }
+
+  test("agg_pareto_frontier == brute-force dominance scan") {
+    val pts = Tables.orders(s, d).select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(java.lang.Double.toString(r.getDouble(1)))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, v) =>
+        (k, v.size.toLong,
+          (v.map(_._2).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      }.toSeq
+    // brute force: (freq, mon) is on the frontier iff no point has strictly
+    // greater freq and >= mon; among frontier cells keep min custkey
+    val cells = pts.map(p => (p._2, p._3)).distinct
+    val frontier = cells.filter { case (f, m) =>
+      !cells.exists { case (f2, m2) => f2 > f && m2 >= m }
+    }.filter { case (f, m) => m == cells.filter(_._1 == f).map(_._2).max }
+    val want = frontier.map { case (f, m) =>
+      (pts.filter(p => p._2 == f && p._3 == m).map(_._1).min, f, m)
+    }.toSet
+    val got = SparkEntry.queries("agg_pareto_frontier")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"pareto mismatch: got $got want $want")
+  }
+
+  test("ts_active_lifetime == driver replay, density bounded") {
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = e.groupBy(_._1).map { case (u, v) =>
+      val days = v.map(_._2)
+      val (mn, mx) = (days.min, days.max)
+      val span = mx - mn + 1
+      val act = days.distinct.size.toLong
+      (u, mn, mx, act, v.size.toLong, span, 10000 * act / span)
+    }.toSet
+    val got = SparkEntry.queries("ts_active_lifetime")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want, s"lifetime mismatch (${got.size} vs ${want.size} users)")
+    got.foreach { case (u, _, _, _, _, _, dbp) =>
+      assert(dbp >= 0 && dbp <= 10000, s"user $u density $dbp out of range")
+    }
+  }
+
+  test("llm_ngram_entropy_rate == driver replay, entropy non-negative") {
+    val docs = Tables.documents(s, d).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val bg = docs.flatMap { case (l, t) => t.zip(t.drop(1)).map(p => (l, p._1, p._2)) }
+    val cb = bg.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val cp = bg.groupBy(b => (b._1, b._2)).map { case (k, v) => (k, v.size.toLong) }
+    val want = cb.groupBy(_._1._1).map { case (l, m) =>
+      val terms = m.map { case ((_, p, _), c) =>
+        math.floor(1000000 * (c.toDouble * math.log(c.toDouble / cp((l, p))))).toLong
+      }
+      (l, m.values.sum, terms.sum)
+    }.toSet
+    val got = SparkEntry.queries("llm_ngram_entropy_rate")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"entropy-rate mismatch: got $got want $want")
+    got.foreach { case (l, _, sum) => assert(sum <= 0, s"$l: positive -H term sum") }
   }
 
   test("util_log2_histogram: buckets bound their extrema, census is total") {
