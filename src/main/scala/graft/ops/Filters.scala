@@ -51,6 +51,48 @@ object Filters {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
+    // Dynamic-threshold filter: keep orders above their market segment's
+    // mean order value — the "above-average" slice a campaign targets. The
+    // per-segment mean never materializes per row: segment stats collapse
+    // in one partial-aggregatable pass (exact decimal sums → integer
+    // cents), broadcast as a |segments|-row frame, and the filter is an
+    // integer cross-multiply (cents·n > total — no division, no float).
+    // Output is the kept-slice census per segment.
+    "filter_above_group_mean" -> ((s, d) => {
+      val o = orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
+      val stats = o.groupBy("seg")
+        .agg(sum("cents").as("total"), count(lit(1)).as("n"))
+      o.join(broadcast(stats), Seq("seg"))
+        .filter(col("cents") * col("n") > col("total"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_above"), sum("cents").as("above_cents"),
+          max("n").as("n_all"), max("total").as("total_cents"))
+        .withColumn("share_bp", expr("10000 * n_above div n_all"))
+        .orderBy("seg")
+    }),
+
+    // Top-decile filter: keep line items at or above their return flag's
+    // p90 cents cutoff (the "hot slice" a priority queue drains first).
+    // The cutoff rides the bucketed exact-percentile shape — per-task
+    // state one $1000 bucket — broadcast back onto the pruned scan; the
+    // declared result is the kept census so the corpus-sized kept frame
+    // itself never hashes.
+    "filter_top_decile" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      val hist = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+      val cut = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
+      li.join(broadcast(cut), "l_returnflag")
+        .filter(col("cents") >= col("p90"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"), sum("cents").as("kept_cents"),
+          max("p90").as("cutoff_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Robust outlier filter (data-cleaning gate): flag rows farther than
     // 2·MAD from their group median. Both statistics are DISCRETE
     // percentiles over integer cents — actual data values, so the whole
@@ -88,6 +130,28 @@ object Filters {
   )
 
   val oracle: Map[String, String] = Map(
+    "filter_above_group_mean" ->
+      s"""WITH o AS (SELECT c_mktsegment AS seg, ${moneySql("o_totalprice")} AS cents
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              st AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS total, count(*) AS n
+                     FROM o GROUP BY 1)
+         SELECT seg, count(*) AS n_above, CAST(sum(cents) AS BIGINT) AS above_cents,
+                max(n) AS n_all, max(total) AS total_cents,
+                10000 * count(*) // max(n) AS share_bp
+         FROM o JOIN st USING (seg)
+         WHERE cents * n > total
+         GROUP BY seg ORDER BY seg""",
+    "filter_top_decile" ->
+      s"""WITH li AS (SELECT l_returnflag, ${moneySql("l_extendedprice")} AS cents
+                      FROM lineitem),
+              cut AS (SELECT l_returnflag, quantile_disc(cents, 0.9) AS p90
+                      FROM li GROUP BY 1)
+         SELECT l_returnflag, count(*) AS n_kept,
+                CAST(sum(cents) AS BIGINT) AS kept_cents,
+                max(p90) AS cutoff_cents
+         FROM li JOIN cut USING (l_returnflag)
+         WHERE cents >= p90
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "proj_arithmetic" ->
       s"""SELECT l_orderkey, l_linenumber,
           ${moneySql("l_extendedprice * (1.0 - l_discount)")} AS revenue,

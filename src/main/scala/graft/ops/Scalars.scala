@@ -281,6 +281,27 @@ object Scalars {
     // Scalar bitwise family (flag-field decoding): &, |, xor, shifts,
     // popcount. Pure integer ops — bit-identical on any engine. DuckDB has
     // no infix ^ for xor (it's xor()); Spark shiftleft = DuckDB <<.
+    // ANSI overflow-safe arithmetic (try_multiply/try_add/try_divide →
+    // NULL instead of error/wraparound — what a robust 100 TB pipeline
+    // uses so one poisoned row can't kill a stage). The oracle emulates
+    // the exact BIGINT overflow boundaries with CASE (cents·1e12
+    // overflows iff cents > ⌊(2⁶³−1)/1e12⌋ = 9223372; the offset add iff
+    // cents > 775807), so a hash match PROVES Spark nulls at exactly the
+    // two's-complement limits. Division nulls on % 7 == 0 rows; the
+    // surviving ratios are d4-rounded before the order-free integer sum.
+    "math_try_arithmetic" -> ((s, d) =>
+      orders(s, d)
+        .select(money(col("o_totalprice")).as("cents"))
+        .select(col("cents"),
+          expr("try_multiply(cents, 1000000000000L)").as("m"),
+          expr("try_add(cents, 9223372036854000000L)").as("a"),
+          d4(expr("try_divide(cents, cents % 7)")).as("dv"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_mul_overflow"),
+          sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_add_overflow"),
+          sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_by_zero"),
+          sum("dv").as("div_d4_sum"))),
+
     "math_bitwise" -> ((s, d) =>
       orders(s, d)
         .select(col("o_orderkey"),
@@ -442,6 +463,15 @@ object Scalars {
                 'lang=' || lang || '&n=' || n_chars AS query,
                 lang AS q_lang
          FROM documents ORDER BY doc_id LIMIT 100""",
+    "math_try_arithmetic" ->
+      s"""WITH c AS (SELECT ${moneySql("o_totalprice")} AS cents FROM orders)
+         SELECT count(*) AS n,
+                CAST(sum(CASE WHEN cents > 9223372 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+                CAST(sum(CASE WHEN cents > 775807 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+                CAST(sum(CASE WHEN cents % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+                CAST(sum(CASE WHEN cents % 7 = 0 THEN NULL
+                              ELSE ${d4Sql("cents / (cents % 7)")} END) AS BIGINT) AS div_d4_sum
+         FROM c""",
     "math_bitwise" ->
       """SELECT o_orderkey,
                 o_orderkey & 255 AS lo8,

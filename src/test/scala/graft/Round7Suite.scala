@@ -816,6 +816,54 @@ class Round7Suite extends AnyFunSuite {
     got.foreach { case (l, _, sum) => assert(sum <= 0, s"$l: positive -H term sum") }
   }
 
+  test("filter_above_group_mean == driver replay, strict-majority bound") {
+    val rows = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), graft.Norm.money(col("o_totalprice")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (seg, v) =>
+      val (tot, n) = (v.map(_._2).sum, v.size.toLong)
+      val above = v.map(_._2).filter(c => c * n > tot)
+      (seg, above.size.toLong, above.sum, n, tot, 10000 * above.size / n)
+    }.toSet
+    val got = SparkEntry.queries("filter_above_group_mean")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want, s"above-mean mismatch: got $got want $want")
+  }
+
+  test("filter_top_decile: kept slice is >= p90 and about a tenth") {
+    val got = SparkEntry.queries("filter_top_decile")(s, d).collect()
+    val byFlag = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), graft.Norm.money(col("l_extendedprice")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { r =>
+      val (flag, kept, cut) = (r.getString(0), r.getLong(1), r.getLong(3))
+      val v = byFlag(flag).map(_._2)
+      val wantKept = v.count(_ >= cut).toLong
+      assert(kept == wantKept, s"$flag: kept $kept != replay $wantKept")
+      assert(kept * 10 <= v.size + 10 * v.count(_ == cut) + 10,
+        s"$flag: kept $kept of ${v.size} — more than a decile plus ties")
+      assert(kept > 0 && kept < v.size)
+    }
+  }
+
+  test("math_try_arithmetic == driver replay of the overflow boundaries") {
+    val cents = Tables.orders(s, d)
+      .select(graft.Norm.money(col("o_totalprice")).as("c"))
+      .collect().map(_.getLong(0))
+    def d4r(x: Double): Long =
+      (BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    val want = (cents.length.toLong,
+      cents.count(_ > 9223372L).toLong,
+      cents.count(_ > 775807L).toLong,
+      cents.count(_ % 7 == 0).toLong,
+      cents.filter(_ % 7 != 0).map(c => d4r(c.toDouble / (c % 7))).sum)
+    val r = SparkEntry.queries("math_try_arithmetic")(s, d).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(got == want, s"try-arith mismatch: got $got want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
