@@ -233,6 +233,40 @@ object LlmExtras {
     // ≈ 0.6 makes every pruner — LSH bands or rare-prefix — degenerate to
     // all-pairs; measured at sf0.1), so the design makes each pair cost a
     // few long-ANDs instead of a shuffled array-pair row.
+    // Asymmetric CONTAINMENT dedup on df-pruned 5-gram shingles — catches
+    // the subset-duplicate (a doc wholly embedded in a larger doc) that
+    // symmetric Jaccard misses. Shingles (not unigrams: this corpus's word
+    // vocabulary is small, so every unigram is common) with df > 64 are
+    // pruned FIRST: they can't discriminate containment, and pruning
+    // bounds the posting join at Σ df² ≤ 64·Σ df — linear in the corpus,
+    // never doc². Declared semantic = containment over the rare-shingle
+    // sets (what a production df-pruned postings index computes):
+    // C(A→B) = |A'∩B'| / |A'| ≥ 4/5 with |A'| ≥ 5, integer cross-multiply.
+    "llm_dedup_containment" -> ((s, d) => {
+      val post = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 5), i -> concat_ws(' ', slice(t, i + 1, 5)))"))
+          .as("tok"))
+        .distinct()
+      val rare = post.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("tok")
+      val pruned = post.join(rare, "tok").localCheckpoint(false)
+      val szr = pruned.groupBy("doc_id").agg(count(lit(1)).as("nr"))
+      val common = pruned.as("a")
+        .join(pruned.as("b"), Seq("tok"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common_rare"))
+      common
+        .join(szr.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nr", "na"), "doc_a")
+        .filter(col("na") >= 5 && col("common_rare") * 5 >= col("na") * 4)
+        .select(col("doc_a"), col("doc_b"), col("common_rare"), col("na"),
+          expr("10000 * common_rare div na").as("containment_bp"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "llm_dedup_ngram_jaccard" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -1276,6 +1310,25 @@ object LlmExtras {
     },
     // Exact all-pairs over the FULL corpus; the size-ratio prefilter
     // (J >= 0.7 forces 10·min >= 7·max) is semantics-preserving pruning.
+    "llm_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                            concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS tok
+                     FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                           FROM toks WHERE len(t) >= 5)),
+              rare AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM sh GROUP BY 1)
+                       WHERE df <= 64),
+              p AS (SELECT doc_id, tok FROM sh JOIN rare USING (tok)),
+              szr AS (SELECT doc_id, count(*) AS nr FROM p GROUP BY 1),
+              cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common_rare
+                     FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                     GROUP BY 1, 2)
+         SELECT doc_a, doc_b, common_rare, na,
+                10000 * common_rare // na AS containment_bp
+         FROM (SELECT cm.doc_a, cm.doc_b, cm.common_rare, szr.nr AS na
+               FROM cm JOIN szr ON szr.doc_id = cm.doc_a)
+         WHERE na >= 5 AND common_rare * 5 >= na * 4
+         ORDER BY doc_a, doc_b""",
     "llm_dedup_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id,
                             list_distinct(list_transform(range(1, length(text) - 1),

@@ -437,8 +437,14 @@ class PlanAuditSuite extends AnyFunSuite {
     //    single-partition global sort a deterministic shuffle needs.
     //  - llm_pack_greedy/llm_pack_sequences: independent packing domains
     //    replace the inherently sequential global first-fit order.
+    //  - topk_per_group_merge: the salted two-level top-k — window 1 runs
+    //    over (source, salt) fixed-fanout sub-groups (the same knob), and
+    //    window 2's input is bounded at 3 rows per (source, salt) by the
+    //    rk1 <= 3 filter, which `collapsed` (Aggregate/Limit-based) cannot
+    //    see. Equivalence to the single-window truth is pinned in
+    //    Round7Suite.
     val windowReviewed = Set("llm_global_shuffle", "llm_pack_greedy",
-      "llm_pack_sequences")
+      "llm_pack_sequences", "topk_per_group_merge")
     def collapsed(p: LogicalPlan): Boolean = p.exists {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
       case _ => false

@@ -864,6 +864,43 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"try-arith mismatch: got $got want $want")
   }
 
+  test("topk_per_group_merge: salted two-level == single-window truth") {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    val naive = Tables.documents(s, d).select("source", "doc_id", "n_chars")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+    assertSameFrame(SparkEntry.queries("topk_per_group_merge")(s, d),
+      naive.select("source", "doc_id", "n_chars", "rk"),
+      "two-level topk vs single window")
+  }
+
+  test("sort_hash_sample is stable across partitionings") {
+    val a = SparkEntry.queries("sort_hash_sample")(s, d).collect().map(_.getLong(0)).toSeq
+    val b = Tables.orders(s, d).repartition(13)
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("h"))
+      .orderBy("h").limit(20).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sample depends on partitioning")
+  }
+
+  test("llm_dedup_containment == driver shingle replay") {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1).split(" ", -1).toSeq))
+    val sh = docs.filter(_._2.size >= 5).map { case (id, t) =>
+      (id, t.sliding(5).map(_.mkString(" ")).toSet)
+    }
+    val df_ = sh.flatMap(_._2).groupBy(identity).map { case (k, v) => (k, v.size) }
+    val rare = sh.map { case (id, g) => (id, g.filter(df_(_) <= 64)) }
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, ga) <- rare.toSeq if ga.size >= 5
+      (b, gb) <- rare.toSeq if a != b
+      c = (ga & gb).size if c * 5 >= ga.size * 4
+    } yield (a, b, c.toLong, ga.size.toLong, 10000L * c / ga.size)).toSet
+    val got = SparkEntry.queries("llm_dedup_containment")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"containment mismatch (${got.size} vs ${want.size} pairs)")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
