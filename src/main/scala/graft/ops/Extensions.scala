@@ -45,6 +45,28 @@ object Extensions {
   }
 
   val ops: Map[String, Q] = Map(
+    // Typed Dataset pipeline (case-class Encoders end to end): as[T] →
+    // typed filter/map → groupByKey → reduceGroups. reduceGroups is a real
+    // Aggregate under the hood (partial reduce per partition, merge after
+    // the key shuffle — one buffer per (partition, key), same scale shape
+    // as a built-in agg; NOT mapGroups, which would buffer whole groups).
+    // Money is integer cents BEFORE entering the typed world, so the
+    // reduce is exact long addition — order-free.
+    "ds_typed_pipeline" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          money(col("o_totalprice")).as("cents"))
+        .as[(Long, Long, String, Long)]
+        .filter(_._3 != "F")
+        .map(r => (r._2 % 10, 1L, r._4))
+        .groupByKey(_._1)
+        .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+        .map { case (k, (_, n, sum)) => (k, n, sum) }
+        .toDF("bucket", "n", "total_cents")
+        .orderBy("bucket")
+    }),
+
     // Scala closure UDF: '1-URGENT' → 5 … '5-LOW' → 1, aggregated per status.
     "udf_scalar" -> ((s, d) => {
       val urgency = udf((p: String) => 6 - p.substring(0, 1).toInt)
@@ -116,6 +138,11 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    "ds_typed_pipeline" ->
+      s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
+                 CAST(sum(${moneySql("o_totalprice")}) AS BIGINT) AS total_cents
+          FROM orders WHERE o_orderstatus <> 'F'
+          GROUP BY 1 ORDER BY 1""",
     "udf_scalar" ->
       s"""SELECT o_orderstatus,
           ${d4Sql("avg(CASE substring(o_orderpriority, 1, 1) WHEN '1' THEN 5 WHEN '2' THEN 4 WHEN '3' THEN 3 WHEN '4' THEN 2 ELSE 1 END)")} AS avg_urgency,

@@ -598,6 +598,32 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // Per-source KL divergence from the corpus-wide unigram distribution —
+    // the drift detector a mixture-rebalancing pipeline watches (a source
+    // whose token distribution diverges is over/under-represented or
+    // contaminated). D(P_s‖Q)·1e6 = Σ_w floor(1e6·(c_sw/N_s)·
+    // ln(c_sw·N/(N_s·c_w))), floored PER TERM before the source sum
+    // (order-immune, CAST-AS-DOUBLE rule); only observed words contribute
+    // (c_sw > 0), so no smoothing constant enters the declared result.
+    // Scale: (source, w) partial agg; corpus unigram table and |sources|-
+    // row totals broadcast (vocab-bounded); nothing corpus².
+    "llm_source_kl" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val csw = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      val ns = csw.groupBy("source").agg(sum("c").as("ns"))
+      val nt = cw.agg(sum("cw").as("nt"))
+      csw.join(broadcast(cw), Seq("w")).join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(nt))
+        .withColumn("term", expr(
+          """CAST(floor(1000000 * ((CAST(c AS DOUBLE) / ns)
+             * ln((CAST(c AS DOUBLE) * nt) / (CAST(ns AS DOUBLE) * cw)))) AS BIGINT)"""))
+        .groupBy("source")
+        .agg(max("ns").as("n_toks"), sum("term").as("kl_micro_sum"))
+        .orderBy("source")
+    }),
+
     // Conditional bigram entropy rate per language — the predictability
     // statistic that separates natural prose from template/boilerplate
     // corpora (low H(W|prev) = repetitive). Each (prev, w) contributes
@@ -906,6 +932,17 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+              csw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+              cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+              ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM csw GROUP BY 1),
+              tt AS (SELECT CAST(sum(cw) AS BIGINT) AS nt FROM cw)
+         SELECT source, max(ns) AS n_toks,
+                CAST(sum(CAST(floor(1000000 * ((CAST(c AS DOUBLE) / ns)
+                  * ln((CAST(c AS DOUBLE) * nt) / (CAST(ns AS DOUBLE) * cw)))) AS BIGINT)) AS BIGINT) AS kl_micro_sum
+         FROM csw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tt
+         GROUP BY source ORDER BY source""",
     "llm_ngram_entropy_rate" ->
       """WITH bg AS (SELECT lang,
                             unnest(string_split(text, ' ')[1:-2]) AS prev,

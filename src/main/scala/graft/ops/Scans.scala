@@ -99,6 +99,25 @@ object Scans {
     // then compacted to 4 with a single repartition, and the compacted copy
     // is aggregated. The file-count collapse is asserted in ScaleSuite; the
     // oracle proves the data survived both rewrites byte-for-byte.
+    // Parquet DECIMAL logical-type roundtrip: money written as
+    // DECIMAL(18,4) fixed-point (the lossless way a financial 100 TB table
+    // stores amounts — no binary-double drift), read back, and re-scaled
+    // to integer d4 units. The oracle computes the same d4 integers from
+    // the ORIGINAL parquet, so a hash match proves the decimal physical
+    // encoding roundtrips exactly. (Output stays BIGINT — the engine-wide
+    // no-DECIMAL-in-results rule is about hashing, not storage.)
+    "sink_decimal_roundtrip" -> ((s, d) => {
+      val path = tmpDir(d, "decsink")
+      orders(s, d)
+        .select(col("o_orderkey"),
+          expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(28,10)), 4) AS DECIMAL(18,4))").as("dec"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(expr("CAST(dec * 10000 AS BIGINT)").as("d4c"))
+        .agg(count(lit(1)).as("n"), sum("d4c").as("sum_d4"),
+          min("d4c").as("min_d4"), max("d4c").as("max_d4"))
+    }),
+
     // Parquet bloom-filter sink: write orders with a column-level bloom
     // filter on o_custkey (parquet.bloom.filter.enabled#col — the writer
     // option a 100 TB point-lookup table ships with so equality probes can
@@ -456,6 +475,12 @@ object Scans {
     "sink_compacted" ->
       s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "sink_decimal_roundtrip" ->
+      s"""SELECT count(*) AS n,
+                 CAST(sum(${graft.Norm.d4Sql("o_totalprice")}) AS BIGINT) AS sum_d4,
+                 min(${graft.Norm.d4Sql("o_totalprice")}) AS min_d4,
+                 max(${graft.Norm.d4Sql("o_totalprice")}) AS max_d4
+          FROM orders""",
     "sink_parquet_bloom" ->
       s"""SELECT o_custkey, count(*) AS n,
                  CAST(sum(${graft.Norm.moneySql("o_totalprice")}) AS BIGINT) AS total_cents

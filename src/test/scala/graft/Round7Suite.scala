@@ -901,6 +901,49 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"containment mismatch (${got.size} vs ${want.size} pairs)")
   }
 
+  test("sink_decimal_roundtrip: written decimals re-scale to the original d4 ints") {
+    val r = SparkEntry.queries("sink_decimal_roundtrip")(s, d).collect().head
+    def d4r(x: Double): Long =
+      (BigDecimal(java.lang.Double.toString(x)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    val vals = Tables.orders(s, d).select("o_totalprice").collect().map(r0 => d4r(r0.getDouble(0)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (vals.length.toLong, vals.sum, vals.min, vals.max))
+  }
+
+  test("ds_typed_pipeline == untyped groupBy census") {
+    val naive = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+      .select(pmod(col("o_custkey"), lit(10)).as("bucket"),
+        graft.Norm.money(col("o_totalprice")).as("c"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("c").as("total_cents"))
+    assertSameFrame(SparkEntry.queries("ds_typed_pipeline")(s, d),
+      naive.select("bucket", "n", "total_cents"), "typed vs untyped pipeline")
+  }
+
+  test("llm_source_kl == driver replay, KL approx non-negative") {
+    val toks = Tables.documents(s, d).select("source", "text")
+      .collect().flatMap(r => r.getString(1).split(" ", -1).map((r.getString(0), _)))
+    val csw = toks.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val cw = toks.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val ns = toks.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val nt = toks.size.toLong
+    val want = csw.groupBy(_._1._1).map { case (src, m) =>
+      val n = ns(src)
+      val terms = m.map { case ((_, w), c) =>
+        math.floor(1000000 * ((c.toDouble / n) *
+          math.log((c.toDouble * nt) / (n.toDouble * cw(w))))).toLong
+      }
+      (src, n, terms.sum)
+    }.toSet
+    val got = SparkEntry.queries("llm_source_kl")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"source-kl mismatch: got ${got.size} want ${want.size}")
+    // per-term floors subtract < 1 micro-nat per word type; KL itself >= 0
+    got.foreach { case (src, _, kl) =>
+      assert(kl > -1000000, s"$src: kl_micro $kl too negative for a floored KL")
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
