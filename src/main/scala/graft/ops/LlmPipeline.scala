@@ -598,6 +598,25 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // Frequency moments F0/F1/F2 of the token stream per source (AMS
+    // moments): F0 = vocab size, F1 = token count, F2 = Σc² — the repeat
+    // rate F2/F1² is the collision probability that predicts dedup yield
+    // and hash-partition skew before either job runs. Exact via one
+    // (source, w) partial agg then an algebraic rollup; repeat rate
+    // emitted as ppb via one integral divide (F2·1e9 div F1² — headroom:
+    // F2 ≤ F1² ≪ 2⁶³ documented at fixture scale; at larger corpora the
+    // DECIMAL(38,0) accumulator rule applies).
+    "llm_token_moments" -> ((s, d) => {
+      val csw = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      csw.groupBy("source")
+        .agg(count(lit(1)).as("f0"), sum("c").as("f1"),
+          sum(expr("c * c")).as("f2"))
+        .withColumn("repeat_ppb", expr("1000000000 * f2 div (f1 * f1)"))
+        .orderBy("source")
+    }),
+
     // Per-source KL divergence from the corpus-wide unigram distribution —
     // the drift detector a mixture-rebalancing pipeline watches (a source
     // whose token distribution diverges is over/under-represented or
@@ -932,6 +951,15 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_token_moments" ->
+      """WITH csw AS (SELECT source, w, count(*) AS c
+                     FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+                     GROUP BY 1, 2)
+         SELECT source, count(*) AS f0, CAST(sum(c) AS BIGINT) AS f1,
+                CAST(sum(c * c) AS BIGINT) AS f2,
+                1000000000 * CAST(sum(c * c) AS BIGINT)
+                  // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS repeat_ppb
+         FROM csw GROUP BY source ORDER BY source""",
     "llm_source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
               csw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -146,6 +146,27 @@ object SetOps {
     // through mod 2^61−1: a BIGINT sum of 2^48-sized hashes overflows
     // ANSI-fatally past ~2^15 rows — sf0.1's 150k rows already tripped it.
     // The Mersenne-prime mod keeps the checksum BIGINT at ANY row count.
+    // Equi-height histogram of order totals — the ANALYZE-TABLE statistic
+    // a cost-based optimizer stores (8 boundaries at k/8 quantiles + exact
+    // per-bucket occupancy). All 8 boundaries resolve in ONE multi-cut
+    // bucketed-percentile pass; the occupancy re-pass assigns each row its
+    // bucket as 1 + Σ(v > b_k) — a broadcast of 1 row of boundaries and a
+    // pure integer comparison chain, then an 8-group partial agg.
+    "util_stats_histogram" -> ((s, d) => {
+      val vals = orders(s, d).select(money(col("o_totalprice")).as("cents"))
+        .localCheckpoint(false)
+      val hist = vals.select(lit(1L).as("g"), col("cents"))
+        .groupBy("g", "cents").agg(count(lit(1)).as("w"))
+      val bounds = Shared.bucketedPdiscMulti(hist, "g", "cents", "w",
+        (1 to 8).map(k => (k, 8, s"b$k"))).drop("g")
+      vals.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr(
+          "1 + " + (1 to 7).map(k => s"CAST(cents > b$k AS BIGINT)").mkString(" + ")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+        .orderBy("bucket")
+    }),
+
     // File-layout plan per source — the sizing pass a 100 TB writer runs
     // before choosing file counts: docs, total payload chars, extrema, and
     // the file count at a 1 MiB-of-chars target via pure integer ceiling
@@ -408,6 +429,20 @@ object SetOps {
                 CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
          FROM z GROUP BY 1 ORDER BY 1"""
     },
+    "util_stats_histogram" ->
+      s"""WITH c AS (SELECT ${graft.Norm.moneySql("o_totalprice")} AS cents FROM orders),
+              b AS (SELECT quantile_disc(cents, 0.125) AS b1, quantile_disc(cents, 0.25) AS b2,
+                           quantile_disc(cents, 0.375) AS b3, quantile_disc(cents, 0.5) AS b4,
+                           quantile_disc(cents, 0.625) AS b5, quantile_disc(cents, 0.75) AS b6,
+                           quantile_disc(cents, 0.875) AS b7
+                    FROM c)
+         SELECT 1 + CAST(cents > b1 AS BIGINT) + CAST(cents > b2 AS BIGINT)
+                  + CAST(cents > b3 AS BIGINT) + CAST(cents > b4 AS BIGINT)
+                  + CAST(cents > b5 AS BIGINT) + CAST(cents > b6 AS BIGINT)
+                  + CAST(cents > b7 AS BIGINT) AS bucket,
+                count(*) AS n, min(cents) AS lo, max(cents) AS hi
+         FROM c CROSS JOIN b
+         GROUP BY bucket ORDER BY bucket""",
     "util_file_plan" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,

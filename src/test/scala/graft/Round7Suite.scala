@@ -944,6 +944,40 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("util_stats_histogram: buckets census the table, heights near-equal") {
+    val rows = SparkEntry.queries("util_stats_histogram")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.orders(s, d).count()
+    assert(rows.map(_._2).sum == total, "bucket census != |orders|")
+    assert(rows.map(_._1).toSeq == (1L to 8L), s"bucket ids: ${rows.map(_._1).toSeq}")
+    // equi-height within ties: every bucket within [total/8 - slack, total/8 + slack]
+    rows.foreach { case (b, n, lo, hi) =>
+      assert(lo <= hi, s"bucket $b: lo > hi")
+      assert(n * 8 >= total / 2 && n * 8 <= total * 2,
+        s"bucket $b holds $n of $total — nowhere near equi-height")
+    }
+    // buckets tile the value range in order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bucket ${a._1} hi ${a._4} overlaps bucket ${b._1} lo ${b._3}")
+    }
+  }
+
+  test("llm_token_moments == driver replay, F2 >= F1²/F0") {
+    val toks = Tables.documents(s, d).select("source", "text")
+      .collect().flatMap(r => r.getString(1).split(" ", -1).map((r.getString(0), _)))
+    val want = toks.groupBy(_._1).map { case (src, v) =>
+      val cs = v.groupBy(_._2).map(_._2.size.toLong)
+      val (f0, f1, f2) = (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      (src, f0, f1, f2, 1000000000L * f2 / (f1 * f1))
+    }.toSet
+    val got = SparkEntry.queries("llm_token_moments")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"token-moments mismatch")
+    got.foreach { case (src, f0, f1, f2, _) =>
+      assert(f2 * f0 >= f1 * f1, s"$src: Cauchy-Schwarz violated") // Σc² ≥ (Σc)²/F0
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
