@@ -200,6 +200,25 @@ object Reshape {
         .groupBy("month_idx", "price_bucket").agg(count(lit(1)).as("n"))
         .orderBy("month_idx", "price_bucket")),
 
+    // SLO error-budget burn report: per hourly window, is the error share
+    // over the 5% objective (integer cross-multiply — no ratio computed
+    // per window), rolled up per day with the worst window's error bp.
+    // The SRE view a 100 TB event pipeline alerts from. Two stacked
+    // partial-aggregatable shuffles: (hour) then (day); the only division
+    // is the per-hour max_error_bp via integral div.
+    "ts_slo_burn" -> ((s, d) =>
+      events(s, d)
+        .select(expr("unix_timestamp(date_trunc('second', ts)) div 3600").as("h"),
+          (col("event_type") === "error").cast("long").as("e"))
+        .groupBy("h").agg(count(lit(1)).as("n"), sum("e").as("errs"))
+        .select(expr("h div 24").as("day_idx"),
+          expr("CAST(errs * 10000 > n * 500 AS BIGINT)").as("burn"),
+          expr("10000 * errs div n").as("ebp"))
+        .groupBy("day_idx")
+        .agg(count(lit(1)).as("n_windows"), sum("burn").as("n_burn"),
+          max("ebp").as("max_error_bp"))
+        .orderBy("day_idx")),
+
     // Per-user lifetime profile: first/last active day, distinct active
     // days, event count, span, and activity density in integer bp — the
     // engagement table a retention model trains on. One partial-
@@ -647,6 +666,15 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_slo_burn" ->
+      """WITH hr AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+                            count(*) AS n,
+                            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+                     FROM events GROUP BY 1)
+         SELECT h // 24 AS day_idx, count(*) AS n_windows,
+                CAST(sum(CAST(errs * 10000 > n * 500 AS BIGINT)) AS BIGINT) AS n_burn,
+                max(10000 * errs // n) AS max_error_bp
+         FROM hr GROUP BY 1 ORDER BY day_idx""",
     "ts_active_lifetime" ->
       """WITH e AS (SELECT user_id,
                            date_diff('day', DATE '2024-01-01',

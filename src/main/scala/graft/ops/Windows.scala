@@ -287,6 +287,21 @@ object Windows {
     // run, jumps at every gap). One user_id shuffle feeds the window AND both
     // aggregations; outputs are pure integers (streak lengths / island
     // counts), so nothing floats.
+    // percent_rank + cume_dist on a HIGH-CARDINALITY partition key
+    // (user_id — per-group state shrinks as the corpus grows; the safe
+    // home for relative-rank window functions, unlike few-group keys).
+    // Ties broken by event_id make ranks distinct, so both ratios are
+    // deterministic; d4 rounding turns them into integer bp before hash.
+    "win_percent_rank_user" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("v"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), d4(col("value")).as("v"))
+        .withColumn("pr_bp", d4(percent_rank().over(w)))
+        .withColumn("cd_bp", d4(cume_dist().over(w)))
+        .orderBy("user_id", "v", "event_id")
+        .limit(500)
+    }),
+
     "win_streak" -> ((s, d) => {
       val days = events(s, d)
         .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"))
@@ -586,6 +601,14 @@ object Windows {
                        ${moneySql("value")} AS cents
                 FROM events)
           ORDER BY user_id, event_id""",
+    "win_percent_rank_user" -> {
+      val over = "OVER (PARTITION BY user_id ORDER BY v, event_id)"
+      s"""WITH e AS (SELECT user_id, event_id, ${graft.Norm.d4Sql("value")} AS v FROM events)
+         SELECT user_id, event_id, v,
+                ${graft.Norm.d4Sql(s"percent_rank() $over")} AS pr_bp,
+                ${graft.Norm.d4Sql(s"cume_dist() $over")} AS cd_bp
+         FROM e ORDER BY user_id, v, event_id LIMIT 500"""
+    },
     "win_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
                        FROM events),

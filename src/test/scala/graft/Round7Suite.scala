@@ -978,6 +978,41 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("ts_slo_burn == driver replay over hourly windows") {
+    val hrs = Tables.events(s, d)
+      .select(expr("unix_timestamp(date_trunc('second', ts)) div 3600").as("h"),
+        (col("event_type") === "error").cast("long").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perHour = hrs.groupBy(_._1).map { case (h, v) =>
+      (h, v.size.toLong, v.map(_._2).sum)
+    }
+    val want = perHour.groupBy(_._1 / 24).map { case (dy, v) =>
+      (dy, v.size.toLong,
+        v.count { case (_, n, e) => e * 10000 > n * 500 }.toLong,
+        v.map { case (_, n, e) => 10000 * e / n }.max)
+    }.toSet
+    val got = SparkEntry.queries("ts_slo_burn")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"slo-burn mismatch: got $got want $want")
+  }
+
+  test("win_percent_rank_user: ranks are lawful relative ranks") {
+    val rows = SparkEntry.queries("win_percent_rank_user")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, pr, cd) =>
+      assert(pr >= 0 && pr <= 10000 && cd > 0 && cd <= 10000, s"user $u: ($pr, $cd)")
+    }
+    // within a fully-covered user, percent_rank spans 0..10000 and
+    // cume_dist ends at exactly 10000
+    val byUser = rows.groupBy(_._1)
+    val full = byUser.filter(_._2.length >= 2)
+    assert(full.nonEmpty)
+    full.foreach { case (u, v) =>
+      assert(v.map(_._2).min == 0, s"user $u: min percent_rank != 0")
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
