@@ -236,6 +236,32 @@ object Joins {
 
     // TPC-H Q5 shape: the three dimension legs are broadcast; only
     // customer⋈orders⋈lineitem shuffles.
+    // Role-playing dimension (TPC-H Q7 shape): the SAME nation dim joined
+    // twice under different roles — customer nation and supplier nation —
+    // producing the nation×nation trade matrix. Both dim subtrees broadcast
+    // independently (a role-played dim is still a dim); the fact side flows
+    // through one pipeline of broadcast hash joins and collapses in a
+    // partial-aggregatable (cust_nation, supp_nation) groupBy. No fact
+    // self-join anywhere.
+    "join_role_playing" -> ((s, d) => {
+      val cn = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sn = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("cust_nation", "supp_nation")
+    }),
+
     "join_multiway" -> ((s, d) =>
       customer(s, d)
         .join(orders(s, d), col("c_custkey") === col("o_custkey"))
@@ -535,6 +561,18 @@ object Joins {
                         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
                  FROM events WHERE event_type IN ('click','purchase')))
          WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "join_role_playing" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                 count(*) AS n,
+                 ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE cn.n_name <> sn.n_name
+          GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""",
     "join_multiway" ->
       s"""SELECT n_name, ${moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
           FROM customer

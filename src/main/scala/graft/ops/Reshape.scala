@@ -200,6 +200,29 @@ object Reshape {
         .groupBy("month_idx", "price_bucket").agg(count(lit(1)).as("n"))
         .orderBy("month_idx", "price_bucket")),
 
+    // Seasonal-naive forecast evaluation per event type: forecast(t) =
+    // value(t−7 days); report Σ|actual − snaive| vs the non-seasonal
+    // naive Σ|actual − lag1| — the two MASE ingredients, emitted as exact
+    // integer sums (the engine never divides). Daily counts collapse
+    // first (the only corpus-sized, partial-aggregatable stage); both
+    // lags run on the metadata-sized per-type daily frame.
+    "ts_snaive_error" -> ((s, d) => {
+      val byT = Window.partitionBy("event_type").orderBy("day")
+      events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .withColumn("lag1", lag("c", 1).over(byT))
+        .withColumn("lag7", lag("c", 7).over(byT))
+        .filter(col("lag7").isNotNull && col("lag1").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("lag7"))).as("snaive_abs_err"),
+          sum(abs(col("c") - col("lag1"))).as("naive_abs_err"))
+        .orderBy("event_type")
+    }),
+
     // SLO error-budget burn report: per hourly window, is the error share
     // over the 5% objective (integer cross-multiply — no ratio computed
     // per window), rolled up per day with the worst window's error bp.
@@ -666,6 +689,21 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_snaive_error" ->
+      """WITH daily AS (SELECT event_type,
+                               date_diff('day', DATE '2024-01-01',
+                                         CAST(date_trunc('day', ts) AS DATE)) AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+              lg AS (SELECT event_type, c,
+                            lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1,
+                            lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7
+                     FROM daily)
+         SELECT event_type, count(*) AS n_days,
+                CAST(sum(abs(c - lag7)) AS BIGINT) AS snaive_abs_err,
+                CAST(sum(abs(c - lag1)) AS BIGINT) AS naive_abs_err
+         FROM lg WHERE lag7 IS NOT NULL AND lag1 IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "ts_slo_burn" ->
       """WITH hr AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
                             count(*) AS n,

@@ -1013,6 +1013,38 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("join_role_playing: matrix is asymmetric-complete and censuses the fact rows") {
+    val rows = SparkEntry.queries("join_role_playing")(s, d).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case ((c, sN), _) => assert(c != sN, "diagonal cell present") }
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate matrix cells")
+    // census: total matrix count == fact rows whose cust/supp nations differ
+    val want = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey")).count()
+    assert(rows.map(_._2).sum == want, s"matrix census ${rows.map(_._2).sum} != $want")
+  }
+
+  test("ts_snaive_error == driver replay over the observed daily series") {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') AS BIGINT)""").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, dy), v) => (t, dy, v.size.toLong) }
+    val want = daily.groupBy(_._1).map { case (t, v) =>
+      val cs = v.toSeq.sortBy(_._2).map(_._3)
+      val rows = (7 until cs.size).map(i => (math.abs(cs(i) - cs(i - 7)), math.abs(cs(i) - cs(i - 1))))
+      (t, rows.size.toLong, rows.map(_._1).sum, rows.map(_._2).sum)
+    }.toSet
+    val got = SparkEntry.queries("ts_snaive_error")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"snaive mismatch: got $got want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
