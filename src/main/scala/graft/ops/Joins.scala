@@ -236,6 +236,28 @@ object Joins {
 
     // TPC-H Q5 shape: the three dimension legs are broadcast; only
     // customer⋈orders⋈lineitem shuffles.
+    // Null-routed join: rows whose join key is NULL can never match, so
+    // they BYPASS the join entirely (no shuffle, no broadcast probe) and
+    // re-enter via union — the standard null-skew isolation for fact
+    // tables where a null-heavy key would otherwise hash every null row
+    // into one reducer (or pay a pointless probe). ~10% of rows carry a
+    // synthesized null key; the declared result equals the plain LEFT
+    // JOIN (the oracle), proving the route-around is semantics-free.
+    "join_null_routed" -> ((s, d) => {
+      val fact = orders(s, d).select(
+        when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_custkey")).as("k"),
+        money(col("o_totalprice")).as("cents"))
+      val dim = customer(s, d).select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val matched = fact.filter(col("k").isNotNull)
+        .join(broadcast(dim), Seq("k"), "left")
+      val routed = fact.filter(col("k").isNull)
+        .withColumn("seg", lit(null).cast("string"))
+      matched.select("seg", "cents").unionByName(routed.select("seg", "cents"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy(col("seg").asc_nulls_first)
+    }),
+
     // Role-playing dimension (TPC-H Q7 shape): the SAME nation dim joined
     // twice under different roles — customer nation and supplier nation —
     // producing the nation×nation trade matrix. Both dim subtrees broadcast
@@ -561,6 +583,15 @@ object Joins {
                         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
                  FROM events WHERE event_type IN ('click','purchase')))
          WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
+    "join_null_routed" ->
+      s"""WITH f AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                                 ELSE o_custkey END AS k,
+                            ${moneySql("o_totalprice")} AS cents
+                     FROM orders)
+         SELECT c_mktsegment AS seg, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM f LEFT JOIN customer ON k = c_custkey
+         GROUP BY 1 ORDER BY seg ASC NULLS FIRST""",
     "join_role_playing" ->
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                  count(*) AS n,

@@ -99,6 +99,33 @@ object Scans {
     // then compacted to 4 with a single repartition, and the compacted copy
     // is aggregated. The file-count collapse is asserted in ScaleSuite; the
     // oracle proves the data survived both rewrites byte-for-byte.
+    // PERMISSIVE JSON with corrupt-record capture: a JSONL sink where a
+    // deterministic subset of lines (event_id ≡ 0 mod 7) is written
+    // truncated mid-object; the read uses PERMISSIVE mode with
+    // _corrupt_record, so bad lines land in quarantine instead of killing
+    // the job — the poison-line posture a 100 TB semi-structured ingest
+    // ships with (scan_csv_malformed's JSON sibling). The census proves
+    // exactly the planted lines quarantined and every healthy line parsed.
+    "scan_json_corrupt_records" -> ((s, d) => {
+      val path = tmpDir(d, "jsoncorrupt")
+      events(s, d).select("event_id", "user_id", "event_type")
+        .select(when(col("event_id") % 7 === 0,
+            concat(lit("{\"event_id\": "), col("event_id"), lit(", \"user_id\": TRUNC")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"), col("event_type"))))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select(col("event_type"), col("_corrupt_record").isNotNull.as("bad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bad").cast("long")).as("n_corrupt"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+
     // Parquet DECIMAL logical-type roundtrip: money written as
     // DECIMAL(18,4) fixed-point (the lossless way a financial 100 TB table
     // stores amounts — no binary-double drift), read back, and re-scaled
@@ -475,6 +502,11 @@ object Scans {
     "sink_compacted" ->
       s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+    "scan_json_corrupt_records" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+                count(*) AS n,
+                CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+         FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""",
     "sink_decimal_roundtrip" ->
       s"""SELECT count(*) AS n,
                  CAST(sum(${graft.Norm.d4Sql("o_totalprice")}) AS BIGINT) AS sum_d4,

@@ -1045,6 +1045,31 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"snaive mismatch: got $got want $want")
   }
 
+  test("scan_json_corrupt_records: exactly the planted lines quarantine") {
+    val rows = SparkEntry.queries("scan_json_corrupt_records")(s, d).collect()
+    val nullRow = rows.filter(_.isNullAt(0))
+    val planted = Tables.events(s, d).filter(col("event_id") % 7 === 0).count()
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == planted &&
+      nullRow.head.getLong(2) == planted,
+      s"corrupt quarantine: ${nullRow.map(_.toString).toSeq} vs $planted planted")
+    rows.filterNot(_.isNullAt(0)).foreach { r =>
+      assert(r.getLong(2) == 0, s"${r.getString(0)}: healthy group has corrupt rows")
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.events(s, d).count(), "row census")
+  }
+
+  test("join_null_routed == plain left join (route-around is semantics-free)") {
+    val fact = Tables.orders(s, d).select(
+      when(col("o_orderkey") % 10 === 0, lit(null)).otherwise(col("o_custkey")).as("k"),
+      graft.Norm.money(col("o_totalprice")).as("cents"))
+    val naive = fact.join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("k") === col("c_custkey"), "left")
+      .groupBy("seg").agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+    assertSameFrame(SparkEntry.queries("join_null_routed")(s, d),
+      naive.select("seg", "n", "total_cents"), "null-routed vs plain left join")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
