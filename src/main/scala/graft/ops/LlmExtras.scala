@@ -314,6 +314,29 @@ object LlmExtras {
     "llm_dedup_clusters" -> ((s, d) =>
       clusterReps(s, d).orderBy("doc_id")),
 
+    // Cluster-safe k-fold split — the leakage-free train/eval assignment:
+    // folds are hashed from the CLUSTER representative, so every member of
+    // a duplicate cluster lands in the same fold (a near-copy of a test
+    // doc can never sit in train). The per-fold census rides one groupBy
+    // over the CC labels; the naive_straddle_clusters column quantifies
+    // exactly the leakage a per-doc hash split would have caused (clusters
+    // torn across ≥2 folds). Fold hash = first md5 nibble mod 5 via the
+    // cross-engine instr trick — portable, partition-count-free.
+    "llm_split_cluster_safe" -> ((s, d) => {
+      val reps = clusterReps(s, d)
+      def fold(k: String) =
+        s"(instr('0123456789abcdef', substr(md5(CAST($k AS STRING)), 1, 1)) - 1) % 5"
+      val naive = reps
+        .withColumn("nfold", expr(fold("doc_id")))
+        .groupBy("cluster_rep").agg(countDistinct("nfold").as("nf"))
+        .agg(sum(when(col("nf") >= 2, 1L).otherwise(0L)).as("naive_straddle_clusters"))
+      reps.withColumn("fold", expr(fold("cluster_rep")))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("cluster_rep").as("n_clusters"))
+        .crossJoin(broadcast(naive))
+        .orderBy("fold")
+    }),
+
     // The end-product of dedup in a real training-data pipeline: ONE kept
     // document per duplicate cluster, chosen by quality (integer basis
     // points, ties to the lower doc id), with cluster size attached.
@@ -1370,6 +1393,39 @@ object LlmExtras {
     // only onto nodes with a larger id (monotone pruning — the component
     // minimum still reaches every member); min(r) per node = its component
     // representative.
+    "llm_split_cluster_safe" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                               FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                     UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(id, r) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.a, reach.r FROM reach JOIN e ON e.b = reach.id
+                 WHERE reach.r < e.a),
+               labels AS (SELECT id AS doc_id, min(r) AS cluster_rep
+                          FROM reach GROUP BY id),
+               naive AS (SELECT CAST(sum(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS naive_straddle_clusters
+                         FROM (SELECT cluster_rep,
+                                      count(DISTINCT (instr('0123456789abcdef',
+                                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 5) AS nf
+                               FROM labels GROUP BY 1))
+         SELECT (instr('0123456789abcdef',
+                       substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 1)) - 1) % 5 AS fold,
+                count(*) AS n_docs, count(DISTINCT cluster_rep) AS n_clusters,
+                naive_straddle_clusters
+         FROM labels CROSS JOIN naive
+         GROUP BY 1, naive_straddle_clusters ORDER BY fold""",
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                                FROM documents),

@@ -1070,6 +1070,29 @@ class Round7Suite extends AnyFunSuite {
       naive.select("seg", "n", "total_cents"), "null-routed vs plain left join")
   }
 
+  test("llm_split_cluster_safe: folds census all docs, zero straddle by construction") {
+    val rows = SparkEntry.queries("llm_split_cluster_safe")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+    assert(rows.map(_._2).sum == Tables.documents(s, d).count(), "fold census != |docs|")
+    // the straddle column reports the NAIVE split's leakage; the safe
+    // assignment itself cannot straddle — verify from the labels directly
+    val labels = graft.ops.Shared.ccLabels(s, TestSpark.sf).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    def fold(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(md5.head)).toLong % 5
+    }
+    val safeStraddle = labels.groupBy(_._2)
+      .count { case (rep, ms) => ms.map(m => fold(rep)).distinct.size >= 2 }
+    assert(safeStraddle == 0)
+    val naiveStraddle = labels.groupBy(_._2)
+      .count { case (_, ms) => ms.map(m => fold(m._1)).distinct.size >= 2 }
+    assert(rows.head._4 == naiveStraddle.toLong,
+      s"naive straddle ${rows.head._4} != replay $naiveStraddle")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
