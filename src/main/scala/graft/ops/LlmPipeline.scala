@@ -598,6 +598,42 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // BM25 retrieval scoring (k1=1.2, b=0.75) — the lexical ranking
+    // backbone of a RAG / negative-mining pipeline. The "query" is derived
+    // deterministically from the corpus itself: the 3 highest-df tokens
+    // appearing in at most half the docs (df-bounded so idf > 0 and the
+    // choice is reproducible; ties by token). Per-(doc, term) scores are
+    // floored to integer micro-units BEFORE the doc sum (order-immune);
+    // every mixed-type arithmetic starts from an explicit CAST AS DOUBLE
+    // (the decimal-literal rule). Scale: tf is one partial-aggregatable
+    // (doc, tok) groupBy; the 3-term query, df table slice, and 1-row
+    // length stats all broadcast; top-20 via TakeOrdered.
+    "llm_bm25_topk" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dl = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum("len").as("sumlen"))
+      val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val terms = dfT.crossJoin(broadcast(stats).select("nd"))
+        .filter(col("df") * 2 <= col("nd"))
+        .orderBy(col("df").desc, col("tok")).limit(3)
+        .select("tok", "df")
+      tf.join(broadcast(terms), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("term_micro", expr(
+          """CAST(floor(1000000 * (
+               ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(c AS DOUBLE) * 2.2)
+                  / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / nd)))))
+             )) AS BIGINT)"""))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"), sum("term_micro").as("bm25_micro"))
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(20)
+    }),
+
     // Frequency moments F0/F1/F2 of the token stream per source (AMS
     // moments): F0 = vocab size, F1 = token count, F2 = Σc² — the repeat
     // rate F2/F1² is the collision probability that predicts dedup yield
@@ -951,6 +987,25 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_bm25_topk" ->
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                     GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                     FROM documents),
+              st AS (SELECT count(*) AS nd, CAST(sum(len) AS BIGINT) AS sumlen FROM dl),
+              dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              terms AS (SELECT tok, df FROM dft CROSS JOIN st
+                        WHERE df * 2 <= nd
+                        ORDER BY df DESC, tok LIMIT 3)
+         SELECT doc_id, count(*) AS n_terms_hit,
+                CAST(sum(CAST(floor(1000000 * (
+                  ln((CAST(nd - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                  * ((CAST(c AS DOUBLE) * 2.2)
+                     / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / nd)))))
+                )) AS BIGINT)) AS BIGINT) AS bm25_micro
+         FROM tf JOIN terms USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY doc_id ORDER BY bm25_micro DESC, doc_id LIMIT 20""",
     "llm_token_moments" ->
       """WITH csw AS (SELECT source, w, count(*) AS c
                      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -1093,6 +1093,33 @@ class Round7Suite extends AnyFunSuite {
       s"naive straddle ${rows.head._4} != replay $naiveStraddle")
   }
 
+  test("llm_bm25_topk == driver replay of the BM25 ranking") {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1).split(" ", -1).toSeq))
+    val nd = docs.size.toLong
+    val sumlen = docs.map(_._2.size.toLong).sum
+    val avglen = sumlen.toDouble / nd
+    val tf = docs.flatMap { case (id, t) =>
+      t.groupBy(identity).map { case (w, v) => (id, w, v.size.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (w, v) => (w, v.size.toLong) }
+    val terms = dfm.filter(_._2 * 2 <= nd).toSeq.sortBy { case (w, df) => (-df, w) }.take(3).toMap
+    val lens = docs.map(p => (p._1, p._2.size.toLong)).toMap
+    val want = tf.filter(t => terms.contains(t._2)).groupBy(_._1).map { case (id, v) =>
+      val score = v.map { case (_, w, c) =>
+        val df = terms(w)
+        val idf = math.log(((nd - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        val tfc = (c.toDouble * 2.2) /
+          (c.toDouble + 1.2 * (0.25 + 0.75 * (lens(id).toDouble / avglen)))
+        math.floor(1000000 * (idf * tfc)).toLong
+      }.sum
+      (id, v.size.toLong, score)
+    }.toSeq.sortBy { case (id, _, sc) => (-sc, id) }.take(20)
+    val got = SparkEntry.queries("llm_bm25_topk")(s, d).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"bm25 mismatch:\n got $got\nwant $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
