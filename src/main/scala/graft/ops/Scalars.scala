@@ -284,17 +284,21 @@ object Scalars {
     // ANSI overflow-safe arithmetic (try_multiply/try_add/try_divide →
     // NULL instead of error/wraparound — what a robust 100 TB pipeline
     // uses so one poisoned row can't kill a stage). The oracle emulates
-    // the exact BIGINT overflow boundaries with CASE (cents·1e12
-    // overflows iff cents > ⌊(2⁶³−1)/1e12⌋ = 9223372; the offset add iff
-    // cents > 775807), so a hash match PROVES Spark nulls at exactly the
-    // two's-complement limits. Division nulls on % 7 == 0 rows; the
-    // surviving ratios are d4-rounded before the order-free integer sum.
+    // the exact BIGINT overflow boundaries with CASE (cents·1.87e11
+    // overflows iff cents > ⌊(2⁶³−1)/1.87e11⌋ = 49322845; the offset add
+    // iff cents > 49400000), so a hash match PROVES Spark nulls at
+    // exactly the two's-complement limits. The constants put overflow on
+    // ~1% of rows — the realistic poison-row rate — because each Spark
+    // overflow takes an exception-based slow path (~20 µs/row measured):
+    // try_* is for RARE poison, not bulk saturation arithmetic.
+    // Division nulls on % 7 == 0 rows; surviving ratios d4-round before
+    // the order-free integer sum.
     "math_try_arithmetic" -> ((s, d) =>
       orders(s, d)
         .select(money(col("o_totalprice")).as("cents"))
         .select(col("cents"),
-          expr("try_multiply(cents, 1000000000000L)").as("m"),
-          expr("try_add(cents, 9223372036854000000L)").as("a"),
+          expr("try_multiply(cents, 187000000000L)").as("m"),
+          expr("try_add(cents, 9223372036805375807L)").as("a"),
           d4(expr("try_divide(cents, cents % 7)")).as("dv"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_mul_overflow"),
@@ -466,8 +470,8 @@ object Scalars {
     "math_try_arithmetic" ->
       s"""WITH c AS (SELECT ${moneySql("o_totalprice")} AS cents FROM orders)
          SELECT count(*) AS n,
-                CAST(sum(CASE WHEN cents > 9223372 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
-                CAST(sum(CASE WHEN cents > 775807 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
+                CAST(sum(CASE WHEN cents > 49322845 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
+                CAST(sum(CASE WHEN cents > 49400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
                 CAST(sum(CASE WHEN cents % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
                 CAST(sum(CASE WHEN cents % 7 = 0 THEN NULL
                               ELSE ${d4Sql("cents / (cents % 7)")} END) AS BIGINT) AS div_d4_sum

@@ -855,8 +855,8 @@ class Round7Suite extends AnyFunSuite {
     def d4r(x: Double): Long =
       (BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
     val want = (cents.length.toLong,
-      cents.count(_ > 9223372L).toLong,
-      cents.count(_ > 775807L).toLong,
+      cents.count(_ > 49322845L).toLong,
+      cents.count(_ > 49400000L).toLong,
       cents.count(_ % 7 == 0).toLong,
       cents.filter(_ % 7 != 0).map(c => d4r(c.toDouble / (c % 7))).sum)
     val r = SparkEntry.queries("math_try_arithmetic")(s, d).collect().head
