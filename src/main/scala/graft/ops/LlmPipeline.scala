@@ -598,6 +598,27 @@ object LlmPipeline {
     // corpus×corpus. n_unseen counts unseen CONTEXTS (cp null) separately
     // from unseen transitions (cb null) — the two backoff triggers a real
     // LM distinguishes.
+    // Hashing-trick featurizer (Weinberger 2009): tokens hash into a fixed
+    // 64-bucket signed feature space — the constant-memory text
+    // representation a streaming classifier trains on when a vocabulary
+    // table is too big to hold. Bucket and sign both come from md5 nibbles
+    // via the cross-engine instr trick (portable — the same feature vector
+    // on every engine/run/partitioning, which is what makes a persisted
+    // hashed-feature table reusable). One narrow explode + one
+    // partial-aggregatable (source, bucket) groupBy — nothing vocab-sized
+    // is ever held, which is the entire point of the trick.
+    "llm_feature_hashing" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"),
+          expr("""((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64""").as("bucket"),
+          expr("""CASE WHEN (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) % 2 = 0
+                       THEN 1 ELSE -1 END""").as("sgn"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_toks"), sum("sgn").as("feat"))
+        .orderBy("source", "bucket")),
+
     // BM25 retrieval scoring (k1=1.2, b=0.75) — the lexical ranking
     // backbone of a RAG / negative-mining pipeline. The "query" is derived
     // deterministically from the corpus itself: the 3 highest-df tokens
@@ -987,6 +1008,15 @@ object LlmPipeline {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // Bigrams via the parallel-unnest zip over t[1..n-1] × t[2..n]
     // (1-based list slicing in DuckDB).
+    "llm_feature_hashing" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+         SELECT source,
+                ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS bucket,
+                count(*) AS n_toks,
+                CAST(sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) % 2 = 0
+                              THEN 1 ELSE -1 END) AS BIGINT) AS feat
+         FROM t GROUP BY 1, 2 ORDER BY source, bucket""",
     "llm_bm25_topk" ->
       """WITH tf AS (SELECT doc_id, tok, count(*) AS c
                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -215,7 +215,21 @@ object Subqueries {
                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50)
        ORDER BY o_orderkey"""
 
+  // Multi-column IN — the struct-key membership test `(a, b) IN (SELECT
+  // x, y …)`: decorrelates to a left semi join on BOTH columns at once
+  // (one shuffle on the composite key — not two nested single-column
+  // semis). Keys here: (custkey, orderstatus) pairs that ever placed an
+  // urgent order.
+  private val SUB_IN_MULTICOL =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM @orders
+       WHERE (o_custkey, o_orderstatus) IN
+             (SELECT o_custkey, o_orderstatus FROM @orders
+              WHERE o_orderpriority = '1-URGENT')
+         AND o_orderpriority = '5-LOW'
+       ORDER BY o_orderkey LIMIT 200"""
+
   val ops: Map[String, Q] = Map(
+    "sub_in_multicol" -> ((s, d) => viaSql(s, d, SUB_IN_MULTICOL, "orders")),
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
     "sub_exists"      -> ((s, d) => viaSql(s, d, SUB_EXISTS, "orders", "lineitem")),
@@ -237,7 +251,20 @@ object Subqueries {
     "sub_exists_or"   -> ((s, d) => viaSql(s, d, SUB_EXISTS_OR, "orders", "lineitem")),
   )
 
+  // DuckDB has no tuple-IN (`(a, b) IN (subq)` binds as 1 column), so the
+  // oracle uses the EXISTS form — semantically identical here because both
+  // key columns are non-null (no three-valued-logic divergence).
+  private val SUB_IN_MULTICOL_ORACLE =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+       WHERE EXISTS (SELECT 1 FROM orders u
+                     WHERE u.o_orderpriority = '1-URGENT'
+                       AND u.o_custkey = o.o_custkey
+                       AND u.o_orderstatus = o.o_orderstatus)
+         AND o_orderpriority = '5-LOW'
+       ORDER BY o_orderkey LIMIT 200"""
+
   val oracle: Map[String, String] = Map(
+    "sub_in_multicol" -> SUB_IN_MULTICOL_ORACLE,
     "sub_scalar"      -> stripMarkers(SUB_SCALAR),
     "sub_in"          -> stripMarkers(SUB_IN),
     "sub_exists"      -> stripMarkers(SUB_EXISTS),

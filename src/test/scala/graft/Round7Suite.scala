@@ -1120,6 +1120,34 @@ class Round7Suite extends AnyFunSuite {
     assert(got == want, s"bm25 mismatch:\n got $got\nwant $want")
   }
 
+  test("sub_in_multicol plans one composite-key semi join, == driver replay") {
+    val df = SparkEntry.queries("sub_in_multicol")(s, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n${plan.take(800)}")
+    val ords = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val urgent = ords.filter(_._4 == "1-URGENT").map(r => (r._2, r._3)).toSet
+    val want = ords.filter(r => r._4 == "5-LOW" && urgent((r._2, r._3)))
+      .sortBy(_._1).take(200).map(r => (r._1, r._2, r._3)).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want, s"multicol-IN mismatch (${got.size} vs ${want.size})")
+  }
+
+  test("llm_feature_hashing: signed features bounded by bucket counts") {
+    val rows = SparkEntry.queries("llm_feature_hashing")(s, d).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue, r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._3).sum
+    val wantTotal = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    assert(total == wantTotal, s"token census $total != $wantTotal")
+    rows.foreach { case (src, b, n, f) =>
+      assert(b >= 0 && b < 64, s"$src bucket $b out of range")
+      assert(math.abs(f) <= n, s"$src/$b: |feat| $f > n_toks $n")
+      assert((n - math.abs(f)) % 2 == 0, s"$src/$b: parity violated")
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
