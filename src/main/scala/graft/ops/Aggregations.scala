@@ -267,6 +267,28 @@ object Aggregations {
     // SQL form: the Dataset `rollup` API trips Spark 4.1's ambiguous-self-join
     // check whenever the grouping columns come from a join (even after a
     // projection); `GROUP BY ROLLUP` through the SQL path resolves cleanly.
+    // ROLLUP with GROUPING flags — the subtotal-row disambiguator a report
+    // consumer needs when a grouping column is legitimately NULL-able (a
+    // bare NULL can't distinguish "subtotal over X" from "X was null");
+    // g1/g2 are exact 0/1 integers on both engines. Same temp-view SQL
+    // path as agg_rollup (Dataset rollup after a join trips Spark 4.1's
+    // ambiguous-self-join check).
+    "agg_grouping_id" -> ((s, d) => {
+      val src = orders(s, d).select("o_orderstatus", "o_orderpriority")
+      val vn = s"graft_gid_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      src.createOrReplaceTempView(vn)
+      val df = s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+                   CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+                   count(*) AS n
+            FROM $vn
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      s.catalog.dropTempView(vn)
+      df
+    }),
+
     "agg_rollup" -> ((s, d) => {
       val src = customer(s, d)
         .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
@@ -784,6 +806,14 @@ object Aggregations {
                 CAST(max(tot) AS BIGINT) AS total_cents,
                 CAST(sum(CAST(floor(1000000 * (((r * n_firms) / (tot + 0.0)) * ln((r * n_firms) / (tot + 0.0)))) AS BIGINT)) AS BIGINT) AS theil_micro_sum
          FROM rev JOIN st USING (seg) GROUP BY seg ORDER BY seg""",
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus) AS BIGINT) AS g1,
+                CAST(GROUPING(o_orderpriority) AS BIGINT) AS g2,
+                count(*) AS n
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_benford" ->
       s"""WITH dg AS (SELECT substr(CAST(${moneySql("o_totalprice")} AS VARCHAR), 1, 1) AS digit,
                              count(*) AS n

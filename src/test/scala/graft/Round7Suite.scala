@@ -1148,6 +1148,23 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("agg_grouping_id: flags classify every rollup level exactly") {
+    val rows = SparkEntry.queries("agg_grouping_id")(s, d).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.orders(s, d).count()
+    // grand total row: g1=g2=1
+    val grand = rows.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand.length == 1 && grand.head._5 == total)
+    // level-1 subtotals sum to total; g-flags match null-ness exactly
+    assert(rows.filter(r => r._3 == 0 && r._4 == 1).map(_._5).sum == total)
+    assert(rows.filter(r => r._3 == 0 && r._4 == 0).map(_._5).sum == total)
+    rows.foreach { case (st, pr, g1, g2, _) =>
+      assert((g1 == 1) == st.isEmpty && (g2 == 1) == pr.isEmpty,
+        s"flags ($g1,$g2) disagree with nulls ($st,$pr)")
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
