@@ -771,6 +771,28 @@ object LlmExtras {
         .orderBy("label")
     }),
 
+    // Prefix-key dedup census — catches TRUNCATION duplicates (one doc is
+    // a cut-off or continued version of another: same first 32 tokens,
+    // different tails), which full-content hashing misses in exactly the
+    // case that matters for crawled corpora re-fetched with different
+    // truncation limits. Key = md5 of the first 32 tokens; per-source
+    // census plus the cross-source count of prefix keys seen in ≥2
+    // sources (the re-syndication signal). Only 32-char keys shuffle.
+    "llm_dedup_exact_prefix" -> ((s, d) => {
+      val keyed = documents(s, d)
+        .select(col("source"),
+          md5(expr("concat_ws(' ', slice(split(text, ' '), 1, 32))")).as("k"))
+        .localCheckpoint(false)
+      val cross = keyed.select("source", "k").distinct()
+        .groupBy("k").agg(count(lit(1)).as("ns"))
+        .agg(sum(when(col("ns") >= 2, 1L).otherwise(0L)).as("cross_source_keys"))
+      keyed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_keys"))
+        .withColumn("dup_bp", expr("10000 * (n_docs - n_keys) div n_docs"))
+        .crossJoin(broadcast(cross))
+        .orderBy("source")
+    }),
+
     // Normalization-key dedup census — the casefold/punctuation-collapse
     // pass that catches "same text, different formatting" duplicates exact
     // byte-dedup misses (the text sibling of llm_url_canonical). The key is
@@ -1240,6 +1262,19 @@ object LlmExtras {
          FROM dv CROSS JOIN mad CROSS JOIN med
          GROUP BY label ORDER BY label"""
     },
+    "llm_dedup_exact_prefix" ->
+      """WITH k AS (SELECT source,
+                           md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS k
+                    FROM documents),
+              cross_k AS (SELECT CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                   AS cross_source_keys
+                          FROM (SELECT k, count(*) AS ns
+                                FROM (SELECT DISTINCT source, k FROM k) GROUP BY 1))
+         SELECT source, count(*) AS n_docs, count(DISTINCT k) AS n_keys,
+                10000 * (count(*) - count(DISTINCT k)) // count(*) AS dup_bp,
+                cross_source_keys
+         FROM k CROSS JOIN cross_k
+         GROUP BY source, cross_source_keys ORDER BY source""",
     "llm_dedup_casefold" ->
       """WITH k AS (SELECT source,
                            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k

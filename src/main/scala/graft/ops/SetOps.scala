@@ -146,6 +146,35 @@ object SetOps {
     // through mod 2^61−1: a BIGINT sum of 2^48-sized hashes overflows
     // ANSI-fatally past ~2^15 rows — sf0.1's 150k rows already tripped it.
     // The Mersenne-prime mod keeps the checksum BIGINT at ANY row count.
+    // Partition-key uniformity audit: Shannon entropy + max bucket share
+    // for candidate partition keys (custkey mod 1024 vs order day) — the
+    // report that decides which key a 100 TB table hash-partitions on
+    // BEFORE the first skewed shuffle. Entropy terms (n/T)·ln(T/n) floor
+    // to micro-nats per bucket before the sum (order-immune, CAST AS
+    // DOUBLE rule); max share is one integral divide. Per candidate: one
+    // partial-aggregatable bucket count, one metadata-sized rollup.
+    "util_key_entropy" -> ((s, d) => {
+      val cands = orders(s, d).select(
+          expr("'custkey_mod1024'").as("key_name"),
+          expr("CAST(o_custkey % 1024 AS BIGINT)").as("bucket"))
+        .unionByName(orders(s, d).select(
+          expr("'order_day'").as("key_name"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)")
+            .as("bucket")))
+      val counts = cands.groupBy("key_name", "bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val tot = counts.groupBy("key_name")
+        .agg(sum("n").as("t"), count(lit(1)).as("n_buckets"))
+      counts.join(broadcast(tot), Seq("key_name"))
+        .withColumn("term", expr(
+          "CAST(floor(1000000 * ((CAST(n AS DOUBLE) / t) * ln(CAST(t AS DOUBLE) / n))) AS BIGINT)"))
+        .withColumn("share_bp", expr("10000 * n div t"))
+        .groupBy("key_name")
+        .agg(max("n_buckets").as("n_buckets"), max("t").as("total"),
+          sum("term").as("entropy_micro_sum"), max("share_bp").as("max_share_bp"))
+        .orderBy("key_name")
+    }),
+
     // Equi-height histogram of order totals — the ANALYZE-TABLE statistic
     // a cost-based optimizer stores (8 boundaries at k/8 quantiles + exact
     // per-bucket occupancy). All 8 boundaries resolve in ONE multi-cut
@@ -429,6 +458,22 @@ object SetOps {
                 CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
          FROM z GROUP BY 1 ORDER BY 1"""
     },
+    "util_key_entropy" ->
+      """WITH cands AS (SELECT 'custkey_mod1024' AS key_name,
+                               CAST(o_custkey % 1024 AS BIGINT) AS bucket FROM orders
+                        UNION ALL
+                        SELECT 'order_day' AS key_name,
+                               CAST(date_diff('day', DATE '1995-01-01',
+                                              CAST(o_orderdate AS DATE)) AS BIGINT) AS bucket
+                        FROM orders),
+              c AS (SELECT key_name, bucket, count(*) AS n FROM cands GROUP BY 1, 2),
+              t AS (SELECT key_name, CAST(sum(n) AS BIGINT) AS t, count(*) AS n_buckets
+                    FROM c GROUP BY 1)
+         SELECT key_name, max(n_buckets) AS n_buckets, max(t) AS total,
+                CAST(sum(CAST(floor(1000000 * ((CAST(n AS DOUBLE) / t) * ln(CAST(t AS DOUBLE) / n))) AS BIGINT)) AS BIGINT) AS entropy_micro_sum,
+                max(10000 * n // t) AS max_share_bp
+         FROM c JOIN t USING (key_name)
+         GROUP BY key_name ORDER BY key_name""",
     "util_stats_histogram" ->
       s"""WITH c AS (SELECT ${graft.Norm.moneySql("o_totalprice")} AS cents FROM orders),
               b AS (SELECT quantile_disc(cents, 0.125) AS b1, quantile_disc(cents, 0.25) AS b2,

@@ -1165,6 +1165,31 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_dedup_exact_prefix == driver replay over 32-token prefixes") {
+    val docs = Tables.documents(s, d).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ", -1).take(32).mkString(" ")))
+    val cross = docs.distinct.groupBy(_._2).count(_._2.map(_._1).toSet.size >= 2).toLong
+    val want = docs.groupBy(_._1).map { case (src, v) =>
+      val (nd, nk) = (v.size.toLong, v.map(_._2).distinct.size.toLong)
+      (src, nd, nk, 10000 * (nd - nk) / nd, cross)
+    }.toSet
+    val got = SparkEntry.queries("llm_dedup_exact_prefix")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"prefix-dedup mismatch: got $got want $want")
+  }
+
+  test("util_key_entropy: entropy bounded by ln(buckets), shares sane") {
+    val rows = SparkEntry.queries("util_key_entropy")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("custkey_mod1024", "order_day"))
+    rows.foreach { case (k, nb, total, ent, share) =>
+      assert(ent >= 0 && ent <= math.ceil(1000000 * math.log(nb.toDouble)).toLong + nb,
+        s"$k: entropy $ent outside [0, 1e6·ln($nb)]")
+      assert(share >= 10000 / nb && share <= 10000, s"$k: max share $share")
+      assert(total == Tables.orders(s, d).count(), s"$k: census")
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
