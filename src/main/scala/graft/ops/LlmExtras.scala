@@ -843,6 +843,39 @@ object LlmExtras {
         .orderBy("a", "b")
     }),
 
+    // Fixed-round BFS layer census over the co-supply graph: distance
+    // from a deterministic seed set (suppkey ≡ 0 mod 100) after EXACTLY
+    // 3 expansion rounds, plus the unreached remainder as dist −1 — the
+    // blast-radius report an incident analysis runs ("how far does a
+    // recall propagate in 3 hops"). Each round = one keyed join + one
+    // distinct + one anti join against the reached set (all
+    // blocking-bounded frames, checkpointed per round — the graph_*_fixed
+    // lineage rule); declared result is round-indexed, convergence-free.
+    "graph_bfs_layers" -> ((s, d) => {
+      val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+        .localCheckpoint(false)
+      val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+        .localCheckpoint(false)
+      val nodes = inc.select("v").distinct().localCheckpoint(false)
+      var reached = nodes.filter(col("v") % 100 === 0).withColumn("dist", lit(0L))
+        .localCheckpoint(false)
+      for (r <- 1 to 3) {
+        val frontier = reached.join(edges, col("v") === col("src"))
+          .select(col("dst").as("v")).distinct()
+          .join(reached.select("v"), Seq("v"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+        reached = reached.unionByName(frontier).localCheckpoint(false)
+      }
+      val unreached = nodes.join(reached.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(-1L))
+      reached.unionByName(unreached)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }),
+
     // Fixed-iteration k-core peeling (k=2, EXACTLY 3 rounds) over the
     // co-supply graph — the degeneracy pruning a graph pipeline runs before
     // expensive per-node work. Each round = one partial-aggregatable degree
@@ -1300,6 +1333,32 @@ object LlmExtras {
          JOIN deg da ON da.src = a
          JOIN deg db ON db.src = b
          ORDER BY a, b""",
+    "graph_bfs_layers" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+                      FROM lineitem WHERE l_quantity >= 50),
+              e AS (SELECT DISTINCT a.v AS src, b.v AS dst
+                    FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+              nodes AS (SELECT DISTINCT v FROM inc),
+              l0 AS (SELECT v FROM nodes WHERE v % 100 = 0),
+              l1 AS (SELECT DISTINCT e.dst AS v FROM e JOIN l0 ON e.src = l0.v
+                     WHERE e.dst NOT IN (SELECT v FROM l0)),
+              l2 AS (SELECT DISTINCT e.dst AS v FROM e
+                     JOIN (SELECT v FROM l0 UNION SELECT v FROM l1) r ON e.src = r.v
+                     WHERE e.dst NOT IN (SELECT v FROM l0 UNION SELECT v FROM l1)),
+              l3 AS (SELECT DISTINCT e.dst AS v FROM e
+                     JOIN (SELECT v FROM l0 UNION SELECT v FROM l1 UNION SELECT v FROM l2) r
+                       ON e.src = r.v
+                     WHERE e.dst NOT IN (SELECT v FROM l0 UNION SELECT v FROM l1
+                                         UNION SELECT v FROM l2)),
+              lay AS (SELECT 0 AS dist, v FROM l0
+                      UNION ALL SELECT 1, v FROM l1
+                      UNION ALL SELECT 2, v FROM l2
+                      UNION ALL SELECT 3, v FROM l3
+                      UNION ALL SELECT -1, v FROM nodes
+                        WHERE v NOT IN (SELECT v FROM l0 UNION SELECT v FROM l1
+                                        UNION SELECT v FROM l2 UNION SELECT v FROM l3))
+         SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+         FROM lay GROUP BY 1 ORDER BY dist""",
     "graph_kcore_fixed" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

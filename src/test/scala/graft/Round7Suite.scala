@@ -1190,6 +1190,29 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("graph_bfs_layers == driver BFS replay, layers partition the node set") {
+    val inc = Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    inc.groupBy(_._1).values.foreach { g =>
+      val vs = g.map(_._2).toSet
+      for (a <- vs; b <- vs if a != b) nbrs(a) = nbrs(a) + b
+    }
+    val nodes = inc.map(_._2).toSet
+    var dist = nodes.filter(_ % 100 == 0).map(_ -> 0L).toMap
+    for (r <- 1 to 3) {
+      val frontier = dist.filter(_._2 == r - 1).keySet.flatMap(nbrs) -- dist.keySet
+      dist = dist ++ frontier.map(_ -> r.toLong)
+    }
+    val want = (dist.groupBy(_._2).map { case (dd, m) => (dd, m.size.toLong) } +
+      (-1L -> (nodes -- dist.keySet).size.toLong)).filter(_._2 > 0).toSet
+    val got = SparkEntry.queries("graph_bfs_layers")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"bfs-layers mismatch: got $got want $want")
+    assert(got.map(_._2).sum == nodes.size, "layers don't partition the node set")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
