@@ -200,6 +200,29 @@ object Reshape {
         .groupBy("month_idx", "price_bucket").agg(count(lit(1)).as("n"))
         .orderBy("month_idx", "price_bucket")),
 
+    // Month-over-month revenue deltas per market segment — the growth
+    // table a finance dashboard reads. Corpus collapses to (seg, month)
+    // exact cents in one partial-aggregatable pass; the lag runs on the
+    // metadata-sized monthly frame. Deltas stay EXACT INTEGER cents (no
+    // growth ratio: Spark's div truncates toward zero while DuckDB's //
+    // floors, so a negative-delta ratio would diverge — the engine never
+    // divides, the reader does).
+    "ts_mom_growth" -> ((s, d) => {
+      val bySeg = Window.partitionBy("seg").orderBy("mo")
+      orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
+            .as("mo"))
+        .agg(moneySum(col("o_totalprice")).as("rev_cents"))
+        .withColumn("prev_cents", lag("rev_cents", 1).over(bySeg))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("seg"), col("mo"), col("rev_cents"), col("prev_cents"),
+          (col("rev_cents") - col("prev_cents")).as("delta_cents"))
+        .orderBy("seg", "mo")
+    }),
+
     // Seasonal-naive forecast evaluation per event type: forecast(t) =
     // value(t−7 days); report Σ|actual − snaive| vs the non-seasonal
     // naive Σ|actual − lag1| — the two MASE ingredients, emitted as exact
@@ -689,6 +712,20 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_mom_growth" ->
+      s"""WITH m AS (SELECT c_mktsegment AS seg,
+                            date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE)) // 30 AS mo,
+                            ${moneySumSql("o_totalprice")} AS rev_cents
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+              lg AS (SELECT seg, mo, rev_cents,
+                            lag(rev_cents) OVER (PARTITION BY seg ORDER BY mo) AS prev_cents
+                     FROM m)
+         SELECT seg, CAST(mo AS BIGINT) AS mo, rev_cents, prev_cents,
+                rev_cents - prev_cents AS delta_cents
+         FROM lg WHERE prev_cents IS NOT NULL
+         ORDER BY seg, mo""",
     "ts_snaive_error" ->
       """WITH daily AS (SELECT event_type,
                                date_diff('day', DATE '2024-01-01',

@@ -1213,6 +1213,22 @@ class Round7Suite extends AnyFunSuite {
     assert(got.map(_._2).sum == nodes.size, "layers don't partition the node set")
   }
 
+  test("ts_mom_growth: deltas telescope to last-minus-first per segment") {
+    val rows = SparkEntry.queries("ts_mom_growth")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rev, prev, delta) => assert(delta == rev - prev) }
+    rows.groupBy(_._1).foreach { case (seg, v) =>
+      val sorted = v.sortBy(_._2)
+      assert(sorted.map(_._5).sum == sorted.last._3 - sorted.head._4,
+        s"$seg: telescoping sum broken")
+      // consecutive rows chain: prev of row i == rev of row i-1
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        if (b._2 == a._2 + 1) assert(b._4 == a._3, s"$seg: chain broken at mo ${b._2}")
+      }
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
