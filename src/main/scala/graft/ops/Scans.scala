@@ -126,6 +126,31 @@ object Scans {
         .orderBy(col("event_type").asc_nulls_first)
     }),
 
+    // NESTED parquet roundtrip: orders denormalized into one row per
+    // customer carrying an array<struct> of its orders (the document-style
+    // layout a serving store reads in one seek), written as physical
+    // nested parquet (repeated group), read back, re-flattened, and
+    // censused against the flat original via the oracle — proving the
+    // nested encoding is lossless. The per-customer array is bounded by
+    // orders-per-customer (dim-bounded, ~10), so the collect_list buffer
+    // is NOT the unbounded-group hazard; sort_array makes the array
+    // content deterministic.
+    "sink_nested_parquet" -> ((s, d) => {
+      val path = tmpDir(d, "nestedsink")
+      orders(s, d)
+        .select(col("o_custkey"),
+          struct(col("o_orderkey"), money(col("o_totalprice")).as("cents")).as("o"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o"))).as("orders"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("o_custkey"), explode(col("orders")).as("o"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_custs"),
+          sum("o.cents").as("total_cents"),
+          min("o.o_orderkey").as("min_okey"), max("o.o_orderkey").as("max_okey"))
+    }),
+
     // Parquet DECIMAL logical-type roundtrip: money written as
     // DECIMAL(18,4) fixed-point (the lossless way a financial 100 TB table
     // stores amounts — no binary-double drift), read back, and re-scaled
@@ -507,6 +532,11 @@ object Scans {
                 count(*) AS n,
                 CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
          FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST""",
+    "sink_nested_parquet" ->
+      s"""SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs,
+                 CAST(sum(${graft.Norm.moneySql("o_totalprice")}) AS BIGINT) AS total_cents,
+                 min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+          FROM orders""",
     "sink_decimal_roundtrip" ->
       s"""SELECT count(*) AS n,
                  CAST(sum(${graft.Norm.d4Sql("o_totalprice")}) AS BIGINT) AS sum_d4,

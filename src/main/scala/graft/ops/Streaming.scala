@@ -73,6 +73,26 @@ object Streaming {
         .orderBy("user_id", "event_type")
     }),
 
+    // Chained window rollup — the multi-resolution aggregation cascade a
+    // metrics pipeline ships (15-min pre-agg → hourly rollup): the second
+    // window groups on the FIRST window's start time, which is exactly
+    // what Spark's streaming window-on-window (window_time) supports, so
+    // the same two-stage plan runs under readStream with each stage's
+    // state bounded by its own window count. Batch form here; both
+    // stages partial-aggregatable.
+    "stream_window_rollup" -> ((s, d) =>
+      events(s, d)
+        .select(tsec(col("ts")).as("ts_s"), col("event_type"))
+        .groupBy(window(col("ts_s"), "15 minutes").as("w15"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w15.start").as("w15s"), col("event_type"), col("n"))
+        .groupBy(window(col("w15s"), "1 hour").as("w"), col("event_type"))
+        .agg(sum("n").as("n_events"), max("n").as("peak_quarter"),
+          count(lit(1)).as("n_quarters"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("peak_quarter"), col("n_quarters"))
+        .orderBy("window_start", "event_type")),
+
     // Stream-static enrichment — the most common production streaming
     // shape: a watermarked event stream joined to a BROADCAST static
     // dimension (no state for the static side; Spark re-plans the dim per
@@ -290,6 +310,16 @@ object Streaming {
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type
          ORDER BY user_id, event_type""",
+    "stream_window_rollup" ->
+      s"""WITH q AS (SELECT time_bucket(INTERVAL '15 minutes', ts_s) AS w15s,
+                            event_type, count(*) AS n
+                     FROM (SELECT $tsS AS ts_s, event_type FROM events)
+                     GROUP BY 1, 2)
+          SELECT time_bucket(INTERVAL '1 hour', w15s) AS window_start, event_type,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(max(n) AS BIGINT) AS peak_quarter,
+                 count(*) AS n_quarters
+          FROM q GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream_static_enrich" ->
       s"""SELECT time_bucket(INTERVAL '1 day', ts_s) AS window_start,
                  c_mktsegment, count(*) AS n, ${moneySumSql("value")} AS sum_value

@@ -1229,6 +1229,27 @@ class Round7Suite extends AnyFunSuite {
     }
   }
 
+  test("stream_window_rollup: hourly rollup == direct hourly aggregation") {
+    val direct = Tables.events(s, d)
+      .select(graft.Norm.tsec(col("ts")).as("ts_s"), col("event_type"))
+      .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+    val got = SparkEntry.queries("stream_window_rollup")(s, d)
+      .select("window_start", "event_type", "n_events")
+    assertSameFrame(got, direct, "two-stage rollup vs direct hourly")
+  }
+
+  test("sink_nested_parquet: nested roundtrip censuses the flat table") {
+    val r = SparkEntry.queries("sink_nested_parquet")(s, d).collect().head
+    val o = Tables.orders(s, d)
+    assert(r.getLong(0) == o.count())
+    assert(r.getLong(1) == o.select("o_custkey").distinct().count())
+    val want = o.select(graft.Norm.money(col("o_totalprice")).as("c"))
+      .agg(sum("c")).head.getLong(0)
+    assert(r.getLong(2) == want, s"nested cents ${r.getLong(2)} != flat $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
