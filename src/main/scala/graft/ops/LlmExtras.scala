@@ -771,6 +771,23 @@ object LlmExtras {
         .orderBy("label")
     }),
 
+    // Quality-decile × length-bucket matrix — the pre-filter dashboard
+    // that answers "does the quality gate drop long documents
+    // disproportionately?" BEFORE committing a threshold. Quality is the
+    // engine's integer-bp score (Pipeline.withQuality — same exact SQL
+    // twin as llm_dedup_keep_best's oracle); deciles and 200-char length
+    // buckets are pure integer divides; one partial-aggregatable 2-key
+    // groupBy over the map-only scored scan.
+    "llm_quality_length_matrix" -> ((s, d) =>
+      graft.Pipeline.withQuality(documents(s, d))
+        .select(expr("quality_bp div 1000").as("q_decile"),
+          expr("CAST(n_chars AS BIGINT) div 200").as("len_bucket"),
+          col("quality_bp"))
+        .groupBy("q_decile", "len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(quality_bp) div count(1)").as("avg_q_bp"))
+        .orderBy("q_decile", "len_bucket")),
+
     // Prefix-key dedup census — catches TRUNCATION duplicates (one doc is
     // a cut-off or continued version of another: same first 32 tokens,
     // different tails), which full-content hashing misses in exactly the
@@ -1295,6 +1312,20 @@ object LlmExtras {
          FROM dv CROSS JOIN mad CROSS JOIN med
          GROUP BY label ORDER BY label"""
     },
+    "llm_quality_length_matrix" ->
+      """WITH q AS (SELECT n_chars,
+                           (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+                    FROM (SELECT n_chars,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                                 CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a'))) AS BIGINT) AS st,
+                                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                                 CAST(length(text) AS BIGINT) AS len
+                          FROM documents))
+         SELECT quality_bp // 1000 AS q_decile,
+                CAST(n_chars AS BIGINT) // 200 AS len_bucket,
+                count(*) AS n_docs,
+                CAST(sum(quality_bp) AS BIGINT) // count(*) AS avg_q_bp
+         FROM q GROUP BY 1, 2 ORDER BY q_decile, len_bucket""",
     "llm_dedup_exact_prefix" ->
       """WITH k AS (SELECT source,
                            md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS k

@@ -1250,6 +1250,18 @@ class Round7Suite extends AnyFunSuite {
     assert(r.getLong(2) == want, s"nested cents ${r.getLong(2)} != flat $want")
   }
 
+  test("llm_quality_length_matrix censuses all docs, consistent with withQuality") {
+    val rows = SparkEntry.queries("llm_quality_length_matrix")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == Tables.documents(s, d).count(), "matrix census")
+    val q = graft.Pipeline.withQuality(Tables.documents(s, d))
+      .select("quality_bp", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val want = q.groupBy { case (qb, nc) => (qb / 1000, nc / 200) }
+      .map { case (k, v) => (k._1, k._2, v.size.toLong, v.map(_._1).sum / v.size) }.toSet
+    assert(rows.toSet == want, s"matrix mismatch: got ${rows.toSet} want $want")
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
