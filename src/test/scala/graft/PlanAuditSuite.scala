@@ -245,6 +245,34 @@ class PlanAuditSuite extends AnyFunSuite {
     }
   }
 
+  test("llm_bm25_topk: top-20 via TakeOrdered, LM tables broadcast") {
+    val p = plan("llm_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "bm25 top-20 is not TakeOrdered")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bm25 query/df tables do not broadcast")
+  }
+
+  test("sort_hash_sample collapses to TakeOrdered over the md5 key") {
+    val p = plan("sort_hash_sample")
+    assert(p.contains("TakeOrderedAndProject"), "hash sample is not TakeOrdered")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "hash sample pays a global range sort")
+  }
+
+  test("stream_static_enrich: the static dim joins via broadcast hash join") {
+    val p = plan("stream_static_enrich")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n${p.take(800)}")
+  }
+
+  test("ts_peak_concurrency: no window or corpus sort — explode then partial aggs only") {
+    val df = SparkEntry.queries("ts_peak_concurrency")(s, d)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "concurrency sweep fell back to a window formulation")
+    val p = plan("ts_peak_concurrency")
+    assert(p.contains("Generate explode"), "minute-occupancy explode missing")
+  }
+
   test("util_skew_report takes its top-5 via TakeOrdered, never a global sort of the key frame") {
     val p = plan("util_skew_report")
     assert(p.contains("TakeOrderedAndProject"),
