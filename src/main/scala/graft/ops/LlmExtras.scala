@@ -788,6 +788,21 @@ object LlmExtras {
           expr("sum(quality_bp) div count(1)").as("avg_q_bp"))
         .orderBy("q_decile", "len_bucket")),
 
+    // Bag-of-words dedup census — the word-REORDER duplicate (same token
+    // multiset, shuffled order: list-reformatted or sentence-permuted
+    // copies) that byte/prefix hashing misses. Key = md5 of the SORTED
+    // token sequence (multiset-preserving — duplicated words keep their
+    // count, unlike the distinct-set key); per-source census, only
+    // 32-char keys shuffle.
+    "llm_dedup_wordorder" -> ((s, d) =>
+      documents(s, d)
+        .select(col("source"),
+          md5(expr("concat_ws(' ', array_sort(split(text, ' ')))")).as("k"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("k").as("n_keys"))
+        .withColumn("dup_bp", expr("10000 * (n_docs - n_keys) div n_docs"))
+        .orderBy("source")),
+
     // Prefix-key dedup census — catches TRUNCATION duplicates (one doc is
     // a cut-off or continued version of another: same first 32 tokens,
     // different tails), which full-content hashing misses in exactly the
@@ -1326,6 +1341,13 @@ object LlmExtras {
                 count(*) AS n_docs,
                 CAST(sum(quality_bp) AS BIGINT) // count(*) AS avg_q_bp
          FROM q GROUP BY 1, 2 ORDER BY q_decile, len_bucket""",
+    "llm_dedup_wordorder" ->
+      """WITH k AS (SELECT source,
+                           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS k
+                    FROM documents)
+         SELECT source, count(*) AS n_docs, count(DISTINCT k) AS n_keys,
+                10000 * (count(*) - count(DISTINCT k)) // count(*) AS dup_bp
+         FROM k GROUP BY source ORDER BY source""",
     "llm_dedup_exact_prefix" ->
       """WITH k AS (SELECT source,
                            md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS k

@@ -200,6 +200,30 @@ object Reshape {
         .groupBy("month_idx", "price_bucket").agg(count(lit(1)).as("n"))
         .orderBy("month_idx", "price_bucket")),
 
+    // Weekly churn: users active in week w but not w+1 (right-censored
+    // at the last week, by construction of the join). Collapses to the
+    // DISTINCT (user, week) frame first — the only corpus-sized,
+    // partial-aggregatable stage — then a self equi-join on (user, w+1)
+    // over that metadata-sized frame; churn share in integer bp.
+    "ts_churn_by_week" -> ((s, d) => {
+      val um = events(s, d)
+        .select(col("user_id"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') div 7 AS BIGINT)""").as("wk"))
+        .distinct()
+        .localCheckpoint(false)
+      um.as("a")
+        .join(um.as("b"),
+          col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1,
+          "left")
+        .groupBy(col("a.wk").as("wk"))
+        .agg(count(lit(1)).as("n_active"),
+          count(col("b.user_id")).as("n_retained"))
+        .withColumn("n_churned", col("n_active") - col("n_retained"))
+        .withColumn("churn_bp", expr("10000 * n_churned div n_active"))
+        .orderBy("wk")
+    }),
+
     // Month-over-month revenue deltas per market segment — the growth
     // table a finance dashboard reads. Corpus collapses to (seg, month)
     // exact cents in one partial-aggregatable pass; the lag runs on the
@@ -712,6 +736,17 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_churn_by_week" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+                            date_diff('day', DATE '2024-01-01',
+                                      CAST(date_trunc('day', ts) AS DATE)) // 7 AS wk
+                     FROM events)
+         SELECT CAST(a.wk AS BIGINT) AS wk, count(*) AS n_active,
+                count(b.user_id) AS n_retained,
+                count(*) - count(b.user_id) AS n_churned,
+                10000 * (count(*) - count(b.user_id)) // count(*) AS churn_bp
+         FROM um a LEFT JOIN um b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+         GROUP BY a.wk ORDER BY wk""",
     "ts_mom_growth" ->
       s"""WITH m AS (SELECT c_mktsegment AS seg,
                             date_diff('day', DATE '1995-01-01',

@@ -1262,6 +1262,38 @@ class Round7Suite extends AnyFunSuite {
     assert(rows.toSet == want, s"matrix mismatch: got ${rows.toSet} want $want")
   }
 
+  test("ts_churn_by_week == driver replay over weekly active sets") {
+    val um = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                              DATE'2024-01-01') div 7 AS BIGINT)""").as("wk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = um.groupBy(_._2).map { case (w, v) => (w, v.map(_._1).toSet) }
+    val want = byWeek.map { case (w, users) =>
+      val retained = byWeek.get(w + 1).map(n => (users & n).size.toLong).getOrElse(0L)
+      val churned = users.size - retained
+      (w, users.size.toLong, retained, churned, 10000 * churned / users.size)
+    }.toSet
+    val got = SparkEntry.queries("ts_churn_by_week")(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"churn mismatch: got $got want $want")
+  }
+
+  test("llm_dedup_wordorder: multiset key collapses at most as much as casefold+order") {
+    val rows = SparkEntry.queries("llm_dedup_wordorder")(s, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == Tables.documents(s, d).count(), "census")
+    val docs = Tables.documents(s, d).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1).split(" ", -1).sorted.toSeq))
+    val want = docs.groupBy(_._1).map { case (src, v) =>
+      src -> ((v.size.toLong, v.map(_._2).distinct.size.toLong))
+    }.toMap
+    rows.foreach { case (src, nd, nk, dbp) =>
+      assert(((nd, nk)) == want(src), s"$src: ($nd,$nk) vs ${want(src)}")
+      assert(dbp == 10000 * (nd - nk) / nd)
+    }
+  }
+
   test("util_log2_histogram: buckets bound their extrema, census is total") {
     val rows = SparkEntry.queries("util_log2_histogram")(s, d).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(s, d).count(), "bucket census")
