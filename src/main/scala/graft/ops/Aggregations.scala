@@ -83,8 +83,12 @@ object Aggregations {
     // sides). Scale: one partial-aggregatable 9-group groupBy plus a
     // broadcast 1-row total — nothing corpus-sized held or sorted.
     "agg_benford" -> ((s, d) => {
+      // guard digit ∈ '1'..'9' so the op is total over its input domain: a
+      // zero/negative amount would yield digit '0'/'-' whose 1/CAST diverges
+      // between engines (Spark non-ANSI → NULL/Infinity, DuckDB errors)
       val digits = orders(s, d)
         .select(substring(money(col("o_totalprice")).cast("string"), 1, 1).as("digit"))
+        .filter(col("digit").between("1", "9"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val tot = digits.agg(sum("n").as("total"))
       digits.crossJoin(broadcast(tot))
@@ -817,7 +821,9 @@ object Aggregations {
     "agg_benford" ->
       s"""WITH dg AS (SELECT substr(CAST(${moneySql("o_totalprice")} AS VARCHAR), 1, 1) AS digit,
                              count(*) AS n
-                      FROM orders GROUP BY 1)
+                      FROM orders
+                      WHERE substr(CAST(${moneySql("o_totalprice")} AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+                      GROUP BY 1)
          SELECT digit, n,
                 10000 * n // CAST((SELECT sum(n) FROM dg) AS BIGINT) AS share_bp,
                 CAST(floor(10000 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT) AS benford_bp

@@ -142,9 +142,12 @@ object Reshape {
                                 DATE'2024-01-01') AS BIGINT)""").as("day"))
         .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
         .localCheckpoint(false)
+      // q_tot and its 1e6 scaling ride DECIMAL(38,0) (agg_gini accumulator
+      // rule): BIGINT c² sums wrap silently in non-ANSI Spark at large day
+      // counts while DuckDB raises — decimal overflows loudly on both
       val tot = daily.groupBy("event_type")
         .agg(count(lit(1)).as("n_days"), sum("c").as("s_tot"),
-          sum(expr("c * c")).as("q_tot"))
+          expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("q_tot"))
       val dw = daily.groupBy(col("event_type"), expr("day % 7").as("dow"))
         .agg(count(lit(1)).as("n_k"), sum("c").as("s_k"))
         .withColumn("term",
@@ -155,9 +158,9 @@ object Reshape {
           (col("ssb_terms_micro") -
             expr("CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT)"))
             .as("ssb_micro"),
-          (expr("1000000 * q_tot") -
-            expr("CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT)"))
-            .as("sst_micro"))
+          expr("""CAST(1000000 * q_tot -
+                       CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT)
+                       AS BIGINT)""").as("sst_micro"))
         .orderBy("event_type")
     }),
 
@@ -849,7 +852,7 @@ object Reshape {
                                count(*) AS c
                         FROM events GROUP BY 1, 2),
               tot AS (SELECT event_type, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS s_tot,
-                             CAST(sum(c * c) AS BIGINT) AS q_tot
+                             sum(c * c) AS q_tot
                       FROM daily GROUP BY 1),
               dw AS (SELECT event_type,
                             CAST(sum(CAST(floor(1000000 * (CAST(s_k AS DOUBLE) * s_k / n_k)) AS BIGINT)) AS BIGINT) AS ssb_terms_micro
@@ -859,7 +862,7 @@ object Reshape {
                      GROUP BY 1)
          SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
                 ssb_terms_micro - CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT) AS ssb_micro,
-                1000000 * q_tot - CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT) AS sst_micro
+                CAST(1000000 * q_tot - CAST(floor(1000000 * (CAST(s_tot AS DOUBLE) * s_tot / n_days)) AS BIGINT) AS BIGINT) AS sst_micro
          FROM tot JOIN dw USING (event_type) ORDER BY event_type""",
     "ts_peak_concurrency" ->
       """WITH occ AS (SELECT event_type,

@@ -293,9 +293,16 @@ object Scalars {
     // try_* is for RARE poison, not bulk saturation arithmetic.
     // Division nulls on % 7 == 0 rows; surviving ratios d4-round before
     // the order-free integer sum.
+    // The oracle emulates Spark's overflow boundaries with hardcoded
+    // constants (cents > 49322845 / 49400000) that are ONLY valid for
+    // cents >= 0; a negative amount would also overflow on the negative
+    // side, which the CASE does not model. The filter pins that domain
+    // assumption on BOTH engines (fixture-safe: o_totalprice > 0), so a
+    // future fixture with negative amounts cannot silently desynchronize.
     "math_try_arithmetic" -> ((s, d) =>
       orders(s, d)
         .select(money(col("o_totalprice")).as("cents"))
+        .filter(col("cents") >= 0)
         .select(col("cents"),
           expr("try_multiply(cents, 187000000000L)").as("m"),
           expr("try_add(cents, 9223372036805375807L)").as("a"),
@@ -468,7 +475,8 @@ object Scalars {
                 lang AS q_lang
          FROM documents ORDER BY doc_id LIMIT 100""",
     "math_try_arithmetic" ->
-      s"""WITH c AS (SELECT ${moneySql("o_totalprice")} AS cents FROM orders)
+      s"""WITH c AS (SELECT ${moneySql("o_totalprice")} AS cents FROM orders
+                     WHERE ${moneySql("o_totalprice")} >= 0)
          SELECT count(*) AS n,
                 CAST(sum(CASE WHEN cents > 49322845 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_overflow,
                 CAST(sum(CASE WHEN cents > 49400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_overflow,
