@@ -630,22 +630,19 @@ object LlmExtras {
 
     // k-NN graph over the embedding corpus: every vector's 3 nearest
     // neighbors by exact cosine (the input to graph-based ANN indexes and
-    // embedding-cluster analyses). All pairs run once through the
-    // block-partitioned cogroup kernel (threshold -2 = emit all), then a
-    // per-source window ranks; ranking happens on the RAW double (mirrored
-    // in the oracle) and only the emitted cosine is basis-point-scaled.
-    // Exact by oracle contract; at 100 TB build the k-NN graph with
+    // embedding-cluster analyses). Each unordered pair is evaluated ONCE in
+    // the block cogroup, feeding both endpoints' in-task k-heaps; only each
+    // vector's local top-3 per task leaves the kernel (n·(blocks+1)·k rows)
+    // and the bounded-heap merge ranks — the old form shuffled all n² pair
+    // rows into a per-source window. Ranking happens on the RAW double
+    // (mirrored in the oracle); only the emitted cosine is d4-scaled.
+    // Exact by oracle contract (the n²·dim dot work is the price — see the
+    // SimKernel isotropy note); at 100 TB build the k-NN graph with
     // llm_sim_ann_ivf per-shard + merge (SCALE_TUNING substitution rule).
-    "llm_sim_knn" -> ((s, d) => {
-      val half = SimKernel.cosinePairs(s, vecs(s, d), -2.0)
-      val both = half.select(col("vid_a").as("src"), col("vid_b").as("dst"), col("cos"))
-        .union(half.select(col("vid_b").as("src"), col("vid_a").as("dst"), col("cos")))
-      both.withColumn("rank", row_number().over(
-          Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
-        .filter(col("rank") <= 3)
+    "llm_sim_knn" -> ((s, d) =>
+      SimKernel.knnExact(s, vecs(s, d), 3)
         .select(col("src"), col("dst"), d4(col("cos")).as("cosine"), col("rank"))
-        .orderBy("src", "rank")
-    }),
+        .orderBy("src", "rank")),
 
     // Embedding-cosine near-dup: vectors whose cosine >= 0.55 form duplicate
     // pairs; the higher vec_id of each pair is dropped and survivors are

@@ -331,21 +331,27 @@ object LlmPipeline {
     }),
 
     // Exact all-pairs by oracle contract. Safe (block-partitioned, bounded
-    // task memory) but O(n²·dim) total work — beyond ~1e7 vectors substitute
-    // llm_sim_ann_lsh per SCALE_TUNING "exact↔approximate substitution rule".
+    // task memory); each pair's full dot sits behind the exact
+    // prefix + Cauchy–Schwarz early exit (SimKernel — skips ~half the
+    // suffix work at threshold 0.5 on this corpus, provably emission-safe).
+    // Total work is still O(n²) pair visits — beyond ~1e7 vectors
+    // substitute llm_sim_ann_lsh per SCALE_TUNING "exact↔approximate
+    // substitution rule".
     "llm_sim_cosine_pairs" -> ((s, d) =>
       SimKernel.cosinePairs(s, vecs(s, d), 0.5)
         .select(col("vid_a"), col("vid_b"), d4(col("cos")).as("cosine"))
         .orderBy("vid_a", "vid_b")),
 
-    // Exact query-vs-corpus scoring; at index-worthy corpus sizes substitute
-    // llm_sim_ann_ivf (SCALE_TUNING substitution rule) and keep this kernel
-    // as the sampled-slice recall oracle.
+    // Exact query-vs-corpus scoring: one linear broadcast-scored pass, then
+    // the map-side-combinable bounded-heap top-k (SimKernel.topKPerKey) —
+    // only ≤5 rows per (query, partition) shuffle, where the old
+    // row_number window shuffled all 10·n scored rows. At index-worthy
+    // corpus sizes substitute llm_sim_ann_ivf (SCALE_TUNING substitution
+    // rule) and keep this kernel as the sampled-slice recall oracle.
     "llm_sim_topk" -> ((s, d) =>
-      SimKernel.scoreAgainstQueries(s, vecs(s, d), vecs(s, d).filter(col("vec_id") < 10))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
-        .filter(col("rank") <= 5)
+      SimKernel.topKPerKey(s,
+        SimKernel.scoreAgainstQueries(s, vecs(s, d), vecs(s, d).filter(col("vec_id") < 10)),
+        "qid", "vid", "cos", 5)
         .select(col("qid"), col("vid"), d4(col("cos")).as("cosine"), col("rank"))
         .orderBy("qid", "rank")),
 
@@ -660,17 +666,22 @@ object LlmPipeline {
     // rate F2/F1² is the collision probability that predicts dedup yield
     // and hash-partition skew before either job runs. Exact via one
     // (source, w) partial agg then an algebraic rollup; repeat rate
-    // emitted as ppb via one integral divide (F2·1e9 div F1² — headroom:
-    // F2 ≤ F1² ≪ 2⁶³ documented at fixture scale; at larger corpora the
-    // DECIMAL(38,0) accumulator rule applies).
+    // emitted as ppb via one integral divide. The scaled products ride the
+    // DECIMAL(38,0) accumulator rule (agg_gini precedent): 1e9·F2 and F1²
+    // would silently wrap BIGINT under Spark's non-ANSI arithmetic beyond
+    // ~3e9 tokens/source while DuckDB raises — decimal math overflows
+    // loudly on both engines instead (DuckDB mirrors via its HUGEINT sums).
     "llm_token_moments" -> ((s, d) => {
       val csw = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       csw.groupBy("source")
         .agg(count(lit(1)).as("f0"), sum("c").as("f1"),
-          sum(expr("c * c")).as("f2"))
-        .withColumn("repeat_ppb", expr("1000000000 * f2 div (f1 * f1)"))
+          expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("f2d"))
+        .select(col("source"), col("f0"), col("f1"),
+          expr("CAST(f2d AS BIGINT)").as("f2"),
+          expr("CAST(1000000000 * f2d div (CAST(f1 AS DECIMAL(38,0)) * f1) AS BIGINT)")
+            .as("repeat_ppb"))
         .orderBy("source")
     }),
 
@@ -1042,8 +1053,7 @@ object LlmPipeline {
                      GROUP BY 1, 2)
          SELECT source, count(*) AS f0, CAST(sum(c) AS BIGINT) AS f1,
                 CAST(sum(c * c) AS BIGINT) AS f2,
-                1000000000 * CAST(sum(c * c) AS BIGINT)
-                  // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS repeat_ppb
+                CAST(1000000000 * sum(c * c) // (sum(c) * sum(c)) AS BIGINT) AS repeat_ppb
          FROM csw GROUP BY source ORDER BY source""",
     "llm_source_kl" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -133,6 +133,8 @@ class PlanAuditSuite extends AnyFunSuite {
     val p = plan("llm_sim_topk")
     assert(p.contains("graft_dot"), "dot must run through the codegen Expression")
     assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(!p.contains("Window ["),
+      "top-k must ride the bounded-heap aggregate, not a corpus-sized window (r8)")
   }
 
   test("llm_sim_ann_ivf dots run through graft_dot") {
@@ -157,6 +159,9 @@ class PlanAuditSuite extends AnyFunSuite {
     val p = plan("llm_sim_knn")
     assert(p.contains("CoGroup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window ["),
+      "per-source rank must ride the in-cogroup top-k + bounded-heap merge, " +
+        "not an n²-row window (r8)")
   }
 
   test("join_bucketed_colocated joins with zero Exchange between the bucketed scans") {

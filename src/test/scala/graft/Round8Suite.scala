@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 rework equivalences: the similarity trio's shuffle-shedding
+  * kernels (bounded-heap top-k, in-cogroup k-NN, prefix+Cauchy–Schwarz
+  * pair pruning) must produce EXACTLY the frame the naive window/unpruned
+  * forms produce — the naive form stays in the test as the executable
+  * semantic definition, as in Round7Suite.
+  */
+class Round8Suite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  private def assertSameFrame(got: DataFrame, want: DataFrame, hint: String): Unit = {
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    assert(extra == 0 && missing == 0,
+      s"$hint: +$extra unexpected / -$missing missing rows")
+  }
+
+  private def vecs: DataFrame = graft.ops.Shared.vecs(s, d)
+
+  test("llm_sim_topk (bounded-heap agg) == row_number window form") {
+    val scored = graft.ops.SimKernel.scoreAgainstQueries(
+      s, vecs, vecs.filter(col("vec_id") < 10))
+    val naive = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vid"), graft.Norm.d4(col("cos")).as("cosine"),
+        col("rank"))
+    val got = SparkEntry.queries("llm_sim_topk")(s, d)
+    assertSameFrame(got, naive, "topk agg vs window")
+  }
+
+  test("llm_sim_knn (in-cogroup local top-k) == all-pairs window form") {
+    val half = graft.ops.SimKernel.cosinePairs(s, vecs, -2.0)
+    val both = half.select(col("vid_a").as("src"), col("vid_b").as("dst"), col("cos"))
+      .union(half.select(col("vid_b").as("src"), col("vid_a").as("dst"), col("cos")))
+    val naive = both.withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("dst"), graft.Norm.d4(col("cos")).as("cosine"),
+        col("rank"))
+    val got = SparkEntry.queries("llm_sim_knn")(s, d)
+    assertSameFrame(got, naive, "knn kernel vs window")
+  }
+
+  test("cosinePairs prefix-CS pruning changes nothing vs a brute-force join") {
+    // brute force: every ordered pair through the codegen graft_dot
+    val a = vecs.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecs.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+    val got = graft.ops.SimKernel.cosinePairs(s, vecs, 0.35)
+    assertSameFrame(got, naive, "pruned pairs vs brute force")
+  }
+
+  test("cosinePairs pruning actually engages (>=25% of pair visits skip the suffix)") {
+    // the kernel directly, NOT the declared op: the op's orderBy adds a
+    // range-partitioner sampling pass that executes the kernel twice and
+    // doubles the counters
+    val df = graft.ops.SimKernel.cosinePairs(s, vecs, 0.5)
+    val (nEval, nPruned) = (graft.ops.SimKernel.pruneCounters._1,
+      graft.ops.SimKernel.pruneCounters._2)
+    df.collect()
+    val total = nEval.value + nPruned.value
+    val n = vecs.count()
+    assert(total == n * (n - 1) / 2,
+      s"pair visits $total != C($n,2) — the block kernel lost or duplicated pairs")
+    assert(nPruned.value * 4 >= total,
+      s"pruning collapsed: ${nPruned.value} of $total visits pruned (floor 25%) — " +
+        "if the corpus stopped being isotropic, revisit prefixDims")
+  }
+
+  test("TopKBuf: (score desc, id asc) order, k cap, insertion-order invariance") {
+    val items = Seq((0.5, 7L), (0.9, 3L), (0.5, 2L), (0.1, 9L), (0.9, 8L),
+      (0.7, 1L), (0.5, 4L))
+    val want = Seq((0.9, 3L), (0.9, 8L), (0.7, 1L)) // ties by id asc
+    for (perm <- Seq(items, items.reverse, items.sortBy(_._2), items.sortBy(_._1))) {
+      val buf = new graft.ops.TopKBuf(3)
+      perm.foreach { case (sc, id) => buf.insert(sc, id) }
+      assert(buf.toPairs.toSeq == want, s"order ${perm.take(3)}…")
+    }
+    // merge of disjoint partials == single-buffer insert of the union
+    val b1 = new graft.ops.TopKBuf(3); val b2 = new graft.ops.TopKBuf(3)
+    items.take(3).foreach { case (sc, id) => b1.insert(sc, id) }
+    items.drop(3).foreach { case (sc, id) => b2.insert(sc, id) }
+    assert(b1.mergeFrom(b2).toPairs.toSeq == want, "merge path")
+    // fewer than k items: all emitted, ordered
+    val small = new graft.ops.TopKBuf(5)
+    small.insert(0.2, 5L); small.insert(0.8, 6L)
+    assert(small.toPairs.toSeq == Seq((0.8, 6L), (0.2, 5L)))
+  }
+}
