@@ -17,6 +17,43 @@ object Scans {
     s"${System.getProperty("java.io.tmpdir")}/graft_$fmt${Math.abs(d.hashCode)}"
 
   val ops: Map[String, Q] = Map(
+    // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
+    // stats are fed to the optimizer through the supported channel — a
+    // managed catalog copy + ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS —
+    // and the declared result reads the CATALOG's stored stats back, so the
+    // oracle (the same facts computed directly from the data) proves the
+    // numbers the cost-based optimizer plans with are the TRUE table
+    // properties. ndv comes from HLL++, which is exact at dimension
+    // cardinality (25/5 distinct); min/max/nullCount/rowCount are exact by
+    // construction. The resulting stats-driven PLAN change (a filtered
+    // analyzed dim turning broadcastable under spark.sql.cbo.enabled) is
+    // plan-asserted in Round8Suite. The stats read is catalog METADATA —
+    // bounded like win_percent's bucket totals, not a data collect.
+    "scan_cbo_stats" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val tbl = s"graft_cbo_nation_${Math.abs(d.hashCode)}"
+      // idempotence across FRESH in-memory catalogs: a previous JVM's
+      // managed-table directory survives in spark-warehouse while the new
+      // catalog has no entry for it, and CREATE then fails on the non-empty
+      // location — drop the catalog entry AND the orphan directory first
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      nation(s, d).write.mode("overwrite").format("parquet").saveAsTable(tbl)
+      s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      val st = meta.stats.get
+      val nk = st.colStats("n_nationkey")
+      val rk = st.colStats("n_regionkey")
+      Seq((st.rowCount.get.toLong,
+        nk.min.get.toLong, nk.max.get.toLong,
+        nk.distinctCount.get.toLong, nk.nullCount.get.toLong,
+        rk.distinctCount.get.toLong))
+        .toDF("row_count", "nk_min", "nk_max", "nk_ndv", "nk_nulls", "rk_ndv")
+    }),
     // CSV sink + source: documents metadata written to CSV with header and
     // read back with an explicit schema; the oracle queries the original
     // parquet directly, so a hash match proves the roundtrip is lossless.
@@ -509,6 +546,14 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "scan_cbo_stats" ->
+      """SELECT count(*) AS row_count,
+                CAST(min(n_nationkey) AS BIGINT) AS nk_min,
+                CAST(max(n_nationkey) AS BIGINT) AS nk_max,
+                count(DISTINCT n_nationkey) AS nk_ndv,
+                CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nk_nulls,
+                count(DISTINCT n_regionkey) AS rk_ndv
+         FROM nation""",
     "scan_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",

@@ -51,7 +51,44 @@ object Streaming {
     }
   }
 
+  private def tmpDir(d: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag${Math.abs(d.hashCode)}"
+
   val ops: Map[String, Q] = Map(
+    // Streaming FILE-SOURCE ingest — the one production streaming source
+    // this sandbox can exercise (no broker exists; README boundary note).
+    // The op materializes the drop directory a collector would write
+    // (line-delimited JSON, epoch-seconds + integer cents — the schema a
+    // readStream file source needs declared up front), then runs the
+    // batch form of the exact pipeline the streaming twin runs: schema'd
+    // read → NTZ reconstruction → 6-hour tumbling window per event type.
+    // StreamingSuite's twin drives the SAME directory through readStream
+    // with maxFilesPerTrigger=1 + checkpoint + mid-stream restart and
+    // must equal this frame (exactly-once file-source semantics); the
+    // incremental-discovery and state-restore mechanics are separately
+    // pinned by the file-source and checkpoint-restart tests there.
+    // Scale: the JSON scan is file-parallel, the window agg is
+    // partial-aggregatable with state bounded by (windows × types).
+    "stream_file_source" -> ((s, d) => {
+      val path = tmpDir(d, "filesrc_op")
+      events(s, d)
+        .select(col("event_id"),
+          expr("unix_timestamp(CAST(date_trunc('second', ts) AS TIMESTAMP))").as("epoch_s"),
+          col("event_type"), money(col("value")).as("cents"))
+        // hash-bucketed multi-file drop (what a sharded collector writes) —
+        // also guarantees the restart twin several discrete trigger units
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id LONG, epoch_s LONG, event_type STRING, cents LONG")
+        .json(path)
+        .select(expr("CAST(timestamp_seconds(epoch_s) AS TIMESTAMP_NTZ)").as("ts_s"),
+          col("event_type"), col("cents"))
+        .groupBy(window(col("ts_s"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+        .orderBy("window_start", "event_type")
+    }),
     // The Spark 4 transformWithState state API as a DECLARED operator:
     // per-user MapState keyed by event type; the batch form's single input
     // batch makes the emitted map the final per-(user, type) counts.
@@ -306,6 +343,17 @@ object Streaming {
   private val tsS = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
 
   val oracle: Map[String, String] = Map(
+    // Mirrors the op's epoch-seconds reconstruction: second-truncated ts,
+    // 6-hour buckets (time_bucket's 2000-01-01 origin is 6h-aligned to the
+    // unix epoch, so the buckets coincide with Spark's window()), per-row
+    // exact cents summed.
+    "stream_file_source" ->
+      s"""SELECT time_bucket(INTERVAL '6 hours', ts_s) AS window_start,
+                 event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM (SELECT $tsS AS ts_s, event_type, ${moneySql("value")} AS cents
+                FROM events)
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream_transform_state" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type

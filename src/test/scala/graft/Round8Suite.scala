@@ -79,6 +79,44 @@ class Round8Suite extends AnyFunSuite {
         "if the corpus stopped being isotropic, revisit prefixDims")
   }
 
+  test("scan_cbo_stats: ANALYZE'd column stats flip a filtered dim to broadcast under CBO") {
+    SparkEntry.queries("scan_cbo_stats")(s, d).collect() // creates + ANALYZEs the table
+    val tbl = s"graft_cbo_nation_${Math.abs(d.hashCode)}"
+    val noStats = tbl + "_nostats"
+    s.sql(s"DROP TABLE IF EXISTS $noStats")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(noStats)))
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Tables.nation(s, d).write.mode("overwrite").format("parquet").saveAsTable(noStats)
+    val conf = s.conf
+    val oldCbo = conf.get("spark.sql.cbo.enabled", "false")
+    val oldThr = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.cbo.enabled", "true")
+      // between the CBO estimate of the filtered analyzed dim (~3 rows ·
+      // row width ≈ 10² B) and the file-size fallback of the twin (kB-scale)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      // the catalog rowCount must reach the optimizer's stats visitor
+      val rc = s.table(tbl).queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(25)), s"catalog rowCount not visible to CBO: $rc")
+      def planFor(t: String): String =
+        Tables.supplier(s, d)
+          .join(s.table(t).filter(col("n_nationkey") < 3),
+            col("s_nationkey") === col("n_nationkey"))
+          .queryExecution.executedPlan.toString
+      assert(planFor(tbl).contains("BroadcastHashJoin"),
+        "with column stats the 3-row filtered dim must broadcast")
+      assert(!planFor(noStats).contains("BroadcastHashJoin"),
+        "without stats the same join must stay non-broadcast at this threshold " +
+          "(if this fires, the file-size fallback shrank below 1 KB — retune)")
+    } finally {
+      conf.set("spark.sql.cbo.enabled", oldCbo)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThr)
+      s.sql(s"DROP TABLE IF EXISTS $noStats")
+    }
+  }
+
   test("TopKBuf: (score desc, id asc) order, k cap, insertion-order invariance") {
     val items = Seq((0.5, 7L), (0.9, 3L), (0.5, 2L), (0.1, 9L), (0.9, 8L),
       (0.7, 1L), (0.5, 4L))

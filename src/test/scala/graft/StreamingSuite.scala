@@ -210,6 +210,60 @@ class StreamingSuite extends AnyFunSuite {
     assert(metrics.getAs[Double]("total") > 0)
   }
 
+  test("stream_file_source twin: readStream over the op's drop dir + mid-stream restart == batch op") {
+    val d = TestSpark.sf
+    // the declared op writes the JSON drop directory AND computes the batch
+    // form — the streaming twin must converge to exactly that frame
+    val batch = SparkEntry.queries("stream_file_source")(s, d)
+    val expected = batch.collect().map(_.toSeq).toSet
+    val opDir = s"${System.getProperty("java.io.tmpdir")}/graft_filesrc_op${Math.abs(d.hashCode)}"
+    // stage the op's drop files into the watched dir INCREMENTALLY so the
+    // restart deterministically has unconsumed work (stop-timing-free)
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc_stage").toString
+    val parts = new java.io.File(opDir).listFiles((_, n) => n.endsWith(".json"))
+      .sortBy(_.getName)
+    assert(parts.length >= 2, s"need >=2 drop files to split across runs, got ${parts.length}")
+    def stage(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(dir, f.getName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val chk = java.nio.file.Files.createTempDirectory("graft_filesrc_chk").toString
+    val qname = "filesrc_op_twin"
+    def query() = s.readStream
+      .schema("event_id LONG, epoch_s LONG, event_type STRING, cents LONG")
+      .option("maxFilesPerTrigger", "1") // several triggers, not one gulp
+      .json(dir)
+      .select(expr("CAST(timestamp_seconds(epoch_s) AS TIMESTAMP_NTZ)").as("ts_s"),
+        col("event_type"), col("cents"))
+      .groupBy(window(col("ts_s"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Complete()).start()
+    // run 1: only the first file is visible; its batches commit, then stop
+    stage(parts.take(1))
+    val q1 = query()
+    try {
+      q1.processAllAvailable()
+      assert(s.table(qname).count() > 0, "run 1 committed nothing")
+    } finally q1.stop()
+    // run 2: the remaining files arrive; a NEW query restarts from the
+    // checkpoint and must fold them into the RESTORED state exactly once —
+    // Complete mode re-emits the full aggregate
+    stage(parts.drop(1))
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      val got = s.table(qname).collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"streamed file-source result diverged from the batch op: " +
+          s"+${(got -- expected).take(3)} -${(expected -- got).take(3)}")
+    } finally q2.stop()
+  }
+
   test("file-source streaming: readStream discovers files incrementally") {
     import java.nio.file.Files
     val sp = s; import sp.implicits._
