@@ -497,6 +497,59 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(offenders.isEmpty, s"few-group corpus windows:\n${offenders.mkString("\n")}")
   }
 
+  test("sweep: no op's CONSTRUCTION collects more than a bounded row budget") {
+    // The two driver-side collects in the tree today are bounded by
+    // construction (the ≤4097-row vocab probe deciding the dedup kernel,
+    // win_percent's 64 bucket totals); this sweep makes that a CI
+    // invariant so the next contributor cannot add an unbounded
+    // collect-to-driver inside an op builder. Every collect-family action
+    // fired while an op's builder runs must either carry a static maxRows
+    // bound or an observed numOutputRows within budget.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val budget = 8192L
+    val collectFns = Set("collect", "collectAsList", "collectToPython",
+      "take", "head", "first", "toLocalIterator")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]
+    @volatile var currentOp = "<none>"
+    val qel = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, ns: Long): Unit =
+        if (collectFns(funcName)) {
+          // nearest-root observed row count, else the static planner bound.
+          // AQE wraps everything in childless stage nodes (AdaptiveSparkPlan,
+          // Result/Shuffle/BroadcastQueryStage) — descend through their
+          // `executedPlan`/`plan` members explicitly.
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          def findRows(p: SparkPlan): Option[Long] = p match {
+            case a: AdaptiveSparkPlanExec => findRows(a.executedPlan)
+            case q: QueryStageExec => findRows(q.plan)
+            case other if other.metrics.contains("numOutputRows") =>
+              Some(other.metrics("numOutputRows").value)
+            case other => other.children.view.flatMap(findRows(_)).headOption
+          }
+          val rows = findRows(qe.executedPlan)
+            .orElse(qe.optimizedPlan.maxRows)
+            .getOrElse(Long.MaxValue) // neither known: flag for review
+          seen.add((s"$currentOp:$funcName", rows))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    s.listenerManager.register(qel)
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        currentOp = name
+        SparkEntry.queries(name)(s, d) // construction only — never executed
+      }
+      org.apache.spark.GraftTestBus.flush(s.sparkContext)
+    } finally s.listenerManager.unregister(qel)
+    import scala.jdk.CollectionConverters._
+    val offenders = seen.asScala.filter(_._2 > budget)
+    assert(offenders.isEmpty,
+      s"driver-side collects beyond the $budget-row budget during construction:\n" +
+        offenders.map { case (k, n) => s"  $k -> $n rows" }.mkString("\n"))
+  }
+
   test("agg_weighted_median: corpus collapses in a partial-aggregated shuffle before any window") {
     val df = SparkEntry.queries("agg_weighted_median")(s, d)
     val p = df.queryExecution.executedPlan.toString()
