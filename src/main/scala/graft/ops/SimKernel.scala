@@ -61,6 +61,11 @@ object SimKernel {
     * only (task retries inflate both proportionally; assert ratios). */
   @volatile var pruneCounters: (LongAccumulator, LongAccumulator) = _
 
+  /** Rows emitted by the most recent `knnExact` plan's local (in-cogroup)
+    * stage — the rows that actually SHUFFLE into the heap merge. ScaleSuite
+    * asserts this stays ≤ n·(blocks+1)·k (and ≪ n²). Test-only. */
+  @volatile var knnLocalRows: LongAccumulator = _
+
   /** Block-partitioned all-pairs scaffolding, shared by the cosine kernels
     * here and the bitmap-Jaccard kernel in LlmPipeline. Each element with
     * id-derived block b is the A-side of block-pair keys (b, j >= b) and the
@@ -174,6 +179,8 @@ object SimKernel {
   def knnExact(s: SparkSession, vecs: DataFrame, k: Int,
                blocks: Int = 16): DataFrame = {
     import s.implicits._
+    val localRows = s.sparkContext.longAccumulator("graft.knn.localTopKRows")
+    knnLocalRows = localRows
     val ds = vecs.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
     val aSide = ds.flatMap { t =>
       val b = (t._1 % blocks).toInt
@@ -215,7 +222,9 @@ object SimKernel {
         import scala.jdk.CollectionConverters._
         heaps.entrySet().iterator().asScala.flatMap { e =>
           val id = e.getKey; val h = e.getValue
-          h.toPairs.iterator.map { case (cos, dst) => (id, dst, cos) }
+          h.toPairs.iterator.map { case (cos, dst) =>
+            localRows.add(1); (id, dst, cos)
+          }
         }
       }
     topKTyped(s, local, k).toDF("src", "dst", "cos", "rank")

@@ -79,6 +79,18 @@ class Round8Suite extends AnyFunSuite {
         "if the corpus stopped being isotropic, revisit prefixDims")
   }
 
+  test("knnExact's shuffle stage emits <= n*(blocks+1)*k rows, far below n^2") {
+    val kernel = graft.ops.SimKernel.knnExact(s, vecs, 3)
+    val counter = graft.ops.SimKernel.knnLocalRows
+    kernel.collect()
+    val n = vecs.count()
+    val bound = n * (16 + 1) * 3 // blocks = 16 default
+    assert(counter.value > 0 && counter.value <= bound,
+      s"local top-k stage emitted ${counter.value} rows (bound $bound)")
+    assert(counter.value * 4 <= n * n,
+      s"shuffle volume ${counter.value} not clearly below n^2 = ${n * n}")
+  }
+
   test("scan_cbo_stats: ANALYZE'd column stats flip a filtered dim to broadcast under CBO") {
     SparkEntry.queries("scan_cbo_stats")(s, d).collect() // creates + ANALYZEs the table
     val tbl = s"graft_cbo_nation_${Math.abs(d.hashCode)}"
