@@ -562,6 +562,47 @@ object LlmCuration {
     // real trainer re-derives pairs from the merged symbol stream, and this
     // op is exactly that per-round scan. Top-50 by (count, pair) is a total
     // order, so the cutoff is engine-stable.
+    // One REAL BPE training iteration — the merge step llm_bpe_pair_counts
+    // stops short of: count adjacent symbol pairs, pick the winner
+    // (n desc, pair asc — a total order, so the argmax is engine-stable),
+    // apply the merge corpus-wide with leftmost-non-overlapping literal
+    // replace on sentinel-spaced symbol strings (identical semantics in
+    // Java's String.replace and DuckDB's replace), and re-count — emitting
+    // the post-merge top-20 pair table with the chosen merge alongside.
+    // Scale: the pair vocabulary is charset²-bounded (counts are
+    // partial-aggregatable), the winner is a 1-row broadcast (GlobalLimit —
+    // BNLJ-sweep-visible bound), the merge itself is one map pass; a full
+    // BPE train loops this O(corpus) shape with the per-round pair table
+    // checkpointed (graph_pagerank iteration rule).
+    "llm_bpe_merge_step" -> ((s, d) => {
+      val words = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(expr("array_join(split(w, ''), ' ')").as("sym"))
+      // adjacent pairs of the spaced symbol string; the size guard keeps
+      // sequence() off its descending [1,0] surprise on 1-symbol words
+      def pairExpr(c: String): String =
+        s"""IF(size(split($c, ' ')) >= 2,
+              transform(sequence(1, size(split($c, ' ')) - 1),
+                i -> concat(element_at(split($c, ' '), i), ' ',
+                            element_at(split($c, ' '), i + 1))),
+              array())"""
+      val best = words
+        .select(explode(expr(pairExpr("sym"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("best_pair"))
+      words.crossJoin(broadcast(best))
+        .select(col("best_pair"),
+          expr("""trim(replace(concat(' ', sym, ' '),
+                               concat(' ', best_pair, ' '),
+                               concat(' ', replace(best_pair, ' ', ''), ' ')))""")
+            .as("sym2"))
+        .select(col("best_pair"), explode(expr(pairExpr("sym2"))).as("pair"))
+        .groupBy("best_pair", "pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+
     "llm_bpe_pair_counts" -> ((s, d) =>
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1056,6 +1097,30 @@ object LlmCuration {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
          FROM documents ORDER BY doc_id""",
+    "llm_bpe_merge_step" ->
+      """WITH ws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                    FROM documents)
+                     WHERE length(w) >= 2),
+              sp AS (SELECT array_to_string(str_split_regex(w, ''), ' ') AS sym FROM ws),
+              p1 AS (SELECT pair, count(*) AS n FROM (
+                       SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i + 1])) AS pair
+                       FROM (SELECT string_split(sym, ' ') AS a FROM sp))
+                     GROUP BY 1),
+              best AS (SELECT pair AS best_pair FROM p1
+                       ORDER BY n DESC, pair LIMIT 1),
+              m AS (SELECT best_pair,
+                           trim(replace(' ' || sym || ' ',
+                                        ' ' || best_pair || ' ',
+                                        ' ' || replace(best_pair, ' ', '') || ' ')) AS sym2
+                    FROM sp, best),
+              p2 AS (SELECT best_pair, pair, count(*) AS n FROM (
+                       SELECT best_pair,
+                              unnest(list_transform(generate_series(1, len(a) - 1),
+                                     i -> a[i] || ' ' || a[i + 1])) AS pair
+                       FROM (SELECT best_pair, string_split(sym2, ' ') AS a FROM m))
+                     GROUP BY 1, 2)
+         SELECT best_pair, pair, n FROM p2 ORDER BY n DESC, pair LIMIT 20""",
     "llm_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
               p AS (SELECT substr(w, CAST(gs AS INT), 2) AS pair
