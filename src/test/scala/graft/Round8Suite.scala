@@ -129,6 +129,60 @@ class Round8Suite extends AnyFunSuite {
     }
   }
 
+  test("CBO join reorder: stats move the tiny filtered dim ahead of the big dim") {
+    // A deliberately BAD syntactic order — fact ⋈ big dim ⋈ tiny filtered
+    // dim — that a cost-based reorder should rewrite to join the selective
+    // tiny dim first. All three sides are ANALYZE'd managed tables so the
+    // optimizer has real rowCounts; with CBO + joinReorder off, the
+    // syntactic order must survive (the control).
+    def mkTable(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.format("parquet").saveAsTable(name)
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    mkTable("graft_jr_fact", Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey")))
+    mkTable("graft_jr_cust", Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey")))
+    mkTable("graft_jr_nat", Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name")))
+    val conf = s.conf
+    val oldCbo = conf.get("spark.sql.cbo.enabled", "false")
+    val oldJr = conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    def leafOrder: Seq[String] = {
+      val q = s.sql(
+        """SELECT count(*) AS n FROM graft_jr_fact f
+           JOIN graft_jr_cust c ON f.o_custkey = c.c_custkey
+           JOIN graft_jr_nat n ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_name = 'CHINA'""")
+      q.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString).map { s0 =>
+          Seq("fact", "cust", "nat").find(t => s0.contains(s"graft_jr_$t")).getOrElse("?")
+        }
+    }
+    try {
+      conf.set("spark.sql.cbo.enabled", "false")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val syntactic = leafOrder
+      conf.set("spark.sql.cbo.enabled", "true")
+      conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafOrder
+      assert(syntactic == Seq("fact", "cust", "nat"),
+        s"control lost the syntactic order: $syntactic")
+      assert(reordered != syntactic,
+        "stats-driven join reorder did not engage (order unchanged)")
+    } finally {
+      conf.set("spark.sql.cbo.enabled", oldCbo)
+      conf.set("spark.sql.cbo.joinReorder.enabled", oldJr)
+      Seq("graft_jr_fact", "graft_jr_cust", "graft_jr_nat")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("TopKBuf: (score desc, id asc) order, k cap, insertion-order invariance") {
     val items = Seq((0.5, 7L), (0.9, 3L), (0.5, 2L), (0.1, 9L), (0.9, 8L),
       (0.7, 1L), (0.5, 4L))
