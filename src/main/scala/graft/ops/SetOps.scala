@@ -29,6 +29,33 @@ object SetOps {
   private val bSql = "SELECT DISTINCT o_custkey AS custkey FROM orders"
 
   val ops: Map[String, Q] = Map(
+    // Join-cardinality estimation by deterministic KEY-hash sampling — the
+    // "estimate before you run" probe a 100 TB join plan wants when CBO
+    // ndv stats can't see key correlation. Sampling the JOIN KEY (not
+    // rows) keeps the estimate unbiased for FK joins: a key survives iff
+    // its md5 bucket ≡ 0 (mod 16), ALL rows of a surviving key survive on
+    // BOTH sides, so every join row survives with probability exactly
+    // 1/16 and E[16·sampled] = |join|. The declared frame carries the
+    // exact count too (the oracle's ground truth) plus the |error| in bp;
+    // at scale you run only the sampled leg — 1/16th of each scan,
+    // same-shaped shuffle. Deterministic: membership is a pure function
+    // of the key (llm_sample_stratified rule), no rand() anywhere.
+    "util_join_cardinality_est" -> ((s, d) => {
+      def smp(c: String) = expr(
+        s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16 = 0")
+      val oAll = orders(s, d).select(col("o_orderkey"))
+      val lAll = lineitem(s, d).select(col("l_orderkey"))
+      val exact = oAll.join(lAll, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      val sampled = oAll.filter(smp("o_orderkey"))
+        .join(lAll.filter(smp("l_orderkey")), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n_sampled"))
+      exact.crossJoin(broadcast(sampled))
+        .select(col("n_exact"), col("n_sampled"),
+          (col("n_sampled") * 16).as("n_est"),
+          expr("10000 * abs(n_sampled * 16 - n_exact) div n_exact").as("err_abs_bp"))
+    }),
+
     // Z-order layout key (the multi-dimensional clustering a 100 TB table
     // pins its file layout to, so range predicates on EITHER dimension
     // prune files): 16+16-bit interleave of (dollar bucket, day index) in
@@ -445,6 +472,18 @@ object SetOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "util_join_cardinality_est" ->
+      """WITH ex AS (SELECT count(*) AS n_exact
+                     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+              sm AS (SELECT count(*) AS n_sampled
+                     FROM (SELECT o_orderkey FROM orders
+                           WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16 = 0) o
+                     JOIN (SELECT l_orderkey FROM lineitem
+                           WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 16 = 0) l
+                       ON o.o_orderkey = l.l_orderkey)
+         SELECT n_exact, n_sampled, CAST(n_sampled * 16 AS BIGINT) AS n_est,
+                CAST(10000 * abs(n_sampled * 16 - n_exact) // n_exact AS BIGINT) AS err_abs_bp
+         FROM ex, sm""",
     "util_zorder_key" -> {
       val interleave = (0 until 16).map(i =>
         s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))")

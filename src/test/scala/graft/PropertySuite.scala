@@ -18,6 +18,24 @@ class PropertySuite extends AnyFunSuite {
 
   private val keyList = Gen.listOf(Gen.chooseNum(0L, 30L))
 
+  test("TopKBuf == sortBy(score desc, id asc).take(k) for random streams and random partition merges") {
+    val entries = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 40L)))
+    for ((items0, cut) <- samples(entries, 40).zip(samples(Gen.chooseNum(0, 50), 40))) {
+      // ids must be unique (vec_id semantics) — scores may tie freely
+      val items = items0.zipWithIndex.map { case ((sc, _), i) => (sc, i.toLong) }
+      val k = 1 + (items.size % 5)
+      val want = items.sortBy { case (sc, id) => (-sc, id) }.take(k)
+      val direct = new graft.ops.TopKBuf(k)
+      items.foreach { case (sc, id) => direct.insert(sc, id) }
+      assert(direct.toPairs.toSeq == want, s"direct insert, k=$k items=$items")
+      // arbitrary split + merge must agree (the partial-aggregation path)
+      val (l, r) = items.splitAt(cut % (items.size + 1))
+      val b1 = new graft.ops.TopKBuf(k); l.foreach { case (sc, id) => b1.insert(sc, id) }
+      val b2 = new graft.ops.TopKBuf(k); r.foreach { case (sc, id) => b2.insert(sc, id) }
+      assert(b1.mergeFrom(b2).toPairs.toSeq == want, s"merge path, cut=$cut k=$k")
+    }
+  }
+
   test("set algebra: |A intersect B| + |A except B| = |distinct A|") {
     for ((la, lb) <- samples(keyList, 6).zip(samples(keyList, 6).reverse)) {
       val sp = s; import sp.implicits._
