@@ -562,6 +562,27 @@ object LlmCuration {
     // real trainer re-derives pairs from the merged symbol stream, and this
     // op is exactly that per-round scan. Top-50 by (count, pair) is a total
     // order, so the cutoff is engine-stable.
+    // Context-window planning: for candidate training context lengths, how
+    // many docs fit whole and how many tokens a hard truncation would
+    // discard — the waste curve that picks the packing window BEFORE a
+    // packing job runs (pairs with llm_pack_sequences). One map-only token
+    // count, a 3-row broadcast of window sizes, one partial-aggregatable
+    // groupBy; truncation share in integer bp.
+    "llm_context_window_stats" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val wins = Seq(16, 64, 256).toDF("win_size")
+      documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .crossJoin(broadcast(wins))
+        .groupBy("win_size")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") <= col("win_size"), 1L).otherwise(0L)).as("n_fit"),
+          sum("n_tok").as("tok_total"),
+          sum(expr("greatest(n_tok - win_size, 0L)")).as("tok_truncated"))
+        .withColumn("trunc_bp", expr("10000 * tok_truncated div tok_total"))
+        .orderBy("win_size")
+    }),
+
     // One REAL BPE training iteration — the merge step llm_bpe_pair_counts
     // stops short of: count adjacent symbol pairs, pick the winner
     // (n desc, pair asc — a total order, so the argmax is engine-stable),
@@ -1097,6 +1118,17 @@ object LlmCuration {
       """SELECT doc_id,
                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
          FROM documents ORDER BY doc_id""",
+    "llm_context_window_stats" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+              w AS (SELECT * FROM (VALUES (16), (64), (256)) AS v(win_size))
+         SELECT win_size, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_tok <= win_size THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+                CAST(sum(n_tok) AS BIGINT) AS tok_total,
+                CAST(sum(greatest(n_tok - win_size, 0)) AS BIGINT) AS tok_truncated,
+                10000 * CAST(sum(greatest(n_tok - win_size, 0)) AS BIGINT)
+                  // CAST(sum(n_tok) AS BIGINT) AS trunc_bp
+         FROM t, w GROUP BY win_size ORDER BY win_size""",
     "llm_bpe_merge_step" ->
       """WITH ws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
                                     FROM documents)

@@ -1097,6 +1097,29 @@ object LlmExtras {
     // Scala-native analogue of a mapInPandas decode UDF — real image/audio
     // codecs would replace `stubDecode`). Schema, partitioning, and the
     // per-partition batch shape are real; the decode itself is a stub.
+    // Multimodal content-hash dedup: the image/audio dedup a 100 TB media
+    // pipeline runs FIRST — hash the opaque BINARY payload (not a decoded
+    // form), keep the lowest doc_id per digest, and account the bytes a
+    // dedup pass reclaims per language. The hash is computed ON the binary
+    // column (the oracle hashes the identical UTF-8 bytes through the text
+    // twin — md5 over bytes either way); keeper join is hash-keyed
+    // (corpus-sized shuffle, no broadcast of data). Map + two
+    // partial-aggregatable aggs.
+    "llm_multimodal_dedup" -> ((s, d) => {
+      val p = documents(s, d)
+        .select(col("doc_id"), col("lang"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), col("lang"), md5(col("payload")).as("h"),
+          length(col("payload")).cast("long").as("n_bytes"))
+      val keeper = p.groupBy("h").agg(min("doc_id").as("keep_id"))
+      p.join(keeper, "h")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_payloads"),
+          countDistinct("h").as("n_unique"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_bytes"))
+            .otherwise(0L)).as("bytes_reclaimable"))
+        .orderBy("lang")
+    }),
+
     "llm_multimodal_features" -> ((s, d) => {
       val sp = s
       import sp.implicits._
@@ -1989,6 +2012,15 @@ object LlmExtras {
     // head_byte is the first UTF-8 BYTE of the payload (matching the Spark
     // side's bytes.head), derived from the first codepoint: <0x80 → itself,
     // <0x800 → 0xC0+cp>>6, <0x10000 → 0xE0+cp>>12, else 0xF0+cp>>18.
+    "llm_multimodal_dedup" ->
+      """WITH p AS (SELECT doc_id, lang, md5(text) AS h,
+                           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                    FROM documents),
+              k AS (SELECT h, min(doc_id) AS keep_id FROM p GROUP BY 1)
+         SELECT lang, count(*) AS n_payloads, count(DISTINCT h) AS n_unique,
+                CAST(sum(CASE WHEN doc_id <> keep_id THEN n_bytes ELSE 0 END) AS BIGINT)
+                  AS bytes_reclaimable
+         FROM p JOIN k USING (h) GROUP BY lang ORDER BY lang""",
     "llm_multimodal_features" ->
       s"""SELECT lang, count(*) AS n_docs,
                  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
