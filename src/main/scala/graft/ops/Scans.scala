@@ -324,6 +324,44 @@ object Scans {
         .orderBy("action")
     }),
 
+    // CDC changelog apply — the incremental-table shape between plain
+    // upsert (sink_upsert) and a real ACID MERGE: an ORDERED changelog of
+    // I/U/D events collapses to final state by last-writer-wins per key
+    // (row_number over (key, seq desc) — key is high-cardinality, so
+    // per-group state shrinks as data grows), deletes drop, and the state
+    // is written to a parquet sink and censused OFF the sink so the oracle
+    // also proves the write survived. The changelog derives
+    // deterministically from customer: insert-all, +5.00 to keys ≡0 (mod
+    // 7), delete keys ≡0 (mod 13). At 100 TB this is exactly the hourly
+    // compaction job of a CDC ingest (changelog-sized shuffle, one window
+    // pass, partitioned write).
+    "sink_cdc_apply" -> ((s, d) => {
+      val path = tmpDir(d, "cdc")
+      val base = customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          money(col("c_acctbal")).as("bal"))
+      val log = base
+        .select(col("k"), col("nk"), col("bal"), lit("I").as("op"), lit(1L).as("seq"))
+        .unionAll(base.filter(col("k") % 7 === 0)
+          .select(col("k"), col("nk"), (col("bal") + 500L).as("bal"),
+            lit("U").as("op"), lit(2L).as("seq")))
+        .unionAll(base.filter(col("k") % 13 === 0)
+          .select(col("k"), col("nk"), lit(0L).as("bal"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      log
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("seq").desc)))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select("k", "nk", "bal", "op")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+        .orderBy("nk")
+    }),
+
     // Dynamic partition pruning: the fact copy is partitioned by
     // event_type and joined to a dim whose qualifying keys exist only at
     // RUNTIME (top-2 types by count — an aggregate + rank, nothing static
@@ -546,6 +584,24 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "sink_cdc_apply" -> {
+      val bal = graft.Norm.moneySql("c_acctbal")
+      s"""WITH log AS (
+            SELECT c_custkey AS k, c_nationkey AS nk, $bal AS bal,
+                   'I' AS op, 1 AS seq FROM customer
+            UNION ALL
+            SELECT c_custkey, c_nationkey, $bal + 500, 'U', 2
+            FROM customer WHERE c_custkey % 7 = 0
+            UNION ALL
+            SELECT c_custkey, c_nationkey, 0, 'D', 3
+            FROM customer WHERE c_custkey % 13 = 0),
+          last AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                   FROM log)
+          SELECT nk, count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents,
+                 CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+          FROM last WHERE rn = 1 AND op <> 'D'
+          GROUP BY nk ORDER BY nk"""
+    },
     "scan_cbo_stats" ->
       """SELECT count(*) AS row_count,
                 CAST(min(n_nationkey) AS BIGINT) AS nk_min,
