@@ -302,6 +302,39 @@ object Windows {
         .limit(500)
     }),
 
+    // Rolling 7-day least-squares TREND per event type — the window-frame
+    // regression a monitoring dashboard draws. All window sums are EXACT
+    // BIGINTs over the pre-collapsed daily frame (corpus collapses in a
+    // partial-aggregatable (type, day) groupBy first — the window runs on
+    // the metadata-sized result, r6 agg_gini rule); the slope is emitted
+    // both as the exact integer rational (num, den) and as floored
+    // micro-units through a character-identical IEEE expression on both
+    // engines. Full windows only (n = 7 ⇒ den > 0: x values are 7 distinct
+    // days, so Σx² ·7 > (Σx)² strictly) — no division-by-zero branch
+    // exists on either engine.
+    "win_rolling_slope" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(col("event_type"),
+          expr("""CAST(datediff(CAST(date_trunc('day', date_trunc('second', ts)) AS DATE),
+                                DATE'2024-01-01') AS BIGINT)""").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      daily
+        .select(col("event_type"), col("day"), col("c"),
+          count(lit(1)).over(w).as("n"),
+          sum("day").over(w).as("sx"),
+          sum("c").over(w).as("sy"),
+          sum(expr("day * c")).over(w).as("sxy"),
+          sum(expr("day * day")).over(w).as("sx2"))
+        .filter(col("n") === 7)
+        .select(col("event_type"), col("day"),
+          expr("7 * sxy - sx * sy").as("slope_num"),
+          expr("7 * sx2 - sx * sx").as("slope_den"),
+          expr("""CAST(floor(1000000.0 * (7 * sxy - sx * sy)
+                             / (7 * sx2 - sx * sx)) AS BIGINT)""").as("slope_micro"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_streak" -> ((s, d) => {
       val days = events(s, d)
         .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"))
@@ -609,6 +642,27 @@ object Windows {
                 ${graft.Norm.d4Sql(s"cume_dist() $over")} AS cd_bp
          FROM e ORDER BY user_id, v, event_id LIMIT 500"""
     },
+    "win_rolling_slope" ->
+      """WITH daily AS (SELECT event_type,
+                               date_diff('day', DATE '2024-01-01',
+                                         CAST(date_trunc('day', ts) AS DATE)) AS day,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, day, c,
+                           count(*) OVER w AS n,
+                           CAST(sum(day) OVER w AS BIGINT) AS sx,
+                           CAST(sum(c) OVER w AS BIGINT) AS sy,
+                           CAST(sum(day * c) OVER w AS BIGINT) AS sxy,
+                           CAST(sum(day * day) OVER w AS BIGINT) AS sx2
+                    FROM daily
+                    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+                7 * sxy - sx * sy AS slope_num,
+                7 * sx2 - sx * sx AS slope_den,
+                CAST(floor(1000000.0 * (7 * sxy - sx * sy)
+                           / (7 * sx2 - sx * sx)) AS BIGINT) AS slope_micro
+         FROM r WHERE n = 7 ORDER BY event_type, day""",
     "win_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
                        FROM events),
