@@ -1097,6 +1097,33 @@ object LlmExtras {
     // Scala-native analogue of a mapInPandas decode UDF — real image/audio
     // codecs would replace `stubDecode`). Schema, partitioning, and the
     // per-partition batch shape are real; the decode itself is a stub.
+    // Cross-source duplicate-overlap matrix — the crawl-overlap census
+    // that decides which source to drop when two feeds re-syndicate the
+    // same pages: for every source pair (a < b), how many 16-token-PREFIX
+    // digests appear in BOTH (prefix digests catch the truncation/refetch
+    // dups full-content hashing misses — llm_dedup_exact_prefix rule —
+    // and exist at every SF of this corpus where full-text cross-source
+    // dups do not). The corpus collapses to DISTINCT (source, hash) first
+    // (one partial-aggregatable pass); the self-join is hash-keyed, and
+    // its output is bounded by sources² × shared hashes — never corpus².
+    // Overlap share in bp against the smaller side.
+    "llm_source_dedup_matrix" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(col("source"),
+          md5(expr("array_join(slice(split(text, ' '), 1, 16), ' ')")).as("h"))
+        .distinct()
+      val perSrc = sh.groupBy("source").agg(count(lit(1)).as("n_hashes"))
+      val a = sh.select(col("source").as("src_a"), col("h"))
+      val b = sh.select(col("source").as("src_b"), col("h"))
+      a.join(b, Seq("h")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(perSrc.select(col("source").as("src_a"), col("n_hashes").as("na"))), Seq("src_a"))
+        .join(broadcast(perSrc.select(col("source").as("src_b"), col("n_hashes").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("10000 * n_shared div least(na, nb)").as("overlap_bp"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Multimodal content-hash dedup: the image/audio dedup a 100 TB media
     // pipeline runs FIRST — hash the opaque BINARY payload (not a decoded
     // form), keep the lowest doc_id per digest, and account the bytes a
@@ -2012,6 +2039,19 @@ object LlmExtras {
     // head_byte is the first UTF-8 BYTE of the payload (matching the Spark
     // side's bytes.head), derived from the first codepoint: <0x80 → itself,
     // <0x800 → 0xC0+cp>>6, <0x10000 → 0xE0+cp>>12, else 0xF0+cp>>18.
+    "llm_source_dedup_matrix" ->
+      """WITH sh AS (SELECT DISTINCT source,
+                            md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS h
+                     FROM documents),
+              ps AS (SELECT source, count(*) AS n_hashes FROM sh GROUP BY 1),
+              m AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+                    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+                    GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared,
+                10000 * n_shared // least(pa.n_hashes, pb.n_hashes) AS overlap_bp
+         FROM m JOIN ps pa ON m.src_a = pa.source
+                JOIN ps pb ON m.src_b = pb.source
+         ORDER BY src_a, src_b""",
     "llm_multimodal_dedup" ->
       """WITH p AS (SELECT doc_id, lang, md5(text) AS h,
                            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
