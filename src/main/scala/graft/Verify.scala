@@ -35,7 +35,11 @@ object Verify {
     // Queries are independent (distinct output dirs, no shared temp state
     // except one uniquely-named view) and SparkContext schedules concurrent
     // jobs safely — 4 parallel dumps roughly halve verify wall-clock.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Daemon workers: if a STRICT-mode rethrow (or any exception) escapes
+    // main before pool.shutdown(), non-daemon workers would keep the JVM
+    // alive forever after DestroyJavaVM — observed as a wedged Verify run.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // Optional comma-separated key filter for targeted local parity checks
     // while iterating (driver runs with it unset = full dump).
