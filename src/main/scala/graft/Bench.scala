@@ -13,6 +13,12 @@ object Bench {
       // instead of failing the scan (set here, not per table read — a conf
       // mutation inside a getter is a hidden global, r6 advice).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Execution-memory headroom (SCALE_TUNING.md r8 rule): the suite's
+      // memo checkpoints are MEMORY_AND_DISK and spill safely, so shrink
+      // the eviction-protected storage share from 0.5 — 32 concurrent
+      // tasks' join/agg buffers get first claim and the sf1 full-suite
+      // UNABLE_TO_ACQUIRE_MEMORY (graph_pagerank_fixed) cannot recur.
+      .config("spark.memory.storageFraction", "0.3")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,6 +69,12 @@ object Bench {
       runPass()
       System.err.println(f"[bench] warmup pass $i done in ${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
     }
+    // Warmup-only failures (e.g. a transient fixture-write race) must not be
+    // reported as bench failures — the report covers the TIMED passes (r8
+    // advice). They still hit stderr above for visibility.
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} warmup-pass failure(s) cleared before timed passes: ${errors.keys.mkString(",")}")
+    errors.clear()
     val allPasses = (1 to passes).map(_ => runPass())
     allPasses.zipWithIndex.foreach { case (rs, i) =>
       println(s"""{"pass":${i + 1},"queries":${qJson(rs)},"sf":"$sfDir"}""")

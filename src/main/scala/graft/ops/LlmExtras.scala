@@ -677,9 +677,17 @@ object LlmExtras {
       // nests iteration k−1 inside k — measured 3.5 s with the tree
       // recomputed 3×, the top bench line; 3 edge-scans collapse to 1).
       // Same per-iteration lineage truncation as Scale.connectedComponents.
+      // DISK_ONLY (r9): the edge frame is the op's one corpus-scale cached
+      // block (2.97M rows at sf0.1, ~30M at sf1) and it is read once per
+      // iteration — holding it in the unified pool is what starved 32
+      // concurrent tasks of execution memory in the r8 full-suite sf1 run
+      // (UNABLE_TO_ACQUIRE_MEMORY with the suite's memos resident;
+      // SCALE_TUNING.md headroom rule). Sequential disk reads of a
+      // columnar-compact frame are cheap next to the join+agg work; the
+      // node-sized rank checkpoints below stay in memory.
       val wedges = edges.join(
         edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val deg = wedges.select("src", "deg").distinct()
       val nodes = documents(s, d).select(col("doc_id"))
       var r = nodes.withColumn("r", lit(1000000L))

@@ -669,8 +669,11 @@ object LlmPipeline {
     // emitted as ppb via one integral divide. The scaled products ride the
     // DECIMAL(38,0) accumulator rule (agg_gini precedent): 1e9·F2 and F1²
     // would silently wrap BIGINT under Spark's non-ANSI arithmetic beyond
-    // ~3e9 tokens/source while DuckDB raises — decimal math overflows
-    // loudly on both engines instead (DuckDB mirrors via its HUGEINT sums).
+    // ~3e9 tokens/source while DuckDB raises. Decimal(38) lifts the wrap
+    // point past any real corpus; if it IS ever exceeded, Spark non-ANSI
+    // yields NULL while DuckDB (HUGEINT sums) errors — the divergence is
+    // caught by the parity gate, not by a loud Spark-side failure (r8
+    // advice: non-ANSI decimal overflow does not raise in Spark).
     "llm_token_moments" -> ((s, d) => {
       val csw = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))

@@ -56,16 +56,6 @@ object SimKernel {
   private val prefixDims = 32
   private val pruneMargin = 1e-6
 
-  /** (full-dot evaluations, pruned-before-suffix count) of the most recent
-    * `cosinePairs` plan built in this process — test/diagnostic visibility
-    * only (task retries inflate both proportionally; assert ratios). */
-  @volatile var pruneCounters: (LongAccumulator, LongAccumulator) = _
-
-  /** Rows emitted by the most recent `knnExact` plan's local (in-cogroup)
-    * stage — the rows that actually SHUFFLE into the heap merge. ScaleSuite
-    * asserts this stays ≤ n·(blocks+1)·k (and ≪ n²). Test-only. */
-  @volatile var knnLocalRows: LongAccumulator = _
-
   /** Block-partitioned all-pairs scaffolding, shared by the cosine kernels
     * here and the bitmap-Jaccard kernel in LlmPipeline. Each element with
     * id-derived block b is the A-side of block-pair keys (b, j >= b) and the
@@ -73,6 +63,9 @@ object SimKernel {
     * EXACTLY one cogroup: cross-block pairs in their (minBlock, maxBlock)
     * key; same-block pairs deduped by the id order guard. `pairFn` sees
     * (a, b) exactly once per unordered pair (canonicalize ids inside it).
+    * Ids may be any Long — the block is floorMod-derived, so negative ids
+    * land in [0, blocks) like everyone else (r8 advice: `%` would strand
+    * them in an empty key range and silently drop their pairs).
     * Per-task memory is two blocks; total shuffle is n·(blocks+1) rows —
     * sizing rule for `blocks` in SCALE_TUNING.md. */
   def blockAllPairs[T, R](ds: Dataset[T], blocks: Int)(idOf: T => Long)(
@@ -80,11 +73,11 @@ object SimKernel {
       implicit keyedEnc: Encoder[(Int, T)], rEnc: Encoder[R],
       ct: scala.reflect.ClassTag[T]): Dataset[R] = {
     val aSide = ds.flatMap { t =>
-      val b = (idOf(t) % blocks).toInt
+      val b = Math.floorMod(idOf(t), blocks.toLong).toInt
       (b until blocks).map(j => (b * blocks + j, t))
     }
     val bSide = ds.flatMap { t =>
-      val b = (idOf(t) % blocks).toInt
+      val b = Math.floorMod(idOf(t), blocks.toLong).toInt
       (0 to b).map(i => (i * blocks + b, t))
     }
     aSide.groupByKey(_._1)(Encoders.scalaInt)
@@ -109,14 +102,22 @@ object SimKernel {
     * bit-identical to the unpruned kernel.
     * Input frame: (vec_id: Long, v: array<double>, nrm: double). */
   def cosinePairs(s: SparkSession, vecs: DataFrame, threshold: Double,
-                  blocks: Int = 16): DataFrame = {
+                  blocks: Int = 16): DataFrame =
+    cosinePairsCounted(s, vecs, threshold, blocks)._1
+
+  /** [[cosinePairs]] plus its (full-dot evaluations, pruned-before-suffix)
+    * accumulators, returned to the caller instead of parked in a process
+    * global (r8 advice: Verify's thread pool could clobber a shared slot).
+    * Diagnostic only — task retries inflate both proportionally, so assert
+    * ratios, not absolute counts. */
+  def cosinePairsCounted(s: SparkSession, vecs: DataFrame, threshold: Double,
+                         blocks: Int = 16): (DataFrame, (LongAccumulator, LongAccumulator)) = {
     import s.implicits._
     val nEval = s.sparkContext.longAccumulator("graft.simPrune.fullDots")
     val nPruned = s.sparkContext.longAccumulator("graft.simPrune.prunedDots")
-    pruneCounters = (nEval, nPruned)
     val ds = vecs.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
       .map { case (id, v, n) => (id, v, n, suffixNorm(v, prefixDims)) }
-    blockAllPairs(ds, blocks)(_._1) { case ((ida, va, na, sa), (idb, vb, nb, sb)) =>
+    val df = blockAllPairs(ds, blocks)(_._1) { case ((ida, va, na, sa), (idb, vb, nb, sb)) =>
       val cut = math.min(prefixDims, math.min(va.length, vb.length))
       val acc = dotRange(va, vb, 0, cut, 0.0)
       if (acc + sa * sb < (threshold - pruneMargin) * (na * nb)) {
@@ -128,6 +129,7 @@ object SimKernel {
         else None
       }
     }.toDF("vid_a", "vid_b", "cos")
+    (df, (nEval, nPruned))
   }
 
   /** For every query (small broadcast side), cosine against every corpus
@@ -177,17 +179,24 @@ object SimKernel {
     * sheds is the n²-row shuffle the window form pays.
     * Returns (src, dst, cos, rank). */
   def knnExact(s: SparkSession, vecs: DataFrame, k: Int,
-               blocks: Int = 16): DataFrame = {
+               blocks: Int = 16): DataFrame =
+    knnExactCounted(s, vecs, k, blocks)._1
+
+  /** [[knnExact]] plus the rows-emitted-by-the-local-stage accumulator (the
+    * rows that actually SHUFFLE into the heap merge; ScaleSuite asserts
+    * ≤ n·(blocks+1)·k ≪ n²), returned to the caller instead of a process
+    * global — same rationale as [[cosinePairsCounted]]. */
+  def knnExactCounted(s: SparkSession, vecs: DataFrame, k: Int,
+                      blocks: Int = 16): (DataFrame, LongAccumulator) = {
     import s.implicits._
     val localRows = s.sparkContext.longAccumulator("graft.knn.localTopKRows")
-    knnLocalRows = localRows
     val ds = vecs.selectExpr("vec_id", "v", "nrm").as[(Long, Array[Double], Double)]
     val aSide = ds.flatMap { t =>
-      val b = (t._1 % blocks).toInt
+      val b = Math.floorMod(t._1, blocks.toLong).toInt
       (b until blocks).map(j => (b * blocks + j, t))
     }
     val bSide = ds.flatMap { t =>
-      val b = (t._1 % blocks).toInt
+      val b = Math.floorMod(t._1, blocks.toLong).toInt
       (0 to b).map(i => (i * blocks + b, t))
     }
     val local = aSide.groupByKey(_._1)(Encoders.scalaInt)
@@ -227,7 +236,7 @@ object SimKernel {
           }
         }
       }
-    topKTyped(s, local, k).toDF("src", "dst", "cos", "rank")
+    (topKTyped(s, local, k).toDF("src", "dst", "cos", "rank"), localRows)
   }
 
   /** Sequential dot product over [from, until) continued from `acc` — the

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Encoders
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
@@ -53,6 +54,36 @@ object Streaming {
 
   private def tmpDir(d: String, tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$tag${Math.abs(d.hashCode)}"
+
+  /** Exactly-once foreachBatch parquet commit protocol: batch data lands in
+    * `dir/batch_<id>`, then the zero-byte marker `dir/_commits/<id>` is
+    * created LAST — the atomic commit point. A REPLAYED batch id (restart
+    * re-delivery: foreachBatch ran but the checkpoint commit was lost with
+    * the crash) finds its marker and is skipped whole, so the sink can
+    * never double-apply; a TORN write (data dir without marker, crash
+    * mid-write) is simply overwritten by the replay and never read, so
+    * nothing is lost either. Readers consult only marker-listed batches
+    * ([[readCommittedBatches]]). This is the txn-id dedup every
+    * foreachBatch sink without native idempotency needs at scale; the
+    * marker namespace is one tiny file per microbatch. */
+  def commitBatchIdempotent(df: DataFrame, batchId: Long, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dir/_commits/$batchId")
+    if (fs.exists(marker)) return // replay of a committed batch: no-op
+    df.write.mode("overwrite").parquet(s"$dir/batch_$batchId")
+    fs.mkdirs(marker.getParent)
+    try fs.create(marker, false).close()
+    catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => () }
+  }
+
+  /** The read side of [[commitBatchIdempotent]]: only marker-listed batch
+    * dirs are scanned, so in-progress/torn writes are invisible. */
+  def readCommittedBatches(s: SparkSession, dir: String): DataFrame = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new Path(s"$dir/_commits")).map(_.getPath.getName)
+    s.read.parquet(ids.sorted.map(id => s"$dir/batch_$id").toIndexedSeq: _*)
+  }
 
   val ops: Map[String, Q] = Map(
     // Streaming FILE-SOURCE ingest — the one production streaming source
@@ -327,6 +358,41 @@ object Streaming {
           col("n_events"))
         .orderBy("user_id")),
 
+    // Exactly-once foreachBatch SINK as a declared operator: the hourly
+    // rollup is delivered to a parquet sink in 3 deterministic
+    // pseudo-microbatches (hour-of-day mod 3) through the txn-id commit
+    // protocol (commitBatchIdempotent), then batch 1 is RE-DELIVERED with
+    // deliberately corrupted content — the restart-replay case — and the
+    // marker makes it a no-op. The emitted frame is censused OFF the sink
+    // (sink_cdc_apply convention), so the oracle equality itself proves
+    // no-dup/no-loss: a double-applied batch would double n. The true
+    // readStream twin — foreachBatch with this exact commit fn, killed
+    // mid-stream with the checkpoint commit deleted so Spark genuinely
+    // replays the batch id — is in StreamingSuite.
+    "stream_idempotent_sink" -> ((s, d) => {
+      val sink = tmpDir(d, "idem_sink")
+      val fs = new Path(sink).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(sink), true)
+      val agg = events(s, d)
+        .select(tsec(col("ts")).as("ts_s"), col("event_type"),
+          money(col("value")).as("cents"))
+        .groupBy(window(col("ts_s"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+        .withColumn("bid", pmod(hour(col("window_start")), lit(3)))
+      (0L to 2L).foreach { b =>
+        commitBatchIdempotent(agg.filter(col("bid") === b).drop("bid"), b, sink)
+      }
+      // restart replay of batch 1, re-delivered CORRUPTED (doubled counts):
+      // the marker must make this a no-op or the census below double-counts
+      commitBatchIdempotent(
+        agg.filter(col("bid") === 1).drop("bid")
+          .withColumn("n", col("n") * 2), 1L, sink)
+      readCommittedBatches(s, sink)
+        .orderBy("window_start", "event_type")
+    }),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -469,6 +535,15 @@ object Streaming {
            AND v.ts_s >= c.ts_s - INTERVAL '2 hours' AND v.ts_s <= c.ts_s
           GROUP BY 1, 2, 3
           ORDER BY click_id""",
+    // The replayed batch is invisible by protocol, so the committed sink
+    // census equals the plain hourly rollup.
+    "stream_idempotent_sink" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start,
+                 event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM (SELECT $tsS AS ts_s, event_type, ${moneySql("value")} AS cents
+                FROM events)
+          GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "stream_stateful_running" ->
       s"""SELECT user_id, event_id, ts_s,
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value

@@ -66,22 +66,24 @@ class Round8Suite extends AnyFunSuite {
     // the kernel directly, NOT the declared op: the op's orderBy adds a
     // range-partitioner sampling pass that executes the kernel twice and
     // doubles the counters
-    val df = graft.ops.SimKernel.cosinePairs(s, vecs, 0.5)
-    val (nEval, nPruned) = (graft.ops.SimKernel.pruneCounters._1,
-      graft.ops.SimKernel.pruneCounters._2)
+    val (df, (nEval, nPruned)) = graft.ops.SimKernel.cosinePairsCounted(s, vecs, 0.5)
     df.collect()
     val total = nEval.value + nPruned.value
     val n = vecs.count()
-    assert(total == n * (n - 1) / 2,
-      s"pair visits $total != C($n,2) — the block kernel lost or duplicated pairs")
+    // lower bound only, and ratio-based pruning floor: task retries /
+    // speculative re-execution inflate BOTH counters proportionally, so an
+    // exact == C(n,2) check would fail spuriously under any retry (r8
+    // advice). Pair-coverage exactness is pinned separately by
+    // PropertySuite's blockAllPairs sweep.
+    assert(total >= n * (n - 1) / 2,
+      s"pair visits $total < C($n,2) — the block kernel lost pairs")
     assert(nPruned.value * 4 >= total,
       s"pruning collapsed: ${nPruned.value} of $total visits pruned (floor 25%) — " +
         "if the corpus stopped being isotropic, revisit prefixDims")
   }
 
   test("knnExact's shuffle stage emits <= n*(blocks+1)*k rows, far below n^2") {
-    val kernel = graft.ops.SimKernel.knnExact(s, vecs, 3)
-    val counter = graft.ops.SimKernel.knnLocalRows
+    val (kernel, counter) = graft.ops.SimKernel.knnExactCounted(s, vecs, 3)
     kernel.collect()
     val n = vecs.count()
     val bound = n * (16 + 1) * 3 // blocks = 16 default

@@ -555,4 +555,64 @@ class StreamingSuite extends AnyFunSuite {
     // exactly 3 survivors in the 10:00 window (5 types competed)
     assert(streamed.count(_.contains("10:00")) == 3)
   }
+
+  test("stream_idempotent_sink twin: kill + forced batch replay commits nothing twice (no dup, no loss)") {
+    import java.nio.file.Files
+    val sp = s
+    val dir = Files.createTempDirectory("graft_idem_src").toString
+    val sink = Files.createTempDirectory("graft_idem_sinkT").toString + "/sink"
+    val chk = Files.createTempDirectory("graft_idem_chk").toString
+    val src = Tables.events(sp, TestSpark.sf)
+      .select(col("event_id"), col("event_type"), graft.Norm.money(col("value")).as("cents"))
+    // wave 1 lands as 2 files → 2 microbatches under maxFilesPerTrigger=1
+    src.filter(col("event_id") % 2 === 0).repartition(2)
+      .write.mode("append").parquet(dir)
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    def query() = sp.readStream
+      .schema("event_id LONG, event_type STRING, cents LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        delivered.synchronized { delivered += id }
+        graft.ops.Streaming.commitBatchIdempotent(b.toDF(), id, sink); ()
+      }
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = query()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = delivered.toList
+    assert(run1.distinct.size >= 2, s"need >=2 microbatches in run 1, saw $run1")
+    // THE KILL: crash between the sink commit and the checkpoint commit —
+    // the sink's marker for the last batch is durable, but Spark's own
+    // commit record is lost, so the restart genuinely RE-DELIVERS that
+    // batch id with the same offsets (offsets/<n> present, commits/<n>
+    // absent). Simulated exactly by deleting commits/<last>.
+    val commitsDir = new java.io.File(chk, "commits")
+    val last = commitsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    assert(new java.io.File(commitsDir, last.toString).delete(), "commit record delete failed")
+    // the local-FS checkpoint is a ChecksumFileSystem: the stale .crc must
+    // go too, or the replay's re-write of commits/<last> collides with it
+    new java.io.File(commitsDir, s".$last.crc").delete()
+    // wave 2 arrives while the job is down
+    src.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(dir)
+    val q2 = query()
+    try q2.processAllAvailable() finally q2.stop()
+    // the replay really happened: batch id `last` was delivered twice...
+    assert(delivered.count(_ == last) >= 2,
+      s"restart did not replay batch $last (delivered: $delivered)")
+    // ...but committed once: marker set has no duplicate to create, and the
+    // census off the committed sink equals the full input exactly — the
+    // replayed delivery added nothing (no dup) and wave 2 is all there (no
+    // loss)
+    def agg(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = agg(graft.ops.Streaming.readCommittedBatches(sp, sink))
+    val want = agg(src)
+    assert(got == want, s"sink census diverged after replay:\n got=$got\nwant=$want")
+  }
 }
