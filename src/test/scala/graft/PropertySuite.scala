@@ -36,6 +36,50 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("BPE sentinel-space merge == leftmost non-overlap reference (incl. the eaten-sentinel block)") {
+    // The merge in ops/LlmCuration.bpeApplyMerge is a literal replace of
+    // ' a b ' with ' ab ' on the sentinel-spaced symbol stream. That is NOT
+    // plain adjacent-pair merging: a match consumes its trailing space, so
+    // the token immediately after a merge can never START the next match
+    // ('a b a b' -> 'ab a b', not 'ab ab'). Both engines scan the original
+    // left-to-right without rescanning replacements (Java Matcher
+    // appendReplacement; DuckDB replace) — this reference pins that exact
+    // semantics so a future "fix" to classic greedy pairing can't silently
+    // diverge from the DuckDB twin.
+    def mergeRef(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      var blocked = false // position right after a merge: leading space eaten
+      while (i < syms.length) {
+        if (!blocked && i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2; blocked = true
+        } else { out += syms(i); i += 1; blocked = false }
+      }
+      out.toList
+    }
+    val alpha = Gen.oneOf("a", "b", "c")
+    val word = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, alpha))
+    val pair = Gen.zip(alpha, alpha)
+    val cases = samples(Gen.zip(word, pair), 120).zipWithIndex.map {
+      case ((w, (pa, pb)), i) => (i.toLong, w.mkString(" "), s"$pa $pb")
+    }
+    val sp = s; import sp.implicits._
+    val got = cases.toDF("case_id", "sym", "best_pair")
+      .select(col("case_id"),
+        // the exact expression bpeApplyMerge ships
+        expr("""trim(replace(concat(' ', sym, ' '),
+                             concat(' ', best_pair, ' '),
+                             concat(' ', replace(best_pair, ' ', ''), ' ')))""")
+          .as("merged"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, symStr, pairStr) =>
+      val Array(pa, pb) = pairStr.split(" ")
+      val want = mergeRef(symStr.split(" ").toList, pa, pb).mkString(" ")
+      assert(got(id) == want,
+        s"case $id: sym='$symStr' pair='$pairStr' got='${got(id)}' want='$want'")
+    }
+  }
+
   test("set algebra: |A intersect B| + |A except B| = |distinct A|") {
     for ((la, lb) <- samples(keyList, 6).zip(samples(keyList, 6).reverse)) {
       val sp = s; import sp.implicits._
