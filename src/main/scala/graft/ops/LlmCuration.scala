@@ -126,19 +126,20 @@ object LlmCuration {
     counts.orderBy(col("n").desc, col("pair")).limit(1)
 
   private val bpeMergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]
 
-  /** Memoized 4-round BPE merge table (round, best_pair, n_merged) — the
-    * Shared-memo convention (one checkpoint per process per sf dir):
-    * `llm_bpe_train_k` declares it, `llm_bpe_apply` re-uses it as the
-    * learned tokenizer, so a Verify/Bench process pays the training loop
-    * once. Per round: charset²-bounded pair count → (n desc, pair asc)
-    * argmax → corpus-wide single-pass merge, words frame localCheckpoint'd
-    * per round (pagerank iteration rule). */
-  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+  /** Memoized 4-round BPE training artifacts: (merge table, final symbol
+    * stream) — the Shared-memo convention (one checkpoint per process per
+    * sf dir): `llm_bpe_train_k` declares the merge table, `llm_bpe_apply`
+    * re-uses it as the learned tokenizer, `llm_bpe_vocab` censuses the
+    * post-merge stream — one Verify/Bench process pays the training loop
+    * once for all three. Per round: charset²-bounded pair count → (n desc,
+    * pair asc) argmax → corpus-wide single-pass merge, words frame
+    * localCheckpoint'd per round (pagerank iteration rule). */
+  private def bpeTrained(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bpeMergeCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
       var words = bpeInitialWords(s, d)
-      (1 to 4).map { k =>
+      val merges = (1 to 4).map { k =>
         val best = bpeBest(bpePairCounts(words))
           .select(col("pair").as("best_pair"), col("n")).localCheckpoint(true)
         words = bpeApplyMerge(words, best.select("best_pair"))
@@ -146,7 +147,11 @@ object LlmCuration {
         best.select(lit(k).cast("long").as("round"),
           col("best_pair"), col("n").as("n_merged"))
       }.reduce(_ unionAll _).localCheckpoint(true)
+      (merges, words)
     })
+
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeTrained(s, d)._1
 
   /** Unrolled K-round DuckDB twin of the BPE train loop: per round a CTE
     * triple p{k} (pair counts), b{k} (argmax winner), w{k} (merged symbol
@@ -780,6 +785,24 @@ object LlmCuration {
         .orderBy("doc_id")
     }),
 
+    // The VOCABULARY the 4-round training run exports (the third artifact
+    // of the tokenizer trio: merge table → vocab → encode metrics): every
+    // symbol in the post-merge stream with its corpus frequency and its
+    // (n desc, symbol asc) rank — what a trainer persists as vocab.json
+    // and what an embedding table is sized from. Reads the memoized final
+    // symbol stream, so the training loop is still paid once per process;
+    // one explode → symbol partial-agg (charset²·4-bounded output), rank
+    // over the collapsed vocab-sized frame — map-side combinable, nothing
+    // corpus² anywhere.
+    "llm_bpe_vocab" -> ((s, d) => {
+      val counts = bpeTrained(s, d)._2
+        .select(explode(split(col("sym"), " ")).as("symbol"))
+        .groupBy("symbol").agg(count(lit(1)).as("n"))
+      counts.withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("symbol"))))
+        .orderBy("rank")
+    }),
+
     "llm_bpe_pair_counts" -> ((s, d) =>
       documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
@@ -1310,6 +1333,13 @@ object LlmCuration {
                      GROUP BY 1, 2)
          SELECT best_pair, pair, n FROM p2 ORDER BY n DESC, pair LIMIT 20""",
     "llm_bpe_train_k" -> bpeTrainOracle(4),
+    "llm_bpe_vocab" ->
+      s"""WITH ${bpeRoundsCte(4)},
+              syms AS (SELECT unnest(string_split(sym, ' ')) AS symbol FROM w4),
+              counts AS (SELECT symbol, count(*) AS n FROM syms GROUP BY 1)
+         SELECT symbol, CAST(n AS BIGINT) AS n,
+                row_number() OVER (ORDER BY n DESC, symbol) AS rank
+         FROM counts ORDER BY rank""",
     "llm_bpe_apply" -> bpeApplyOracle,
     "llm_bpe_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

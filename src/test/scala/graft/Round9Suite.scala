@@ -48,6 +48,31 @@ class Round9Suite extends AnyFunSuite {
     assert(2 * (eBp - ddBp) == 50000000L)
   }
 
+  test("llm_bpe_vocab: stream accounting closes and ranks are dense") {
+    val v = SparkEntry.queries("llm_bpe_vocab")(s, d).collect()
+    // Ranks are a dense 1..|vocab| permutation (the row_number contract).
+    assert(v.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to v.length))
+    // Every merge consumes exactly one symbol from the stream, so the
+    // post-merge symbol total = training-corpus char total − Σ n_merged.
+    val trainChars = graft.Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")))).head().getLong(0)
+    val merged = SparkEntry.queries("llm_bpe_train_k")(s, d)
+      .agg(sum("n_merged")).head().getLong(0)
+    assert(v.map(_.getAs[Long]("n")).sum == trainChars - merged,
+      "post-merge symbol count must equal chars minus merges")
+    // The 4 merged symbols are in the vocab (each survives at least once:
+    // a later round can consume SOME occurrences but n_merged>0 of a pair
+    // that itself contains the earlier merge keeps the alphabet growing).
+    val syms = v.map(_.getAs[String]("symbol")).toSet
+    val merges = SparkEntry.queries("llm_bpe_train_k")(s, d)
+      .collect().map(_.getAs[String]("merged_pair").replace(" ", ""))
+    merges.foreach(m =>
+      assert(syms.contains(m) || merges.exists(o => o != m && o.contains(m)),
+        s"merged symbol $m vanished from the vocab without a successor"))
+  }
+
   test("llm_bpe_apply: token accounting closes against train_k's corpus") {
     val ap = SparkEntry.queries("llm_bpe_apply")(s, d)
     val agg = ap.agg(sum("n_words"), sum("n_chars"), sum("n_tokens")).head()
