@@ -1474,6 +1474,54 @@ object LlmExtras {
             .as("sum_u"))
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"), col("sum_u"))
         .orderBy("label", "dim")),
+
+    // One exact Lloyd (k-means) iteration over the embedding corpus — the
+    // training step the IVF/semdedup centroids come from, completing the
+    // clustering story (assignment: llm_cluster_purity; state:
+    // llm_embed_centroid; this op: the full assign→update round). Assign
+    // every vector to its nearest of the 8 fixed seed centroids (cos desc,
+    // cid tie-break — the shared IVF assignment), then emit the UPDATED
+    // centroid as exact mergeable partial state per (cluster, dim): member
+    // count, micro-unit decimal component sum (consumers divide sum_u by n;
+    // no engine ever divides), the seed's own micro-unit component, and the
+    // n-scaled drift numerator sum_u − n·seed_u (BIGINT-exact; per-cluster
+    // Lloyd movement = Σ_dim |drift_nu| / n — convergence is testable
+    // without a float). Scale: corpus×K broadcast scoring (never corpus²),
+    // one narrow posexplode, ONE partial-aggregatable (cluster, dim)
+    // shuffle carrying K·dims accumulator rows per map task — the canonical
+    // distributed k-means update. K grows as √(n/targetListLen)
+    // (SCALE_TUNING centroid rule); the shuffle stays K·dims, metadata-sized.
+    "llm_kmeans_step" -> ((s, d) => {
+      val cent = vecs(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
+      val assign = vecs(s, d)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("ccos", expr(dotExpr) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val upd = assign
+        .join(embeddings(s, d).select("vec_id", "embedding"), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")))
+        .toDF("cluster", "dim", "x")
+        .groupBy("cluster", "dim")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))), 6) * 1000000 AS BIGINT)")
+            .as("sum_u"))
+      val seeds = embeddings(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), posexplode(col("embedding")))
+        .toDF("cluster", "dim", "sx")
+        .select(col("cluster"), col("dim"),
+          expr("CAST(round(CAST(CAST(sx AS DOUBLE) AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT)")
+            .as("seed_u"))
+      upd.join(broadcast(seeds), Seq("cluster", "dim"))
+        .select(col("cluster"), col("dim").cast("long").as("dim"), col("n"),
+          col("sum_u"), col("seed_u"),
+          (col("sum_u") - col("n") * col("seed_u")).as("drift_nu"))
+        .orderBy("cluster", "dim")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2326,5 +2374,36 @@ object LlmExtras {
                       unnest(embedding) AS x
                FROM embeddings)
          GROUP BY label, pos ORDER BY label, dim""",
+    // Same fixed-seed assignment as IVF/purity; update = the embed_centroid
+    // micro-unit sum per (cluster, dim); drift_nu in exact BIGINTs.
+    "llm_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
+               assign AS (SELECT vec_id, cluster FROM (
+                   SELECT v.vec_id, cent.cid AS cluster,
+                          row_number() OVER (PARTITION BY v.vec_id
+                                             ORDER BY ${cosSql("v.embedding", "cent.cv")} DESC, cent.cid) AS rn
+                   FROM v CROSS JOIN cent) WHERE rn = 1),
+               pts AS (SELECT a.cluster, e.pos - 1 AS dim, e.x
+                       FROM (SELECT vec_id,
+                                    unnest(range(1, len(embedding) + 1)) AS pos,
+                                    unnest(embedding) AS x
+                             FROM embeddings) e
+                       JOIN assign a ON a.vec_id = e.vec_id),
+               upd AS (SELECT cluster, dim, count(*) AS n,
+                              CAST(CAST(round(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))), 6)
+                                        AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS sum_u
+                       FROM pts GROUP BY 1, 2),
+               seeds AS (SELECT vec_id AS cluster, pos - 1 AS dim,
+                                CAST(CAST(round(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)), 6)
+                                          AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS seed_u
+                         FROM (SELECT vec_id,
+                                      unnest(range(1, len(embedding) + 1)) AS pos,
+                                      unnest(embedding) AS x
+                               FROM embeddings WHERE vec_id < 8))
+          SELECT u.cluster, CAST(u.dim AS BIGINT) AS dim, u.n, u.sum_u, s.seed_u,
+                 u.sum_u - u.n * s.seed_u AS drift_nu
+          FROM upd u JOIN seeds s ON s.cluster = u.cluster AND s.dim = u.dim
+          ORDER BY u.cluster, u.dim""",
   )
 }

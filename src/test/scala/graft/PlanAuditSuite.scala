@@ -384,13 +384,13 @@ class PlanAuditSuite extends AnyFunSuite {
     *  - join_cross: region×nation — both fixed-cardinality (5×25) at every
     *    scale factor; the cross product IS the declared op.
     *  - llm_semdedup / llm_cluster_purity / llm_sim_ann_ivf /
-    *    llm_sim_ann_lsh: the broadcast side is the k-row seeded
-    *    centroid/hyperplane frame (vecs.filter(vec_id < 8/16)) — bounded
-    *    by the literal id cut, which a Filter node doesn't prove to the
-    *    aggregate/limit detector. */
+    *    llm_sim_ann_lsh / llm_kmeans_step: the broadcast side is the k-row
+    *    seeded centroid/hyperplane frame (vecs.filter(vec_id < 8/16)) —
+    *    bounded by the literal id cut, which a Filter node doesn't prove
+    *    to the aggregate/limit detector. */
   private val bnljReviewed: Set[String] = Set(
     "join_cross", "llm_semdedup", "llm_cluster_purity",
-    "llm_sim_ann_ivf", "llm_sim_ann_lsh")
+    "llm_sim_ann_ivf", "llm_sim_ann_lsh", "llm_kmeans_step")
 
   /** Built once, shared by the three sweep tests (QueryExecution caches
     * optimizedPlan/executedPlan, so each op is planned a single time). */

@@ -96,4 +96,29 @@ class Round9Suite extends AnyFunSuite {
       col("comp_bp") =!= expr("10000 * n_tokens div n_chars")).count()
     assert(bad == 0, s"$bad rows with inconsistent bp ratios")
   }
+
+  test("llm_kmeans_step: Lloyd-update partition/state algebra closes") {
+    val km = SparkEntry.queries("llm_kmeans_step")(s, d).collect()
+    val nVecs = Tables.embeddings(s, d).count()
+    val dims = km.map(_.getAs[Long]("dim")).distinct.sorted
+    val clusters = km.map(_.getAs[Long]("cluster")).distinct.sorted
+    // Every (cluster, dim) cell present: 8 seed clusters × all dims.
+    assert(clusters.sameElements(0L until 8L), clusters.mkString(","))
+    assert(km.length == clusters.length * dims.length)
+    // Assignment is a PARTITION of the corpus: for every dim, cluster
+    // member counts sum to |corpus| (each vector in exactly one cluster).
+    km.groupBy(_.getAs[Long]("dim")).foreach { case (dm, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum == nVecs,
+        s"dim $dm cluster sizes don't partition the corpus")
+    }
+    // Emitted drift is EXACTLY the n-scaled numerator of (mean − seed):
+    // recompute from the other two columns — no float ever involved.
+    km.foreach { r =>
+      assert(r.getAs[Long]("drift_nu") ==
+        r.getAs[Long]("sum_u") - r.getAs[Long]("n") * r.getAs[Long]("seed_u"))
+    }
+    // Seeds assign to themselves (cos(x,x) = 1 beats every tie-break), so
+    // every cluster has at least one member.
+    assert(km.forall(_.getAs[Long]("n") >= 1))
+  }
 }
