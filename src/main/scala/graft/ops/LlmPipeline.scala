@@ -525,6 +525,61 @@ object LlmPipeline {
         .orderBy("band")
     }),
 
+    // LSH banding parameter sweep with MEASURED recall — the table that
+    // decides (bands, rows) before a 100 TB dedup run commits to a scheme
+    // (the operational form of SCALE_TUNING's recall-measured ANN
+    // substitution): every way to band the 8 portable minhashes —
+    // (8,1), (4,2), (2,4), (1,8) — scored by (a) recall against the EXACT
+    // Jaccard ≥ 4/5 truth pairs (the Shared.wordPairs memo: a pair is
+    // detected iff some band's rows all collide) and (b) the candidate-pair
+    // volume the banding would shuffle (Σ C(sz,2) over its buckets — the
+    // llm_lsh_bucket_stats cost measure, here per config). Recall needs
+    // only the truth pairs' signatures: two doc-keyed hash joins onto the
+    // pair set, never corpus²; cost is one partial-aggregatable
+    // (band, key) groupBy per config over n·bands rows. Output: 4 rows —
+    // the recall/cost frontier, all integers.
+    "llm_lsh_band_recall" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"a$k")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"b$k")): _*)
+      val t = Shared.wordPairs(s, d).select("doc_a", "doc_b")
+        .join(sa, "doc_a").join(sb, "doc_b")
+      def det(bn: Int, r: Int) = (0 until bn).map { bi =>
+        (0 until r).map(j => col(s"a${bi * r + j}") === col(s"b${bi * r + j}"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val flags = t.agg(count(lit(1)).as("n_true"),
+        configs.map { case (bn, r) =>
+          coalesce(sum(when(det(bn, r), 1L).otherwise(0L)), lit(0L)).as(s"det_$bn")
+        }: _*)
+      val rec = flags.select(explode(array(configs.map { case (bn, r) =>
+          struct(lit(bn.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_true"), col(s"det_$bn").as("n_detected"))
+        }: _*)).as("c"))
+        .select(col("c.*"))
+        .withColumn("recall_bp",
+          expr("10000 * n_detected div greatest(n_true, 1)"))
+      val cand = configs.map { case (bn, r) =>
+        val bands = (0 until bn).map { bi =>
+          sig.select(lit(bi.toLong).as("band") +:
+            (0 until r).map(j => col(s"mh${bi * r + j}").as(s"k$j")): _*)
+        }.reduce(_ unionAll _)
+        bands.groupBy("band", (0 until r).map(j => s"k$j"): _*)
+          .agg(count(lit(1)).as("sz"))
+          .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L))
+            .as("candidate_pairs"))
+          .select(lit(bn.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("candidate_pairs"))
+      }.reduce(_ unionAll _)
+      rec.join(broadcast(cand), Seq("bands", "rows_per_band"))
+        .select(col("bands"), col("rows_per_band"), col("n_true"),
+          col("n_detected"), col("recall_bp"), col("candidate_pairs"))
+        .orderBy(col("bands").desc)
+    }),
+
     // Perplexity filter — the model-based quality GATE llm_unigram_logprob
     // scores for: held-out docs (doc_id%5=0) scored by the train-slice
     // Laplace unigram LM, normalized to per-token micro-nats with ONE exact
@@ -850,6 +905,57 @@ object LlmPipeline {
                  CAST(max(sz) AS BIGINT) AS max_bucket,
                  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
           FROM bk GROUP BY band ORDER BY band""",
+    // Truth pairs = the llm_dedup_near all-pairs CTE (same documented
+    // slow-at-sf0.1 oracle class — gate at sf0.01); detection/cost per
+    // banding config over the shared sig CTE.
+    "llm_lsh_band_recall" -> {
+      val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      def detSql(bn: Int, r: Int): String = (0 until bn).map { bi =>
+        (0 until r).map(j => s"a.mh${bi * r + j} = b.mh${bi * r + j}")
+          .mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      val candCte = configs.map { case (bn, r) =>
+        val bandSel = (0 until bn).map { bi =>
+          s"SELECT $bi AS band, ${(0 until r).map(j => s"mh${bi * r + j} AS k$j").mkString(", ")} FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""SELECT $bn AS bands, $r AS rows_per_band,
+               COALESCE(sum(sz * (sz - 1) // 2), 0) AS candidate_pairs
+            FROM (SELECT band, ${(0 until r).map(j => s"k$j").mkString(", ")}, count(*) AS sz
+                  FROM ($bandSel) GROUP BY ${(1 to r + 1).mkString(", ")})"""
+      }.mkString(" UNION ALL ")
+      val recSel = configs.map { case (bn, r) =>
+        s"SELECT $bn AS bands, $r AS rows_per_band, n_true, det_$bn AS n_detected FROM flags"
+      }.mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+              tt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+              tcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+              tv AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM tcand),
+              tp AS (SELECT doc_a, doc_b FROM tv
+                     WHERE inter * 5 >= (stot - inter) * 4),
+              flags AS (SELECT count(*) AS n_true,
+                               ${configs.map { case (bn, r) =>
+                                 s"COALESCE(sum(CASE WHEN ${detSql(bn, r)} THEN 1 ELSE 0 END), 0) AS det_$bn"
+                               }.mkString(", ")}
+                        FROM tp JOIN sig a ON a.doc_id = tp.doc_a
+                                JOIN sig b ON b.doc_id = tp.doc_b),
+              rec AS ($recSel),
+              cd AS ($candCte)
+          SELECT CAST(r.bands AS BIGINT) AS bands,
+                 CAST(r.rows_per_band AS BIGINT) AS rows_per_band,
+                 CAST(r.n_true AS BIGINT) AS n_true,
+                 CAST(r.n_detected AS BIGINT) AS n_detected,
+                 CAST(10000 * r.n_detected // greatest(r.n_true, 1) AS BIGINT) AS recall_bp,
+                 CAST(c.candidate_pairs AS BIGINT) AS candidate_pairs
+          FROM rec r JOIN cd c ON c.bands = r.bands AND c.rows_per_band = r.rows_per_band
+          ORDER BY r.bands DESC"""
+    },
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",

@@ -121,4 +121,29 @@ class Round9Suite extends AnyFunSuite {
     // every cluster has at least one member.
     assert(km.forall(_.getAs[Long]("n") >= 1))
   }
+
+  test("llm_lsh_band_recall: nested-banding monotonicity theorems hold") {
+    // The 4 configs band the SAME 8 minhashes with prefix-aligned runs, so
+    // detection is nested by construction: all-8-match ⇒ each 4-run matches
+    // ⇒ each 2-run matches ⇒ some single hash matches. Both recall and
+    // multiplicity-counted candidate volume are therefore monotone in the
+    // band count — a structural theorem the oracle's value check can't
+    // distinguish from coincidence on one fixture.
+    val rows = SparkEntry.queries("llm_lsh_band_recall")(s, d)
+      .orderBy(col("bands").desc).collect()
+    assert(rows.map(_.getAs[Long]("bands")).sameElements(Array(8L, 4L, 2L, 1L)))
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length == 1,
+      "n_true is config-independent")
+    val det = rows.map(_.getAs[Long]("n_detected"))
+    assert(det.zip(det.tail).forall { case (hi, lo) => hi >= lo },
+      s"detection must shrink with fewer bands: ${det.mkString(",")}")
+    val cand = rows.map(_.getAs[Long]("candidate_pairs"))
+    assert(cand.zip(cand.tail).forall { case (hi, lo) => hi >= lo },
+      s"candidate volume must shrink with fewer bands: ${cand.mkString(",")}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("recall_bp") ==
+        10000L * r.getAs[Long]("n_detected") / math.max(r.getAs[Long]("n_true"), 1L))
+    }
+  }
 }
