@@ -1052,6 +1052,48 @@ object LlmCuration {
         .select(col("lang"), col("split"), col("n_docs"),
           expr("10000 * n_docs div lang_total").as("share_bp"))
         .orderBy("lang", "split")),
+
+    // Curriculum ordering — the data SCHEDULE a quality-annealed training
+    // run consumes: every doc ranked in the global (quality_bp asc, doc_id)
+    // curriculum order (lowest-quality data first, cleanest last — the
+    // anneal-to-quality shape) and assigned the token-budget PHASE its
+    // first token falls in (4 equal token-mass phases). The interesting
+    // part is HOW a global rank/cumsum is computed at scale: never a
+    // single-partition corpus sort — quality_bp is value-bounded
+    // (0..10000 by construction), so phase 1 collapses the corpus to a
+    // ≤10001-row bucket frame (per-bucket token/doc totals + exclusive
+    // prefix sums on the METADATA-sized frame), and phase 2 broadcasts it
+    // back and resolves rank/cum only WITHIN each value bucket (fanout =
+    // distinct quality values — the llm_global_shuffle fixed-fanout trade,
+    // reviewed in PlanAuditSuite). All integer arithmetic.
+    "llm_curriculum_order" -> ((s, d) => {
+      val q = documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"),
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a')))").cast("long").as("st"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long").as("np"),
+          length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), col("n").as("n_toks"),
+          expr("(100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) div (n * len)")
+            .as("quality_bp"))
+      val buckets = q.groupBy("quality_bp")
+        .agg(sum("n_toks").as("bt"), count(lit(1)).as("bc"))
+        .withColumn("bucket_tok_before", coalesce(sum("bt").over(
+          Window.orderBy("quality_bp").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("rank_before", coalesce(sum("bc").over(
+          Window.orderBy("quality_bp").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total_toks", sum("bt").over())
+        .select("quality_bp", "bucket_tok_before", "rank_before", "total_toks")
+      q.withColumn("in_tok_before", coalesce(sum("n_toks").over(
+          Window.partitionBy("quality_bp").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("in_rank", row_number().over(
+          Window.partitionBy("quality_bp").orderBy("doc_id")))
+        .join(broadcast(buckets), Seq("quality_bp"))
+        .select(col("doc_id"), col("quality_bp"), col("n_toks"),
+          (col("rank_before") + col("in_rank")).as("curriculum_rank"),
+          expr("(bucket_tok_before + in_tok_before) * 4 div total_toks + 1").as("phase"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -1504,5 +1546,28 @@ object LlmCuration {
          SELECT lang, split, n_docs,
                 CAST(10000 * n_docs // (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
          FROM n ORDER BY lang, split""",
+    // The oracle states the SEMANTICS directly: one global window in
+    // curriculum order (the Spark side's two-phase bucket decomposition
+    // must agree exactly).
+    "llm_curriculum_order" ->
+      """WITH q AS (SELECT doc_id,
+                           n AS n_toks,
+                           (100 * (least(n, 50) * n * len + 30 * (n - st) * len + 20 * (len - np) * n)) // (n * len) AS quality_bp
+                    FROM (SELECT doc_id,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                                 CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS st,
+                                 CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS np,
+                                 CAST(length(text) AS BIGINT) AS len
+                          FROM documents)),
+              c AS (SELECT doc_id, quality_bp, n_toks,
+                           COALESCE(sum(n_toks) OVER (ORDER BY quality_bp, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                           row_number() OVER (ORDER BY quality_bp, doc_id) AS rnk,
+                           sum(n_toks) OVER () AS total_toks
+                    FROM q)
+         SELECT doc_id, quality_bp, n_toks,
+                CAST(rnk AS BIGINT) AS curriculum_rank,
+                CAST(cum_before * 4 // total_toks + 1 AS BIGINT) AS phase
+         FROM c ORDER BY doc_id""",
   )
 }

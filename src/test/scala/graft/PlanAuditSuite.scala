@@ -476,8 +476,14 @@ class PlanAuditSuite extends AnyFunSuite {
     //    rk1 <= 3 filter, which `collapsed` (Aggregate/Limit-based) cannot
     //    see. Equivalence to the single-window truth is pinned in
     //    Round7Suite.
+    //  - llm_curriculum_order: the within-bucket cumsum window partitions
+    //    by quality_bp — a VALUE-bounded (0..10000) bucket key, the same
+    //    fixed-fanout trade (phase 1 collapses to the ≤10001-row bucket
+    //    frame; phase 2's per-bucket share shrinks as quality values
+    //    diversify). Equivalence to the single-window truth is exactly
+    //    what its DuckDB oracle states.
     val windowReviewed = Set("llm_global_shuffle", "llm_pack_greedy",
-      "llm_pack_sequences", "topk_per_group_merge")
+      "llm_pack_sequences", "topk_per_group_merge", "llm_curriculum_order")
     def collapsed(p: LogicalPlan): Boolean = p.exists {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
       case _ => false

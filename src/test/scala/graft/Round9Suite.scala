@@ -146,4 +146,34 @@ class Round9Suite extends AnyFunSuite {
         10000L * r.getAs[Long]("n_detected") / math.max(r.getAs[Long]("n_true"), 1L))
     }
   }
+
+  test("llm_curriculum_order: schedule is a quality-sorted permutation with balanced phases") {
+    val rows = SparkEntry.queries("llm_curriculum_order")(s, d)
+      .orderBy("curriculum_rank").collect()
+    // Ranks are a permutation of 1..n (the two-phase bucket decomposition
+    // must not drop, duplicate, or gap any position).
+    assert(rows.map(_.getAs[Long]("curriculum_rank")).toSeq ==
+      (1L to rows.length.toLong).toSeq)
+    // Rank order IS quality order: quality_bp non-decreasing along ranks,
+    // doc_id ascending within equal quality (the declared tie-break).
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val (qa, qb) = (a.getAs[Long]("quality_bp"), b.getAs[Long]("quality_bp"))
+      assert(qa < qb || (qa == qb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    case _ => ()
+    }
+    // Phases are 1..4, non-decreasing along the schedule, and each phase's
+    // token mass is within one document of the ideal total/4 (a doc joins
+    // the phase its FIRST token falls in, so the boundary error is bounded
+    // by the largest single document).
+    val phases = rows.map(_.getAs[Long]("phase"))
+    assert(phases.forall(p => p >= 1 && p <= 4))
+    assert(phases.zip(phases.tail).forall { case (a, b) => a <= b })
+    val total = rows.map(_.getAs[Long]("n_toks")).sum
+    val maxDoc = rows.map(_.getAs[Long]("n_toks")).max
+    (1L to 4L).foreach { p =>
+      val mass = rows.filter(_.getAs[Long]("phase") == p).map(_.getAs[Long]("n_toks")).sum
+      assert(math.abs(mass - total / 4) <= maxDoc + 4,
+        s"phase $p mass $mass vs ideal ${total / 4} (maxDoc $maxDoc)")
+    }
+  }
 }
