@@ -971,6 +971,49 @@ object LlmExtras {
         .orderBy("dist")
     }),
 
+    // Per-seed closeness/harmonic centrality from the same co-supply graph
+    // — graph_bfs_layers' census made PER-SOURCE (the centrality report a
+    // graph pipeline ranks hub nodes by): every v%50 seed runs a 3-hop BFS
+    // carrying (seed, v, dist) state, then per seed: nodes reached,
+    // Σ dist, and HARMONIC centrality Σ 1/d as the exact integer Σ 12/d
+    // (d ∈ {1,2,3} all divide 12 — no float ever; the bounded-horizon form
+    // of Boldi–Vigna's harmonic centrality, public). Scale: multi-source
+    // BFS state is |seeds|·|nodes| worst case — seeds are a fixed 2%
+    // sample, the standard HyperBall-style trade; each round is one
+    // edge-keyed join + (seed, v) distinct + anti-join, checkpointed (the
+    // pagerank iteration rule), edge-bound like every graph op here.
+    "graph_closeness_fixed" -> ((s, d) => {
+      val inc = lineitem(s, d).filter(col("l_quantity") >= 50)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("v")).distinct()
+        .localCheckpoint(false)
+      val edges = inc.as("a").join(inc.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("src"), col("b.v").as("dst")).distinct()
+        .localCheckpoint(false)
+      val seeds = inc.select("v").distinct().filter(col("v") % 50 === 0)
+        .select(col("v").as("seed"))
+      var reached = seeds
+        .select(col("seed"), col("seed").as("v"), lit(0L).as("dist"))
+        .localCheckpoint(false)
+      for (r <- 1 to 3) {
+        val frontier = reached.join(edges, col("v") === col("src"))
+          .select(col("seed"), col("dst").as("v")).distinct()
+          .join(reached.select("seed", "v"), Seq("seed", "v"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+        reached = reached.unionByName(frontier).localCheckpoint(false)
+      }
+      val per = reached.filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"),
+          sum(expr("12 div dist")).as("harmonic_x12"))
+      seeds.join(per, Seq("seed"), "left")
+        .select(col("seed"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+          coalesce(col("harmonic_x12"), lit(0L)).as("harmonic_x12"))
+        .orderBy("seed")
+    }),
+
     // Fixed-iteration k-core peeling (k=2, EXACTLY 3 rounds) over the
     // co-supply graph — the degeneracy pruning a graph pipeline runs before
     // expensive per-node work. Each round = one partial-aggregatable degree
@@ -1629,6 +1672,40 @@ object LlmExtras {
                                         UNION SELECT v FROM l2 UNION SELECT v FROM l3))
          SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
          FROM lay GROUP BY 1 ORDER BY dist""",
+    // Per-seed unrolled 3-round BFS: the bfs_layers CTE pattern carrying
+    // (seed, v); harmonic as exact Σ 12/d.
+    "graph_closeness_fixed" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
+                      FROM lineitem WHERE l_quantity >= 50),
+              e AS (SELECT DISTINCT a.v AS src, b.v AS dst
+                    FROM inc a JOIN inc b ON a.p = b.p AND a.v <> b.v),
+              seeds AS (SELECT DISTINCT v AS seed FROM inc WHERE v % 50 = 0),
+              l0 AS (SELECT seed, seed AS v, 0 AS dist FROM seeds),
+              l1 AS (SELECT DISTINCT l0.seed, e.dst AS v, 1 AS dist
+                     FROM e JOIN l0 ON e.src = l0.v
+                     WHERE NOT EXISTS (SELECT 1 FROM l0 x
+                                       WHERE x.seed = l0.seed AND x.v = e.dst)),
+              r1 AS (SELECT seed, v, dist FROM l0 UNION ALL SELECT seed, v, dist FROM l1),
+              l2 AS (SELECT DISTINCT r1.seed, e.dst AS v, 2 AS dist
+                     FROM e JOIN r1 ON e.src = r1.v
+                     WHERE NOT EXISTS (SELECT 1 FROM r1 x
+                                       WHERE x.seed = r1.seed AND x.v = e.dst)),
+              r2 AS (SELECT seed, v, dist FROM r1 UNION ALL SELECT seed, v, dist FROM l2),
+              l3 AS (SELECT DISTINCT r2.seed, e.dst AS v, 3 AS dist
+                     FROM e JOIN r2 ON e.src = r2.v
+                     WHERE NOT EXISTS (SELECT 1 FROM r2 x
+                                       WHERE x.seed = r2.seed AND x.v = e.dst)),
+              r3 AS (SELECT seed, v, dist FROM r2 UNION ALL SELECT seed, v, dist FROM l3),
+              per AS (SELECT seed, count(*) AS n_reached,
+                             CAST(sum(dist) AS BIGINT) AS sum_dist,
+                             CAST(sum(12 // dist) AS BIGINT) AS harmonic_x12
+                      FROM r3 WHERE dist > 0 GROUP BY seed)
+         SELECT s.seed,
+                COALESCE(p.n_reached, 0) AS n_reached,
+                COALESCE(p.sum_dist, 0) AS sum_dist,
+                COALESCE(p.harmonic_x12, 0) AS harmonic_x12
+         FROM seeds s LEFT JOIN per p ON p.seed = s.seed
+         ORDER BY s.seed""",
     "graph_kcore_fixed" ->
       """WITH inc AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS v
                       FROM lineitem WHERE l_quantity >= 50),

@@ -176,4 +176,21 @@ class Round9Suite extends AnyFunSuite {
         s"phase $p mass $mass vs ideal ${total / 4} (maxDoc $maxDoc)")
     }
   }
+
+  test("graph_closeness_fixed: per-seed BFS accounting stays inside the 3-hop bounds") {
+    val rows = SparkEntry.queries("graph_closeness_fixed")(s, d).collect()
+    assert(rows.nonEmpty, "at least one v%50 seed must exist")
+    rows.foreach { r =>
+      val (n, sd, h) = (r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist"),
+        r.getAs[Long]("harmonic_x12"))
+      // Every reached node contributes one dist ∈ {1,2,3} and one exact
+      // 12/d ∈ {12,6,4} term — the three counters must agree on the bounds.
+      assert(sd >= n && sd <= 3 * n, s"seed ${r.getLong(0)}: sum_dist $sd vs n $n")
+      assert(h >= 4 * n && h <= 12 * n, s"seed ${r.getLong(0)}: harmonic $h vs n $n")
+      // d=1 terms dominate both sums consistently: a node at dist 1 adds
+      // (1, 12), at 2 adds (2, 6), at 3 adds (3, 4) — so h + 4·sd is
+      // 16·n₁ + 14·n₂ + 16·n₃ ∈ [14n, 16n].
+      assert(h + 4 * sd >= 14 * n && h + 4 * sd <= 16 * n)
+    }
+  }
 }
