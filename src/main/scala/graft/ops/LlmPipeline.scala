@@ -467,6 +467,51 @@ object LlmPipeline {
         .agg(count(lit(1)).as("n_words"), sum("c").as("n_tokens"), min("w").as("example"))
         .orderBy("log2_bucket")),
 
+    // Zipf-law fit per source — llm_token_histogram's sanity check made a
+    // MEASURED statistic (a natural corpus follows freq ∝ rank^slope with
+    // slope ≈ −1 and high R²; synthetic/spammy sources drift): per source,
+    // the least-squares line through (ln rank, ln freq) over the full
+    // frequency table. Cross-engine float discipline: each ln is floored
+    // to micro-units PER TERM (the llm_source_kl rule — integer sums are
+    // shuffle-arrival-order-immune), the five regression sums accumulate
+    // exactly (x·y on the DECIMAL(38,0) accumulator rule: vocab·(1.2e7)²
+    // overflows BIGINT), and slope/R² are computed from the exact sums in
+    // ONE double step per output (casting the same exact integer to double
+    // is deterministic on both engines), floored to bp. Scale: one (source,
+    // word) partial-aggregatable count, a rank window over the COLLAPSED
+    // frequency frame, one (source) partial-aggregatable sum — vocab-bound
+    // throughout, never corpus².
+    "llm_zipf_fit" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val xy = tf.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("w"))))
+        .select(col("source"),
+          expr("CAST(floor(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT)").as("x"),
+          expr("CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)").as("y"))
+      xy.groupBy("source").agg(
+          count(lit(1)).as("vocab_n"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+          sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"))
+        .select(col("source"), col("vocab_n"),
+          expr("""CASE WHEN vocab_n < 2 OR vocab_n * sxx - sx * sx = 0 THEN 0
+                       ELSE CAST(floor(10000 * (CAST(vocab_n * sxy - sx * sy AS DOUBLE)
+                                                / CAST(vocab_n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+                  END""").as("slope_bp"),
+          expr("""CASE WHEN vocab_n < 2 OR vocab_n * sxx - sx * sx = 0
+                         OR vocab_n * syy - sy * sy = 0 THEN 0
+                       ELSE CAST(floor(10000 * (CAST(vocab_n * sxy - sx * sy AS DOUBLE)
+                                                * CAST(vocab_n * sxy - sx * sy AS DOUBLE)
+                                                / (CAST(vocab_n * sxx - sx * sx AS DOUBLE)
+                                                   * CAST(vocab_n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+                  END""").as("r2_bp"))
+        .orderBy("source")
+    }),
+
     // Laplace-smoothed unigram LM scoring — the simplest of the model-based
     // quality filters (a perplexity gate): train counts from the doc_id%5≠0
     // slice, held-out docs scored by Σ ln p(w). Each token's log-prob is
@@ -1090,6 +1135,39 @@ object LlmPipeline {
                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
                GROUP BY w)
          GROUP BY 1 ORDER BY 1""",
+    // Same per-term micro-floored lns; DuckDB sum(BIGINT) is HUGEINT, the
+    // exact twin of the Spark side's DECIMAL(38,0) accumulators.
+    "llm_zipf_fit" ->
+      """WITH tf AS (SELECT source, w, count(*) AS c
+                     FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     GROUP BY 1, 2),
+              xy AS (SELECT source,
+                            CAST(floor(1000000 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS x,
+                            CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+                     FROM (SELECT source, c,
+                                  row_number() OVER (PARTITION BY source
+                                                     ORDER BY c DESC, w) AS rk
+                           FROM tf)),
+              sums AS (SELECT source, count(*) AS n,
+                              sum(CAST(x AS HUGEINT)) AS sx,
+                              sum(CAST(y AS HUGEINT)) AS sy,
+                              sum(CAST(x AS HUGEINT) * y) AS sxy,
+                              sum(CAST(x AS HUGEINT) * x) AS sxx,
+                              sum(CAST(y AS HUGEINT) * y) AS syy
+                       FROM xy GROUP BY 1)
+         SELECT source, CAST(n AS BIGINT) AS vocab_n,
+                CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN 0
+                     ELSE CAST(floor(10000 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                              / CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+                END AS slope_bp,
+                CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+                     ELSE CAST(floor(10000 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                              * CAST(n * sxy - sx * sy AS DOUBLE)
+                                              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                                 * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+                END AS r2_bp
+         FROM sums ORDER BY source""",
     // quantile_disc is DuckDB's discrete-percentile twin of bucketedPdisc
     // (smallest value whose cume_dist ≥ p — the agg_percentile_disc pairing);
     // `//` truncates toward zero exactly like Spark's `div`.

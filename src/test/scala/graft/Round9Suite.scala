@@ -193,4 +193,24 @@ class Round9Suite extends AnyFunSuite {
       assert(h + 4 * sd >= 14 * n && h + 4 * sd <= 16 * n)
     }
   }
+
+  test("llm_zipf_fit: regression outputs respect the monotone-rank theorems") {
+    val rows = SparkEntry.queries("llm_zipf_fit")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // ln(freq) is non-increasing in ln(rank) BY CONSTRUCTION (ranks are
+      // ordered by freq desc), so the least-squares covariance — and hence
+      // the slope — is ≤ 0 (Chebyshev's sum inequality); R² is a square
+      // over a product of nonnegative variances, so 0 ≤ r² ≤ 1.
+      assert(r.getAs[Long]("slope_bp") <= 0,
+        s"${r.getString(0)}: slope must be non-positive")
+      val r2 = r.getAs[Long]("r2_bp")
+      assert(r2 >= 0 && r2 <= 10000, s"${r.getString(0)}: r2_bp $r2 out of [0,1]")
+      assert(r.getAs[Long]("vocab_n") >= 1)
+    }
+    // The fit must DISCRIMINATE: the fixture's sources are not all drawn
+    // from one distribution, so slopes are not all equal (a constant
+    // output would pass the bounds above while measuring nothing).
+    assert(rows.map(_.getAs[Long]("slope_bp")).distinct.length > 1)
+  }
 }
