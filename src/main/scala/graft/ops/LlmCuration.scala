@@ -1094,6 +1094,44 @@ object LlmCuration {
           expr("(bucket_tok_before + in_tok_before) * 4 div total_toks + 1").as("phase"))
         .orderBy("doc_id")
     }),
+
+    // Per-source distribution-drift census: the exact two-sample
+    // Kolmogorov–Smirnov statistic of each source's doc-length
+    // distribution against the global corpus — the alarm a curation
+    // pipeline raises when one source's length profile silently shifts
+    // (truncation bug upstream, boilerplate flood). ENTIRELY integer: the
+    // sup |F_s − F| over the union of jump points is max |cum_s·N −
+    // cum·n_s| in cross-multiplied counts (never a float CDF), emitted as
+    // ks_bp = 10000·max_diff div (n_s·N) with the arg-max length
+    // (smallest attaining value — deterministic). Scale: ONE (source,
+    // n_chars) partial-aggregatable count collapses the corpus; everything
+    // after runs on the |values|×|sources| grid (value-bounded ≤ ~600 ×
+    // |sources| — metadata), built by a broadcast cross of two COLLAPSED
+    // frames; the cumsum windows run over that grid only.
+    "llm_source_ks_drift" -> ((s, d) => {
+      val cnt = documents(s, d).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("c"))
+      val vals = cnt.groupBy("n_chars").agg(sum("c").as("cv"))
+        .withColumn("cum", sum("cv").over(
+          Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_total", sum("cv").over())
+        .select("n_chars", "cum", "n_total")
+      val srcs = cnt.groupBy("source").agg(sum("c").as("n_src"))
+      val grid = vals.join(broadcast(srcs), lit(true))
+        .join(cnt, Seq("source", "n_chars"), "left")
+        .withColumn("cum_src", coalesce(sum("c").over(
+          Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+        .withColumn("diff", abs(col("cum_src") * col("n_total") - col("cum") * col("n_src")))
+      grid.withColumn("mx", max("diff").over(Window.partitionBy("source")))
+        .filter(col("diff") === col("mx"))
+        .groupBy("source")
+        .agg(min("n_chars").as("at_n_chars"), max("n_src").as("n_docs"),
+          max("mx").as("ks_num"), max("n_total").as("n_total"))
+        .select(col("source"), col("n_docs"), col("at_n_chars"),
+          expr("10000 * ks_num div (n_docs * n_total)").as("ks_bp"))
+        .orderBy("source")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -1569,5 +1607,30 @@ object LlmCuration {
                 CAST(rnk AS BIGINT) AS curriculum_rank,
                 CAST(cum_before * 4 // total_toks + 1 AS BIGINT) AS phase
          FROM c ORDER BY doc_id""",
+    // Exact integer KS: sup over the union of jump points in
+    // cross-multiplied counts.
+    "llm_source_ks_drift" ->
+      """WITH cnt AS (SELECT source, n_chars, count(*) AS c
+                      FROM documents GROUP BY 1, 2),
+              vals AS (SELECT n_chars,
+                              sum(cv) OVER (ORDER BY n_chars) AS cum,
+                              sum(cv) OVER () AS n_total
+                       FROM (SELECT n_chars, sum(c) AS cv FROM cnt GROUP BY 1)),
+              srcs AS (SELECT source, sum(c) AS n_src FROM cnt GROUP BY 1),
+              grid AS (SELECT s.source, v.n_chars, v.cum, v.n_total, s.n_src,
+                              COALESCE(sum(c.c) OVER (PARTITION BY s.source
+                                ORDER BY v.n_chars), 0) AS cum_src
+                       FROM vals v CROSS JOIN srcs s
+                       LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = v.n_chars),
+              diffs AS (SELECT source, n_chars, n_src, n_total,
+                               abs(cum_src * n_total - cum * n_src) AS diff
+                        FROM grid),
+              mx AS (SELECT source, n_chars, n_src, n_total, diff,
+                            max(diff) OVER (PARTITION BY source) AS m
+                     FROM diffs)
+         SELECT source, CAST(max(n_src) AS BIGINT) AS n_docs,
+                CAST(min(n_chars) AS BIGINT) AS at_n_chars,
+                CAST(10000 * max(m) // (max(n_src) * max(n_total)) AS BIGINT) AS ks_bp
+         FROM mx WHERE diff = m GROUP BY source ORDER BY source""",
   )
 }

@@ -213,4 +213,25 @@ class Round9Suite extends AnyFunSuite {
     // output would pass the bounds above while measuring nothing).
     assert(rows.map(_.getAs[Long]("slope_bp")).distinct.length > 1)
   }
+
+  test("llm_source_ks_drift: the KS statistic is a bounded census over a partition") {
+    val rows = SparkEntry.queries("llm_source_ks_drift")(s, d).collect()
+    val corpus = Tables.documents(s, d)
+    // One row per source; per-source doc counts partition the corpus.
+    assert(rows.length == corpus.select("source").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus.count())
+    // KS is a sup of |CDF difference|: 0 ≤ ks_bp ≤ 10000, and the arg-max
+    // length is an OBSERVED value (the sup over the union of jump points
+    // is attained at a jump point).
+    val (lo, hi) = {
+      val r = corpus.agg(min("n_chars"), max("n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    rows.foreach { r =>
+      val ks = r.getAs[Long]("ks_bp")
+      assert(ks >= 0 && ks <= 10000, s"${r.getString(0)}: ks_bp $ks")
+      val v = r.getAs[Long]("at_n_chars")
+      assert(v >= lo && v <= hi, s"${r.getString(0)}: arg-max $v outside [$lo,$hi]")
+    }
+  }
 }
