@@ -222,6 +222,40 @@ object Streaming {
           col("w.end").as("session_end"), col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    // Event-time TIMER semantics (the Spark 4 transformWithState timer API)
+    // materialized in batch: a per-user inactivity session CLOSES exactly
+    // when the watermark passes last_event + 30 min — the instant the
+    // registered event-time timer would fire. The batch twin resolves the
+    // final watermark (= max ts, zero delay) and reports, per user, total
+    // sessions, sessions whose timer HAS fired (closed), and the events
+    // those closed sessions carried; a session still inside its 30-min
+    // grace window at end-of-input stays open — exactly what a restarted
+    // streaming query would still hold as state. StreamingSuite runs the
+    // REAL timer twin (registerTimer/handleExpiredTimer under
+    // TimeMode.EventTime) and pins the closed-session emissions to these
+    // semantics. Scale: user_id-keyed windows + one partial-aggregatable
+    // groupBy; the watermark is a 1-row broadcast.
+    "stream_state_timers" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), tsec(col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+      val sess = ev
+        .withColumn("prev", lag("ts_s", 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("ts_s") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(w))
+      val ends = sess.groupBy("user_id", "sid")
+        .agg(max("ts_s").as("end_ts"), count(lit(1)).as("n_ev"))
+      val wm = ev.agg(max("ts_s").as("wm"))
+      ends.join(broadcast(wm), lit(true))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("end_ts") + expr("INTERVAL 30 MINUTES") <= col("wm"), 1L)
+            .otherwise(0L)).as("n_closed"),
+          sum(when(col("end_ts") + expr("INTERVAL 30 MINUTES") <= col("wm"), col("n_ev"))
+            .otherwise(0L)).as("closed_events"))
+        .orderBy("user_id")
+    }),
+
     // Watermark semantics materialized in batch: the final watermark is
     // max(ts) − 1 hour; anything older is dropped before windowing.
     "stream_watermark_filter" -> ((s, d) => {
@@ -485,6 +519,31 @@ object Streaming {
                  max(ts_s) + INTERVAL '10 minutes' AS session_end,
                  count(*) AS n_events
           FROM sessions GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // 30-min gaps-and-islands; closed = timer (end + 30 min) ≤ the final
+    // watermark (max ts, zero delay).
+    "stream_state_timers" ->
+      s"""WITH e AS (SELECT user_id, $tsS AS ts_s FROM events),
+               flagged AS (
+                 SELECT user_id, ts_s,
+                        CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+                             OR ts_s > lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                                       + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM e),
+               sess AS (
+                 SELECT user_id, ts_s,
+                        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM flagged),
+               ends AS (SELECT user_id, sid, max(ts_s) AS end_ts, count(*) AS n_ev
+                        FROM sess GROUP BY 1, 2),
+               wm AS (SELECT max(ts_s) AS wm FROM e)
+          SELECT user_id, count(*) AS n_sessions,
+                 CAST(sum(CASE WHEN end_ts + INTERVAL '30 minutes' <= wm
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+                 CAST(sum(CASE WHEN end_ts + INTERVAL '30 minutes' <= wm
+                               THEN n_ev ELSE 0 END) AS BIGINT) AS closed_events
+          FROM ends CROSS JOIN wm GROUP BY user_id ORDER BY user_id""",
     "stream_watermark_filter" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts_s) AS window_start, event_type, count(*) AS n
           FROM (SELECT $tsS AS ts_s, event_type FROM events)

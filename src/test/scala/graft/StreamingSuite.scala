@@ -615,4 +615,80 @@ class StreamingSuite extends AnyFunSuite {
     val want = agg(src)
     assert(got == want, s"sink census diverged after replay:\n got=$got\nwant=$want")
   }
+
+  test("stream_state_timers twin: event-time timers close sessions exactly at watermark + 30 min") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    val GapMs = 30L * 60 * 1000
+    // The real timer API the batch op models: per-user last-event ts +
+    // event count as ValueState; every event re-arms the single
+    // last_ts + 30 min timer (deleting the stale one); expiry EMITS the
+    // closed session's event count and clears state.
+    class SessionTimerProc extends StatefulProcessor[Long, (Long, Timestamp), (Long, Long)] {
+      @transient private var lastTs: ValueState[Long] = _
+      @transient private var nEv: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        lastTs = getHandle.getValueState[Long]("lastTs", Encoders.scalaLong, TTLConfig.NONE)
+        nEv = getHandle.getValueState[Long]("nEv", Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Timestamp)],
+                                   tv: TimerValues): Iterator[(Long, Long)] = {
+        val old = if (lastTs.exists()) Some(lastTs.get()) else None
+        var mx = old.getOrElse(Long.MinValue)
+        var c = if (nEv.exists()) nEv.get() else 0L
+        rows.foreach { r => c += 1; mx = math.max(mx, r._2.getTime) }
+        old.foreach(o => getHandle.deleteTimer(o + GapMs))
+        getHandle.registerTimer(mx + GapMs)
+        lastTs.update(mx); nEv.update(c)
+        Iterator.empty
+      }
+      override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                      info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+        val out = Iterator.single((key, if (nEv.exists()) nEv.get() else 0L))
+        lastTs.clear(); nEv.clear()
+        out
+      }
+    }
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val q = mem.toDS().toDF("uid", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[(Long, Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProc, TimeMode.EventTime(), OutputMode.Update())
+        .toDF("uid", "closed_events")
+        .writeStream.format("memory").queryName("timer_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // b1: two users open sessions; wm after b1 = 10:05 — nothing fires.
+        mem.addData((1L, ts("10:00")), (2L, ts("10:05")))
+        q.processAllAvailable()
+        // b2: u1 extends its session (20-min gap re-arms the timer to
+        // 10:50); u3 opens. wm after b2 = 12:00.
+        mem.addData((1L, ts("10:20")), (3L, ts("12:00")))
+        q.processAllAvailable()
+        // b3 runs with wm = 12:00: u2's 10:35 timer and u1's re-armed
+        // 10:50 timer fire — u1 must close with BOTH events (2), proving
+        // the stale 10:30 timer really was deleted (had it fired, u1
+        // would have closed early with 1). wm after b3 = 15:00.
+        mem.addData((4L, ts("15:00")))
+        q.processAllAvailable()
+        // b4 runs with wm = 15:00: u3's 12:30 timer fires. The watermark
+        // then advances to 20:00 and Spark runs its no-data microbatch,
+        // firing u4's 15:30 timer too. u5 (timer 20:30 > wm 20:00) must
+        // stay open — an open session never emits.
+        mem.addData((5L, ts("20:00")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val closed = sp.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(closed == Set((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)),
+        s"timer emissions diverged from the declared semantics: $closed")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
