@@ -1132,6 +1132,36 @@ object LlmCuration {
           expr("10000 * ks_num div (n_docs * n_total)").as("ks_bp"))
         .orderBy("source")
     }),
+
+    // Temperature-based source sampling (the multilingual-corpus mixing
+    // rule: sample source s with p ∝ n_s^α, α = 0.7 — upweights the tail
+    // so small sources aren't drowned, the standard alternative to
+    // llm_mixture_weights' fixed targets): per source, the n^0.7 weight
+    // floored to micro-units (one deterministic exp(0.7·ln n) per source
+    // — metadata-sized, the per-term floor making everything after exact
+    // integers), then a 10,000-slot budget apportioned by LARGEST
+    // REMAINDER (floor share + the Σbudget − Σfloors leftovers to the
+    // largest 10000·w mod W remainders, source tie-break) — quotas sum to
+    // the budget EXACTLY, no float ever re-enters. Scale: one (source)
+    // partial-aggregatable count collapses the corpus; every window/join
+    // after runs on the |sources|-row frame.
+    "llm_sample_temperature" -> ((s, d) => {
+      val n = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_u",
+          expr("CAST(floor(1000000 * exp(0.7 * ln(CAST(n_docs AS DOUBLE)))) AS BIGINT)"))
+      val tot = n.agg(sum("weight_u").as("tw"))
+      val q = n.join(broadcast(tot), lit(true))
+        .withColumn("base", expr("10000 * weight_u div tw"))
+        .withColumn("rem", expr("10000 * weight_u % tw"))
+      val left = q.agg((lit(10000L) - sum("base")).as("leftover"))
+      q.join(broadcast(left), lit(true))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_docs"), col("weight_u"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("source")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
@@ -1632,5 +1662,23 @@ object LlmCuration {
                 CAST(min(n_chars) AS BIGINT) AS at_n_chars,
                 CAST(10000 * max(m) // (max(n_src) * max(n_total)) AS BIGINT) AS ks_bp
          FROM mx WHERE diff = m GROUP BY source ORDER BY source""",
+    // Same per-source micro-floored n^0.7 weight; largest-remainder
+    // apportionment in exact integers.
+    "llm_sample_temperature" ->
+      """WITH n AS (SELECT source, count(*) AS n_docs,
+                           CAST(floor(1000000 * exp(0.7 * ln(CAST(count(*) AS DOUBLE)))) AS BIGINT) AS weight_u
+                    FROM documents GROUP BY 1),
+              t AS (SELECT sum(weight_u) AS tw FROM n),
+              q AS (SELECT source, n_docs, weight_u,
+                           10000 * weight_u // tw AS base,
+                           10000 * weight_u % tw AS rem
+                    FROM n CROSS JOIN t),
+              l AS (SELECT 10000 - sum(base) AS leftover FROM q),
+              r AS (SELECT q.*, l.leftover,
+                           row_number() OVER (ORDER BY rem DESC, source) AS rk
+                    FROM q CROSS JOIN l)
+         SELECT source, n_docs, weight_u,
+                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM r ORDER BY source""",
   )
 }

@@ -234,4 +234,37 @@ class Round9Suite extends AnyFunSuite {
       assert(v >= lo && v <= hi, s"${r.getString(0)}: arg-max $v outside [$lo,$hi]")
     }
   }
+
+  test("llm_sample_temperature: apportionment is exact and temperature flattens") {
+    val rows = SparkEntry.queries("llm_sample_temperature")(s, d).collect()
+    // Largest-remainder apportionment: quotas sum to the budget EXACTLY
+    // (the property floor-only or float shares cannot give).
+    assert(rows.map(_.getAs[Long]("quota")).sum == 10000L)
+    // Weight is monotone in source size (n^0.7 is increasing), and each
+    // quota is its floor share or floor share + 1.
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    byN.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("weight_u") <= b.getAs[Long]("weight_u"))
+      case _ => ()
+    }
+    val tw = rows.map(_.getAs[Long]("weight_u")).sum
+    rows.foreach { r =>
+      val base = 10000L * r.getAs[Long]("weight_u") / tw
+      val q = r.getAs[Long]("quota")
+      assert(q == base || q == base + 1, s"${r.getString(0)}: quota $q vs base $base")
+    }
+    // α < 1 flattening (only observable when sizes differ): the smallest
+    // source's sampled share must be ≥ its raw share, the largest's ≤ —
+    // with 1-slot rounding slack.
+    val n = rows.map(_.getAs[Long]("n_docs"))
+    if (n.distinct.length > 1) {
+      val total = n.sum
+      val smin = byN.head; val smax = byN.last
+      assert(smin.getAs[Long]("quota") + 1 >=
+        10000L * smin.getAs[Long]("n_docs") / total)
+      assert(smax.getAs[Long]("quota") <=
+        10000L * smax.getAs[Long]("n_docs") / total + 1)
+    }
+  }
 }
