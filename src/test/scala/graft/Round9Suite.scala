@@ -267,4 +267,28 @@ class Round9Suite extends AnyFunSuite {
         10000L * smax.getAs[Long]("n_docs") / total + 1)
     }
   }
+
+  test("BPE encode round-trip: token concatenation reproduces every corpus word") {
+    // Structural soundness of the whole tokenizer trio: a merge only ever
+    // JOINS adjacent symbols, so stripping the separators from any word's
+    // encoded token stream must give back the word's exact characters —
+    // for every distinct corpus word, under the actually-learned merge
+    // table. A violation would mean the sentinel-replace encode corrupted
+    // a symbol (e.g. a merge matching across a token boundary).
+    val merges = SparkEntry.queries("llm_bpe_train_k")(s, d)
+      .select("round", "merged_pair")
+    val mrow = merges.groupBy()
+      .pivot("round", Seq(1L, 2L, 3L, 4L)).agg(first("merged_pair"))
+    val enc = (1 to 4).foldLeft("concat(' ', array_join(split(w, ''), ' '), ' ')") {
+      (acc, k) =>
+        s"replace($acc, concat(' ', `$k`, ' '), concat(' ', replace(`$k`, ' ', ''), ' '))"
+    }
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    val bad = words.crossJoin(broadcast(mrow))
+      .withColumn("roundtrip", expr(s"replace(trim($enc), ' ', '')"))
+      .filter(col("roundtrip") =!= col("w"))
+    assert(bad.count() == 0,
+      s"words whose encoded form lost characters: ${bad.select("w").take(5).mkString(",")}")
+  }
 }
