@@ -625,6 +625,36 @@ object LlmPipeline {
         .orderBy(col("bands").desc)
     }),
 
+    // MinHash ESTIMATOR accuracy census — the third leg of the minhash
+    // story (signature → banding recall/cost → how good is the estimate
+    // itself): for every exact Jaccard ≥ 4/5 truth pair, the 8-hash
+    // agreement fraction is the unbiased Jaccard estimate (agree/8, bp =
+    // agree·1250); bucketed by true Jaccard (500-bp buckets, J = 1 folded
+    // into the top bucket) the report gives pair count, mean |est − true|
+    // in bp, and the mean signed bias — the table that says whether 8
+    // hashes suffice BEFORE a production run trusts sketch-only dedup.
+    // All integers (agreement counts, integral divides). Same shuffle
+    // shape as llm_lsh_band_recall: two doc-keyed joins onto the
+    // truth-pair memo, one 4-row partial agg — never corpus².
+    "llm_minhash_accuracy" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"a$k")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(k => col(s"mh$k").as(s"b$k")): _*)
+      val agreeExpr = (0 until 8).map(k =>
+        when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L)).reduce(_ + _)
+      Shared.wordPairs(s, d).select("doc_a", "doc_b", "jaccard_bp")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_bp", agreeExpr * lit(1250L))
+        .withColumn("bucket_lo", expr("least(jaccard_bp, 9999L) div 500 * 500"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(est_bp - jaccard_bp)) div count(1)").as("mae_bp"),
+          expr("sum(est_bp - jaccard_bp) div count(1)").as("bias_bp"))
+        .orderBy("bucket_lo")
+    }),
+
     // Perplexity filter — the model-based quality GATE llm_unigram_logprob
     // scores for: held-out docs (doc_id%5=0) scored by the train-slice
     // Laplace unigram LM, normalized to per-token micro-nats with ONE exact
@@ -1000,6 +1030,35 @@ object LlmPipeline {
                  CAST(c.candidate_pairs AS BIGINT) AS candidate_pairs
           FROM rec r JOIN cd c ON c.bands = r.bands AND c.rows_per_band = r.rows_per_band
           ORDER BY r.bands DESC"""
+    },
+    // Truth pairs = the llm_dedup_near all-pairs CTE (slow-at-sf0.1 oracle
+    // class — gate at sf0.01); estimator = 8-hash agreement over sig.
+    "llm_minhash_accuracy" -> {
+      val agree = (0 until 8).map(k =>
+        s"CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $sigCte,
+              tt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+              tcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+              tv AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM tcand),
+              tp AS (SELECT doc_a, doc_b,
+                            (CAST(inter AS BIGINT) * 10000) // (stot - inter) AS jaccard_bp
+                     FROM tv WHERE inter * 5 >= (stot - inter) * 4),
+              pe AS (SELECT tp.jaccard_bp,
+                            CAST(($agree) * 1250 AS BIGINT) AS est_bp
+                     FROM tp JOIN sig a ON a.doc_id = tp.doc_a
+                             JOIN sig b ON b.doc_id = tp.doc_b)
+          SELECT least(jaccard_bp, 9999) // 500 * 500 AS bucket_lo,
+                 count(*) AS n_pairs,
+                 CAST(sum(abs(est_bp - jaccard_bp)) // count(*) AS BIGINT) AS mae_bp,
+                 CAST(sum(est_bp - jaccard_bp) // count(*) AS BIGINT) AS bias_bp
+          FROM pe GROUP BY 1 ORDER BY bucket_lo"""
     },
     "llm_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS min_doc_id

@@ -291,4 +291,27 @@ class Round9Suite extends AnyFunSuite {
     assert(bad.count() == 0,
       s"words whose encoded form lost characters: ${bad.select("w").take(5).mkString(",")}")
   }
+
+  test("llm_minhash_accuracy: the 8-hash estimator behaves like its binomial theory") {
+    val rows = SparkEntry.queries("llm_minhash_accuracy")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, mae, bias) = (r.getAs[Long]("bucket_lo"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("mae_bp"), r.getAs[Long]("bias_bp"))
+      // Truth pairs are J ≥ 0.8, so buckets live in [8000, 9500].
+      assert(b >= 8000 && b <= 9500 && b % 500 == 0, s"bucket $b")
+      assert(n > 0)
+      // agree/8 is unbiased with std √(p(1−p)/8) ≤ √(0.2·0.8/8) ≈ 14.1% at
+      // the J = 0.8 edge: mean |err| must sit well under 2σ ≈ 2830 bp, and
+      // the empirical bias (a mean over ≥ hundreds of pairs here) must be
+      // an order smaller than the spread.
+      assert(mae >= 0 && mae <= 2830, s"bucket $b: mae $mae out of theory range")
+      assert(math.abs(bias) <= mae.max(1L), s"bucket $b: |bias| $bias exceeds mae $mae")
+    }
+    // Estimator variance p(1−p)/8 shrinks as J → 1: the top bucket must be
+    // at least as accurate as the bottom one.
+    val sorted = rows.sortBy(_.getAs[Long]("bucket_lo"))
+    assert(sorted.last.getAs[Long]("mae_bp") <= sorted.head.getAs[Long]("mae_bp"),
+      "accuracy must not degrade as true Jaccard approaches 1")
+  }
 }
