@@ -14,6 +14,53 @@ object Reshape {
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   val ops: Map[String, Q] = Map(
+    // Largest-triangle downsampling per event-type series (the LTTB shape
+    // with FIXED bucket-mean anchors — Steinarsson's visualization
+    // downsampler made batch-parallel: true LTTB's selected-point anchor
+    // is sequential, the mean-anchor variant keeps per-bucket selection
+    // independent): each series is cut into 32 equal TIME buckets, and
+    // each interior bucket keeps the point maximizing the triangle area
+    // against the previous/next bucket MEANS. The area argmax is EXACT
+    // integers end-to-end: with anchors as (Σt/n, Σv/n), every candidate's
+    // area scales by the same positive n_p²·n_n, so the argmax compares
+    // |（t·n_p − Σt_p)(Σv_n·n_p − Σv_p·n_n) − (Σt_n·n_p − Σt_p·n_n)(v·n_p − Σv_p)|
+    // — BIGINT factors (≤ ~2e18 at 1e9-row buckets), DECIMAL(38,0)
+    // products, no float ever ranks. Scale: one (type, bucket) partial agg
+    // builds the 32·|types|-row anchor frame (lag/lead run THERE); the
+    // per-point argmax window partitions by (type, bucket) — the 32-bucket
+    // fixed-fanout trade (plan-audit reviewed, the llm_global_shuffle
+    // class); output is 30·|types| rows.
+    "ts_downsample_triangle" -> ((s, d) => {
+      val pts = events(s, d).select(col("event_type"),
+        unix_timestamp(tsec(col("ts"))).as("t"),
+        money(col("value")).as("v"), col("event_id"))
+      val span = pts.groupBy("event_type").agg(min("t").as("t0"), max("t").as("t1"))
+      val bk = pts.join(broadcast(span), "event_type")
+        .withColumn("bucket", expr("(t - t0) * 32 div (t1 - t0 + 1)"))
+      val wA = Window.partitionBy("event_type").orderBy("bucket")
+      val ctx = bk.groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("v").as("sv"))
+        .withColumn("np", lag("n", 1).over(wA))
+        .withColumn("stp", lag("st", 1).over(wA))
+        .withColumn("svp", lag("sv", 1).over(wA))
+        .withColumn("nn", lead("n", 1).over(wA))
+        .withColumn("stn", lead("st", 1).over(wA))
+        .withColumn("svn", lead("sv", 1).over(wA))
+        .filter(col("np").isNotNull && col("nn").isNotNull)
+        .select("event_type", "bucket", "np", "stp", "svp", "nn", "stn", "svn")
+      bk.join(broadcast(ctx), Seq("event_type", "bucket"))
+        .withColumn("area2", expr(
+          """abs(CAST(t * np - stp AS DECIMAL(38,0)) * CAST(svn * np - svp * nn AS DECIMAL(38,0))
+                 - CAST(stn * np - stp * nn AS DECIMAL(38,0)) * CAST(v * np - svp AS DECIMAL(38,0)))"""))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type", "bucket")
+            .orderBy(col("area2").desc, col("t"), col("event_id"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("bucket"), col("t").as("sel_t"),
+          col("v").as("sel_cents"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // Burstiness report per event type — the Fano factor (variance-to-mean
     // ratio of the daily arrival counts; 1 ⇒ Poisson-like, >1 ⇒ bursty) as
     // an EXACT integer rational: over per-day counts c with n days, S=Σc,
@@ -739,6 +786,42 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same n_p²·n_n-scaled exact-integer area argmax; HUGEINT products are
+    // DuckDB's twin of the Spark DECIMAL(38,0) cast.
+    "ts_downsample_triangle" ->
+      s"""WITH pts AS (SELECT event_type,
+                              CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+                              ${moneySql("value")} AS v, event_id
+                       FROM events),
+              span AS (SELECT event_type, min(t) AS t0, max(t) AS t1
+                       FROM pts GROUP BY 1),
+              bk AS (SELECT p.event_type, p.t, p.v, p.event_id,
+                            (p.t - s.t0) * 32 // (s.t1 - s.t0 + 1) AS bucket
+                     FROM pts p JOIN span s ON s.event_type = p.event_type),
+              a AS (SELECT event_type, bucket, count(*) AS n,
+                           sum(t) AS st, sum(v) AS sv
+                    FROM bk GROUP BY 1, 2),
+              ctx AS (SELECT event_type, bucket,
+                             lag(n) OVER w AS np, lag(st) OVER w AS stp,
+                             lag(sv) OVER w AS svp,
+                             lead(n) OVER w AS nn, lead(st) OVER w AS stn,
+                             lead(sv) OVER w AS svn
+                      FROM a
+                      WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+              scored AS (SELECT b.event_type, b.bucket, b.t, b.v, b.event_id,
+                                abs(CAST(b.t * c.np - c.stp AS HUGEINT)
+                                      * CAST(c.svn * c.np - c.svp * c.nn AS HUGEINT)
+                                    - CAST(c.stn * c.np - c.stp * c.nn AS HUGEINT)
+                                      * CAST(b.v * c.np - c.svp AS HUGEINT)) AS area2
+                         FROM bk b JOIN ctx c
+                           ON c.event_type = b.event_type AND c.bucket = b.bucket
+                         WHERE c.np IS NOT NULL AND c.nn IS NOT NULL)
+          SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                 t AS sel_t, v AS sel_cents
+          FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                             ORDER BY area2 DESC, t, event_id) AS rk
+                FROM scored)
+          WHERE rk = 1 ORDER BY event_type, bucket""",
     "ts_churn_by_week" ->
       """WITH um AS (SELECT DISTINCT user_id,
                             date_diff('day', DATE '2024-01-01',

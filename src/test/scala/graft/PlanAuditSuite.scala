@@ -482,8 +482,13 @@ class PlanAuditSuite extends AnyFunSuite {
     //    frame; phase 2's per-bucket share shrinks as quality values
     //    diversify). Equivalence to the single-window truth is exactly
     //    what its DuckDB oracle states.
+    //  - ts_downsample_triangle: the per-point area-argmax window
+    //    partitions by (event_type, bucket) — 32 fixed time buckets per
+    //    series, the same fixed-fanout parallelism knob; the anchor
+    //    lag/lead windows run on the collapsed 32·|types|-row frame.
     val windowReviewed = Set("llm_global_shuffle", "llm_pack_greedy",
-      "llm_pack_sequences", "topk_per_group_merge", "llm_curriculum_order")
+      "llm_pack_sequences", "topk_per_group_merge", "llm_curriculum_order",
+      "ts_downsample_triangle")
     def collapsed(p: LogicalPlan): Boolean = p.exists {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
       case _ => false

@@ -314,4 +314,24 @@ class Round9Suite extends AnyFunSuite {
     assert(sorted.last.getAs[Long]("mae_bp") <= sorted.head.getAs[Long]("mae_bp"),
       "accuracy must not degrade as true Jaccard approaches 1")
   }
+
+  test("ts_downsample_triangle: one interior representative per bucket, drawn from the bucket") {
+    val out = SparkEntry.queries("ts_downsample_triangle")(s, d)
+    val rows = out.collect()
+    // Interior buckets only (first/last have no prev/next anchor), one
+    // representative each, per series.
+    rows.groupBy(_.getString(0)).foreach { case (tp, rs) =>
+      val bks = rs.map(_.getAs[Long]("bucket"))
+      assert(bks.distinct.length == bks.length, s"$tp: duplicate bucket reps")
+      assert(bks.forall(b => b >= 1 && b <= 30), s"$tp: non-interior bucket selected")
+    }
+    // Every representative is a REAL event: (type, t, cents) must join back
+    // to the source — the argmax cannot fabricate a point.
+    import org.apache.spark.sql.functions.{col => c}
+    val src = Tables.events(s, d).select(c("event_type"),
+      unix_timestamp(date_trunc("second", c("ts"))).as("sel_t"),
+      graft.Norm.money(c("value")).as("sel_cents")).distinct()
+    val orphans = out.join(src, Seq("event_type", "sel_t", "sel_cents"), "left_anti")
+    assert(orphans.count() == 0, "downsampled point not present in the source series")
+  }
 }
