@@ -151,6 +151,37 @@ object Joins {
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // Interval×interval OVERLAP join — the temporal-join family's last
+    // shape (asof = point→latest, range_interval = point∈interval, band =
+    // value distance; this op: two interval SETS, overlap iff
+    // s₁ ≤ e₂ ∧ s₂ ≤ e₁): each order's 30-day fulfillment window vs every
+    // OTHER window of the same customer — per order, how many concurrent
+    // sibling orders and their total overlap days (exact datediff
+    // integers). Scale: the equi key (custkey) bounds the pair space to
+    // Σ per-customer C(orders,2) — never orders²; the overlap predicate
+    // rides the hash join as a residual. A hot customer salts like any
+    // hot join key (Scale.saltedEquiJoin); intervals WITHOUT a grouping
+    // key take the join_band_bucketed time-bucket explosion instead.
+    "join_interval_overlap" -> ((s, d) => {
+      val iv = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").as("st"), date_add(col("o_orderdate"), 30).as("en"))
+      val a = iv.toDF("o_orderkey", "cust", "sa", "ea")
+      val b = iv.toDF("k_b", "cust_b", "sb", "eb")
+      val agg = a.join(b, col("cust") === col("cust_b") &&
+          col("o_orderkey") =!= col("k_b") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select(col("o_orderkey"),
+          (datediff(least(col("ea"), col("eb")), greatest(col("sa"), col("sb"))) + 1)
+            .cast("long").as("ov_days"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_concurrent"), sum("ov_days").as("overlap_days"))
+      iv.select("o_orderkey").join(agg, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"),
+          coalesce(col("overlap_days"), lit(0L)).as("overlap_days"))
+        .orderBy("o_orderkey")
+    }),
+
     // Event-time as-of: for each purchase, the most recent preceding click by
     // the same user. One shuffle on user_id + ordered window scan; `last(...,
     // ignoreNulls)` carries the latest click timestamp forward.
@@ -521,6 +552,28 @@ object Joins {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL '90 days'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Same custkey-bounded overlap pair space; overlap days as exact
+    // date_diff integers.
+    "join_interval_overlap" ->
+      """WITH iv AS (SELECT o_orderkey, o_custkey,
+                            o_orderdate AS st,
+                            o_orderdate + INTERVAL 30 DAY AS en
+                     FROM orders),
+              ag AS (SELECT a.o_orderkey,
+                            count(*) AS n_concurrent,
+                            CAST(sum(date_diff('day',
+                                     greatest(a.st, b.st),
+                                     least(a.en, b.en)) + 1) AS BIGINT) AS overlap_days
+                     FROM iv a JOIN iv b
+                       ON a.o_custkey = b.o_custkey
+                      AND a.o_orderkey <> b.o_orderkey
+                      AND a.st <= b.en AND b.st <= a.en
+                     GROUP BY 1)
+         SELECT i.o_orderkey,
+                COALESCE(ag.n_concurrent, 0) AS n_concurrent,
+                COALESCE(ag.overlap_days, 0) AS overlap_days
+         FROM iv i LEFT JOIN ag ON ag.o_orderkey = i.o_orderkey
+         ORDER BY i.o_orderkey""",
     // Same window emulation as the Spark side for semantic identity
     // (SURVEY §2.C join_asof).
     "join_asof" ->

@@ -334,4 +334,19 @@ class Round9Suite extends AnyFunSuite {
     val orphans = out.join(src, Seq("event_type", "sel_t", "sel_cents"), "left_anti")
     assert(orphans.count() == 0, "downsampled point not present in the source series")
   }
+
+  test("join_interval_overlap: overlap counting is symmetric and day-bounded") {
+    val rows = SparkEntry.queries("join_interval_overlap")(s, d).collect()
+    // One row per order, including zero-overlap orders.
+    assert(rows.length == Tables.orders(s, d).count())
+    // Overlap is symmetric, so each overlapping pair contributes 1 to TWO
+    // orders' counts: the global concurrent-count sum must be even.
+    assert(rows.map(_.getAs[Long]("n_concurrent")).sum % 2 == 0)
+    rows.foreach { r =>
+      val (n, dys) = (r.getAs[Long]("n_concurrent"), r.getAs[Long]("overlap_days"))
+      // Every overlap spans ≥ 1 day and at most the full 31-day window.
+      assert(dys >= n, s"order ${r.getLong(0)}: $dys days for $n overlaps")
+      assert(dys <= 31 * n, s"order ${r.getLong(0)}: $dys days exceeds window bound")
+    }
+  }
 }
