@@ -68,6 +68,34 @@ object Scans {
         .orderBy("lang")
     }),
 
+    // Quoted-newline CSV roundtrip: every doc's text gets ALL spaces
+    // replaced by REAL newlines, is written as quoted CSV, and must come
+    // back intact through `multiLine=true` — the mode real-world CSV dumps
+    // (addresses, free-text columns) force on an ingest pipeline. The
+    // census proves no record split mid-field: per lang, doc count, docs
+    // whose text still CONTAINS the newline, and the exact total text
+    // length (newline included). 100 TB trade documented here: multiLine
+    // disables record splitting, so each FILE becomes one task's unit —
+    // keep multiline dumps in many moderate files (the writer side's
+    // repartition) or convert to parquet at the edge; the default
+    // line-split reader cannot parse them correctly at any parallelism.
+    "scan_csv_multiline" -> ((s, d) => {
+      val path = tmpDir(d, "csvml")
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          regexp_replace(col("text"), " ", "\n").as("text"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(path)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id LONG, lang STRING, text STRING").csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").contains("\n"), 1L).otherwise(0L)).as("n_multiline"),
+          sum(length(col("text"))).as("total_len"))
+        .orderBy("lang")
+    }),
+
     // ORC sink + source (the other first-class columnar format).
     "scan_orc_roundtrip" -> ((s, d) => {
       val path = tmpDir(d, "orc")
@@ -612,6 +640,15 @@ object Scans {
          FROM nation""",
     "scan_csv_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // The oracle states the SEMANTICS from the parquet source: space →
+    // newline is length-preserving, so an intact multiLine roundtrip must
+    // reproduce the original total length and every spaced doc must still
+    // contain its (replaced) separator.
+    "scan_csv_multiline" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN contains(text, ' ') THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+                CAST(sum(length(text)) AS BIGINT) AS total_len
          FROM documents GROUP BY lang ORDER BY lang""",
     "scan_recursive_glob" ->
       """SELECT * FROM (
