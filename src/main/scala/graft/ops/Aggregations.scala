@@ -20,6 +20,62 @@ object Aggregations {
   private val eventTypesCms = Seq("click", "error", "purchase", "signup", "view")
 
   val ops: Map[String, Q] = Map(
+    // Pairwise Pearson correlation MATRIX over four lineitem measures
+    // (quantity, price cents, discount bp, tax bp) per returnflag — the
+    // feature-correlation screen run before trusting a downsampling or
+    // quality model. ONE partial-aggregatable pass computes all 15 moment
+    // sums (count + 4 sums + 4 square-sums + 6 cross-sums); the 6 pair rows
+    // then explode from the |groups|-row aggregate frame, never from the
+    // corpus. Square/cross sums ride DECIMAL(38,0) accumulators (cents² ~
+    // 1e14/row overflows BIGINT by sf0.1 — the wide-accumulator rule).
+    // The correlation leaves as SIGN + r²·1e18, factored as (1e9·num div
+    // dena)·(1e9·num div denb) — each factor ≤ 1e9·√(denb/dena) stays in
+    // DECIMAL(38,0) range, the product ≤ 1e18 fits BIGINT, and both
+    // engines run the identical two floor-divides, so the quantization is
+    // engine-exact (a single 1e18·num²/(dena·denb) would need num² ~ 1e40+
+    // — past any 128-bit width). Zero variance → NULL via the CASE guard.
+    "agg_corr_matrix" -> ((s, d) => {
+      val base = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"),
+        money(col("l_extendedprice")).as("p"),
+        d4(col("l_discount")).as("dc"),
+        d4(col("l_tax")).as("tx"))
+      val sums = base.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("dc").as("sd"), sum("tx").as("st"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sq2"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("sp2"),
+        sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sd2"),
+        sum(expr("CAST(tx AS DECIMAL(38,0)) * tx")).as("st2"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * p")).as("sqp"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * dc")).as("sqd"),
+        sum(expr("CAST(q AS DECIMAL(38,0)) * tx")).as("sqt"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * dc")).as("spd"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * tx")).as("spt"),
+        sum(expr("CAST(dc AS DECIMAL(38,0)) * tx")).as("sdt"))
+      val pairRow = (nm: String, a: String, b: String, a2: String, b2: String, ab: String) =>
+        struct(lit(nm).as("pair"),
+          col(a).cast("decimal(38,0)").as("sa"), col(b).cast("decimal(38,0)").as("sb"),
+          col(a2).as("sa2"), col(b2).as("sb2"), col(ab).as("sab"))
+      sums.select(col("flag"), col("n"), explode(array(
+          pairRow("q_p", "sq", "sp", "sq2", "sp2", "sqp"),
+          pairRow("q_dc", "sq", "sd", "sq2", "sd2", "sqd"),
+          pairRow("q_tx", "sq", "st", "sq2", "st2", "sqt"),
+          pairRow("p_dc", "sp", "sd", "sp2", "sd2", "spd"),
+          pairRow("p_tx", "sp", "st", "sp2", "st2", "spt"),
+          pairRow("dc_tx", "sd", "st", "sd2", "st2", "sdt"))).as("c"))
+        .select(col("flag"), col("n"), col("c.pair").as("pair"),
+          expr("CAST(n AS DECIMAL(38,0)) * c.sab - c.sa * c.sb").as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * c.sa2 - c.sa * c.sa").as("dena"),
+          expr("CAST(n AS DECIMAL(38,0)) * c.sb2 - c.sb * c.sb").as("denb"))
+        .select(col("flag"), col("pair"), col("n"),
+          expr("CASE WHEN num > 0 THEN 1L WHEN num < 0 THEN -1L ELSE 0L END").as("r_sign"),
+          expr("""CASE WHEN dena = 0 OR denb = 0 THEN NULL
+                       ELSE CAST((1000000000 * num div dena) *
+                                 (1000000000 * num div denb) AS BIGINT) END""").as("r2_x18"))
+        .orderBy("flag", "pair")
+    }),
+
     // Herfindahl–Hirschman concentration index per market segment (the
     // market-concentration report a revenue audit runs): firms = customers,
     // shares = revenue share within the segment. hhi_bp = 10000·Σrᵢ²/(Σrᵢ)²
@@ -784,6 +840,42 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 15 moment sums in HUGEINT; the 6 pair rows come from a 6-way
+    // UNION ALL over the |groups|-row aggregate CTE (SQL's explode), and
+    // the r² factorization is the identical pair of floor-divides.
+    "agg_corr_matrix" ->
+      s"""WITH b AS (SELECT l_returnflag AS flag,
+                            CAST(l_quantity AS BIGINT) AS q,
+                            ${moneySql("l_extendedprice")} AS p,
+                            ${d4Sql("l_discount")} AS dc,
+                            ${d4Sql("l_tax")} AS tx
+                     FROM lineitem),
+              m AS (SELECT flag, count(*) AS n,
+                           sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(p AS HUGEINT)) AS sp,
+                           sum(CAST(dc AS HUGEINT)) AS sd, sum(CAST(tx AS HUGEINT)) AS st,
+                           sum(CAST(q AS HUGEINT) * q) AS sq2, sum(CAST(p AS HUGEINT) * p) AS sp2,
+                           sum(CAST(dc AS HUGEINT) * dc) AS sd2, sum(CAST(tx AS HUGEINT) * tx) AS st2,
+                           sum(CAST(q AS HUGEINT) * p) AS sqp, sum(CAST(q AS HUGEINT) * dc) AS sqd,
+                           sum(CAST(q AS HUGEINT) * tx) AS sqt, sum(CAST(p AS HUGEINT) * dc) AS spd,
+                           sum(CAST(p AS HUGEINT) * tx) AS spt, sum(CAST(dc AS HUGEINT) * tx) AS sdt
+                    FROM b GROUP BY flag),
+              pr AS (SELECT flag, n, 'q_p' AS pair, sq AS sa, sp AS sb, sq2 AS sa2, sp2 AS sb2, sqp AS sab FROM m
+                     UNION ALL SELECT flag, n, 'q_dc', sq, sd, sq2, sd2, sqd FROM m
+                     UNION ALL SELECT flag, n, 'q_tx', sq, st, sq2, st2, sqt FROM m
+                     UNION ALL SELECT flag, n, 'p_dc', sp, sd, sp2, sd2, spd FROM m
+                     UNION ALL SELECT flag, n, 'p_tx', sp, st, sp2, st2, spt FROM m
+                     UNION ALL SELECT flag, n, 'dc_tx', sd, st, sd2, st2, sdt FROM m),
+              c AS (SELECT flag, pair, n,
+                           CAST(n AS HUGEINT) * sab - sa * sb AS num,
+                           CAST(n AS HUGEINT) * sa2 - sa * sa AS dena,
+                           CAST(n AS HUGEINT) * sb2 - sb * sb AS denb
+                    FROM pr)
+         SELECT flag, pair, n,
+                CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+                CASE WHEN dena = 0 OR denb = 0 THEN NULL
+                     ELSE CAST((1000000000 * num // dena) *
+                               (1000000000 * num // denb) AS BIGINT) END AS r2_x18
+         FROM c ORDER BY flag, pair""",
     // sum(BIGINT·BIGINT) runs in HUGEINT — DuckDB's DECIMAL(38,0)-width twin;
     // `//` truncates toward zero exactly like Spark's `div`.
     "agg_hhi" ->

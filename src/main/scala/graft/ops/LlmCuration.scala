@@ -1162,9 +1162,152 @@ object LlmCuration {
             .as("quota"))
         .orderBy("source")
     }),
+
+    // Hash-shard balance census (K = 16): the skew audit run BEFORE a
+    // 100 TB write commits to a sharding function — one hot shard turns
+    // into one straggler writer task and one oversized output file. The
+    // shard key is the md5-prefix bucket (the llm_global_shuffle hash:
+    // engine-portable, uniform by construction); per shard docs + token
+    // mass, and load_bp = 10000·K·tokens div total (10000 = perfectly
+    // balanced). Scale: ONE partial-aggregatable groupBy over a map-only
+    // projection + a 1-row broadcast total — the census costs one scan at
+    // any corpus size.
+    "llm_shard_balance" -> ((s, d) => {
+      val sh = documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+                  AS BIGINT) % 16""").as("shard"))
+      val tot = sh.agg(sum("n_tok").as("tok_total"))
+      sh.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          expr("10000 * 16 * n_tokens div tok_total").as("load_bp"))
+        .orderBy("shard")
+    }),
+
+    // Contamination N-SENSITIVITY sweep (n = 3, 5, 8): the curve that picks
+    // the overlap gram length BEFORE a decontamination run commits to one —
+    // short grams over-flag (common phrases), long grams under-flag (miss
+    // paraphrase edges); published pipelines disagree (8..13-gram overlap
+    // is the usual range) precisely because this curve is corpus-specific.
+    // Per n: the llm_contamination shape verbatim — benchmark slice's
+    // distinct grams BROADCAST, corpus grams probe them in one left join +
+    // one doc_id agg, then ONE summary row (docs flagged, doc_bp, shared
+    // gram mass bp). Scale: 3 broadcast probes over 3 gram explodes — all
+    // map-side, nothing corpus² — and the bench leg stays corpus/20-sized.
+    "llm_contamination_sweep" -> ((s, d) => {
+      val docs = documents(s, d)
+      def gramsN(df: DataFrame, n: Int): DataFrame = {
+        val parts = (1 until n).map(k => s"t[i + $k]").mkString(", ")
+        df.select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), explode(expr(
+            s"""transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)),
+                          (x, i) -> concat_ws(' ', x, $parts))""")).as("g"))
+          .distinct()
+      }
+      Seq(3, 5, 8).map { n =>
+        // Dedup to distinct GRAMS (gramsN dedupes (doc_id, gram)): a gram
+        // shared by k bench docs would otherwise fan the probe join out ×k
+        // and inflate both counters.
+        val bench = gramsN(docs.filter(col("doc_id") % 20 === 0), n).select("g").distinct()
+        val corpus = gramsN(docs.filter(col("doc_id") % 20 =!= 0), n)
+        corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+            sum("n_grams").as("tg"), sum("n_shared").as("sg"))
+          .select(lit(n.toLong).as("gram_n"), col("n_docs"), col("n_contaminated"),
+            expr("10000 * n_contaminated div n_docs").as("doc_bp"),
+            expr("10000 * sg div tg").as("gram_bp"))
+      }.reduce(_ unionAll _).orderBy("gram_n")
+    }),
+
+    // Head-coverage curve of the bigram distribution: what fraction of all
+    // bigram OCCURRENCES the top-N bigrams account for, over a doubling N
+    // grid — the curve that sizes phrase tables, cache tiers, and
+    // stop-ngram lists (a steep curve says a tiny head dominates; Zipf's
+    // law makes this the normal case — llm_zipf_fit fits the exponent,
+    // this op reads the mass). Ties rank by the (count desc, bigram asc)
+    // total order, so every cutoff is engine-stable. Scale: the corpus
+    // collapses through ONE partial-aggregatable bigram count; the rank +
+    // running-sum windows run over the COLLAPSED vocab-sized frame only
+    // (single-partition by design — vocab ≪ corpus; for an unbounded vocab
+    // apply the llm_global_shuffle bucket decomposition to the rank), and
+    // the 9-row N grid joins against rank = min(N, vocab).
+    "llm_ngram_coverage" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      val cnt = documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          """transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', t[i + 1]))"""))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val ord = Window.orderBy(col("c").desc, col("bg"))
+      val ranked = cnt
+        .select(col("c"), row_number().over(ord).cast("long").as("rk"),
+          sum("c").over(ord.rowsBetween(Window.unboundedPreceding, 0)).as("cum"))
+      val tot = cnt.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L).toDF("top_n")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_used", least(col("top_n"), col("vocab")))
+        .join(ranked.select(col("rk"), col("cum").as("covered")),
+          col("n_used") === col("rk"))
+        .select(col("top_n"), col("n_used"), col("covered"), col("total"),
+          expr("10000 * covered div total").as("coverage_bp"))
+        .orderBy("top_n")
+    }),
   )
 
   private val curationOracleExtra: Map[String, String] = Map(
+    "llm_contamination_sweep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+              ns AS (SELECT CAST(unnest([3, 5, 8]) AS BIGINT) AS gram_n),
+              g AS (SELECT DISTINCT gram_n, doc_id,
+                           array_to_string(tk[i : i + gram_n - 1], ' ') AS g
+                    FROM (SELECT gram_n, doc_id, tk,
+                                 unnest(range(1, greatest(len(tk) - gram_n + 2, 1))) AS i
+                          FROM toks CROSS JOIN ns)),
+              bench AS (SELECT DISTINCT gram_n, g FROM g WHERE doc_id % 20 = 0),
+              corpus AS (SELECT gram_n, doc_id, g FROM g WHERE doc_id % 20 <> 0),
+              per AS (SELECT c.gram_n, c.doc_id, count(*) AS n_grams,
+                             sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+                      FROM corpus c LEFT JOIN bench b
+                        ON b.gram_n = c.gram_n AND b.g = c.g
+                      GROUP BY 1, 2)
+         SELECT gram_n, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+                CAST(10000 * sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS doc_bp,
+                CAST(10000 * sum(n_shared) // sum(n_grams) AS BIGINT) AS gram_bp
+         FROM per GROUP BY gram_n ORDER BY gram_n""",
+    "llm_shard_balance" ->
+      """WITH sh AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16 AS shard,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                     FROM documents),
+              tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tok_total FROM sh)
+         SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(10000 * 16 * sum(n_tok) // tok_total AS BIGINT) AS load_bp
+         FROM sh, tot GROUP BY shard, tok_total ORDER BY shard""",
+    "llm_ngram_coverage" ->
+      """WITH bg AS (SELECT concat(w1, ' ', w2) AS bg FROM (
+                       SELECT unnest(tk[1:len(tk) - 1]) AS w1,
+                              unnest(tk[2:len(tk)]) AS w2
+                       FROM (SELECT string_split(text, ' ') AS tk FROM documents))),
+              c AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+              r AS (SELECT c, row_number() OVER (ORDER BY c DESC, bg) AS rk,
+                           sum(c) OVER (ORDER BY c DESC, bg
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM c),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                             count(*) AS vocab FROM c),
+              grid AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS BIGINT) AS top_n)
+         SELECT top_n, least(top_n, vocab) AS n_used,
+                CAST(cum AS BIGINT) AS covered, total,
+                CAST(10000 * cum // total AS BIGINT) AS coverage_bp
+         FROM grid CROSS JOIN tot JOIN r ON r.rk = least(top_n, vocab)
+         ORDER BY top_n""",
     "llm_mix_epochs" ->
       s"""WITH ${repetitionSqlCte("doc_id, lang")},
               ep AS (SELECT doc_id, lang,

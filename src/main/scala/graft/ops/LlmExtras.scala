@@ -244,6 +244,40 @@ object LlmExtras {
               FROM l1 LEFT JOIN m2 ON l1.v = m2.v)"""
 
   val ops: Map[String, Q] = Map(
+    // Degree ASSORTATIVITY of the near-dup graph (Newman's r — do
+    // high-degree docs link to other high-degree docs?): the one-number
+    // summary that tells a dedup pipeline whether its dup graph is a few
+    // dense clone farms (r > 0: hubs link hubs) or star-shaped template
+    // fans (r < 0). Pearson over the DIRECTED endpoint list (each
+    // unordered edge contributes both orientations, making the statistic
+    // symmetric by construction, so Σx = Σy and Σx² = Σy² — ONE set of
+    // sums suffices and r = num/den exactly, no sqrt). All-integer:
+    // num = n·Σxy − (Σx)², den = n·Σx² − (Σx)², r_micro = 1e6·num div den
+    // in DECIMAL(38,0) (n·Σxy ~ 4e19 at sf0.1 overflows BIGINT — wide-
+    // accumulator rule). Scale: pairs from the Shared memo; one vertex-
+    // keyed partial agg for degrees; two edge⋈degree hash joins (a hot
+    // vertex here is a hot join key — the saltedEquiJoin rule applies);
+    // one global partial-aggregatable sum. Nothing corpus² beyond the
+    // declared pair table itself.
+    "graph_assortativity" -> ((s, d) => {
+      val pairs = Shared.wordPairs(s, d).select("doc_a", "doc_b")
+      val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = dir.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+      dir
+        .join(deg.select(col("v").as("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("v").as("dst"), col("dg").as("dy")), "dst")
+        .agg(count(lit(1)).as("n"), sum("dx").as("s1"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("s2"),
+          sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
+        .select(expr("n div 2").as("n_edges"), col("n"),
+          col("s1"), col("s2").cast("long").as("s2"), col("sxy").cast("long").as("sxy"),
+          expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 = 0 THEN NULL
+                       ELSE CAST(1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(s1 AS DECIMAL(38,0)) * s1)
+                                 div (CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)
+                  END""").as("r_micro"))
+    }),
+
     // 64-bit SimHash per document (full corpus): near-identical token
     // multisets produce near-identical signatures.
     "llm_dedup_simhash" -> ((s, d) =>
@@ -1568,6 +1602,38 @@ object LlmExtras {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same directed-endpoint Pearson in HUGEINT; the pairs CTE is the
+    // degree-histogram word-Jaccard edge set verbatim.
+    "graph_assortativity" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                     FROM documents),
+               cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                               a.toks AS ta, b.toks AS tb
+                        FROM t a JOIN t b ON a.doc_id < b.doc_id
+                         AND len(a.toks) * 5 >= len(b.toks) * 4
+                         AND len(b.toks) * 5 >= len(a.toks) * 4),
+               v AS (SELECT doc_a, doc_b, len(list_intersect(ta, tb)) AS inter,
+                            len(ta) + len(tb) AS stot
+                     FROM cand),
+               pairs AS (SELECT doc_a, doc_b FROM v WHERE inter * 5 >= (stot - inter) * 4),
+               dirs AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+               deg AS (SELECT src AS vv, count(*) AS dg FROM dirs GROUP BY src),
+               e AS (SELECT da.dg AS dx, db.dg AS dy
+                     FROM dirs JOIN deg da ON da.vv = dirs.src
+                               JOIN deg db ON db.vv = dirs.dst),
+               m AS (SELECT count(*) AS n, sum(CAST(dx AS HUGEINT)) AS s1,
+                            sum(CAST(dx AS HUGEINT) * dx) AS s2,
+                            sum(CAST(dx AS HUGEINT) * dy) AS sxy
+                     FROM e)
+          SELECT CAST(n // 2 AS BIGINT) AS n_edges, CAST(n AS BIGINT) AS n,
+                 CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+                 CAST(sxy AS BIGINT) AS sxy,
+                 CASE WHEN CAST(n AS HUGEINT) * s2 - s1 * s1 = 0 THEN NULL
+                      ELSE CAST(1000000 * (CAST(n AS HUGEINT) * sxy - s1 * s1)
+                                // (CAST(n AS HUGEINT) * s2 - s1 * s1) AS BIGINT)
+                 END AS r_micro
+          FROM m""",
     // 3 propagation rounds unrolled as CTEs (the graph_pagerank_fixed
     // pattern): l_{k+1}(v) = min over {v} ∪ in-neighbors of l_k.
     "llm_embed_outliers" -> {

@@ -228,7 +228,49 @@ object Subqueries {
          AND o_orderpriority = '5-LOW'
        ORDER BY o_orderkey LIMIT 200"""
 
+  // Quantified ALL comparison — customers whose EVERY order totals at least
+  // $50k (vacuously including customers with no orders, per ALL-over-empty
+  // = true). Spark has no `<= ALL (subq)` surface, so the declared Spark
+  // query IS the standard lowering: `x <= ALL S ≡ NOT EXISTS (s ∈ S with
+  // s < x)` — identical three-valued logic here because o_totalprice is
+  // non-null (a NULL element would make ALL unknown but NOT EXISTS true).
+  // DuckDB runs the NATIVE quantified form, so the hash-match PROVES the
+  // lowering, not just the plan. Plans as a left anti join (the
+  // sub_not_exists shape): one broadcast/shuffle-hash anti join, no
+  // per-outer-row re-execution.
+  private val SUB_ALL_SPARK =
+    s"""SELECT c_custkey, c_mktsegment FROM @customer c
+        WHERE NOT EXISTS (SELECT 1 FROM @orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND ${moneySql("o_totalprice")} < 5000000)
+        ORDER BY c_custkey"""
+  private val SUB_ALL_ORACLE =
+    s"""SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE 5000000 <= ALL (SELECT ${moneySql("o_totalprice")}
+                              FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey"""
+
+  // Quantified ANY — the existential dual: customers with AT LEAST ONE
+  // order under $5k (x >= ANY S ≡ EXISTS (s ∈ S with s <= x); empty S →
+  // false — exactly EXISTS semantics, no vacuous-truth subtlety this
+  // time). Spark runs the EXISTS lowering (one semi join), DuckDB the
+  // native `>= ANY` form; together with sub_quantified_all the pair pins
+  // both quantifier polarities against native quantified evaluation.
+  private val SUB_ANY_SPARK =
+    s"""SELECT c_custkey, c_mktsegment FROM @customer c
+        WHERE EXISTS (SELECT 1 FROM @orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND ${moneySql("o_totalprice")} <= 500000)
+        ORDER BY c_custkey"""
+  private val SUB_ANY_ORACLE =
+    s"""SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE 500000 >= ANY (SELECT ${moneySql("o_totalprice")}
+                             FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey"""
+
   val ops: Map[String, Q] = Map(
+    "sub_quantified_all" -> ((s, d) => viaSql(s, d, SUB_ALL_SPARK, "customer", "orders")),
+    "sub_quantified_any" -> ((s, d) => viaSql(s, d, SUB_ANY_SPARK, "customer", "orders")),
     "sub_in_multicol" -> ((s, d) => viaSql(s, d, SUB_IN_MULTICOL, "orders")),
     "sub_scalar"      -> ((s, d) => viaSql(s, d, SUB_SCALAR, "orders")),
     "sub_in"          -> ((s, d) => viaSql(s, d, SUB_IN, "customer", "orders")),
@@ -264,6 +306,8 @@ object Subqueries {
        ORDER BY o_orderkey LIMIT 200"""
 
   val oracle: Map[String, String] = Map(
+    "sub_quantified_all" -> SUB_ALL_ORACLE,
+    "sub_quantified_any" -> SUB_ANY_ORACLE,
     "sub_in_multicol" -> SUB_IN_MULTICOL_ORACLE,
     "sub_scalar"      -> stripMarkers(SUB_SCALAR),
     "sub_in"          -> stripMarkers(SUB_IN),

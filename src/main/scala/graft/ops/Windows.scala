@@ -21,6 +21,55 @@ import graft.Tables._
   */
 object Windows {
   val ops: Map[String, Q] = Map(
+    // Rolling 15-row Pearson correlation between quantity and price per
+    // supplier (the co-movement monitor a pricing pipeline runs): all six
+    // moment sums ride ONE partitioned window frame — count, Σx, Σy, Σxy,
+    // Σx², Σy² — ordered by the (l_orderkey, l_linenumber) unique key, so
+    // the frame content is engine-exact. The correlation leaves as SIGN +
+    // r²·1e6: r² = num²/(denx·deny) is a RATIO OF INTEGERS (num = n·Σxy −
+    // ΣxΣy etc.), so floor(1e6·num²/(denx·deny)) in DECIMAL(38,0) is exact
+    // integer arithmetic end to end — no sqrt, no float boundary (num² ~
+    // 1e22 exceeds BIGINT; the wide-accumulator rule applies). Zero
+    // variance in either series → NULL by the CASE guard on both engines.
+    // Scale: ONE explicit l_suppkey hash exchange feeds both the
+    // pre-aggregation (suppkey partitioning satisfies the 3-key
+    // ClusteredDistribution) and the window's partitionBy — the default
+    // plan would exchange twice (once on the 3-key group, once on
+    // suppkey); per-partition rows = one supplier's lineitems. The
+    // pre-aggregation collapses the fixture's duplicate (orderkey,
+    // linenumber) rows so the window's ORDER BY key is unique — without
+    // it the frame CONTENT is tie-order-dependent and engines diverge
+    // (measured: dup rows flipped r² by 2× on the sf0.01 fixture).
+    "win_rolling_corr" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-14, 0)
+      lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("q"), money(col("l_extendedprice")).as("p"))
+        .repartition(col("l_suppkey"))
+        .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .agg(sum("q").as("q"), sum("p").as("p"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).as("n"),
+          sum("q").over(w).as("sx"), sum("p").over(w).as("sy"),
+          sum(expr("q * p")).over(w).as("sxy"),
+          sum(expr("q * q")).over(w).as("sx2"),
+          sum(expr("p * p")).over(w).as("sy2"))
+        .filter(col("n") === 15)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          expr("15 * sxy - sx * sy").as("num"),
+          expr("15 * sx2 - sx * sx").as("denx"),
+          expr("15 * sy2 - sy * sy").as("deny"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("CASE WHEN num > 0 THEN 1L WHEN num < 0 THEN -1L ELSE 0L END").as("r_sign"),
+          expr("""CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                       ELSE CAST(1000000 * CAST(num AS DECIMAL(38,0)) * num
+                                 div (CAST(denx AS DECIMAL(38,0)) * deny) AS BIGINT)
+                  END""").as("r2_micro"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
     // Max drawdown per user over the cumulative value series (the
     // equity-curve risk stat): cum = running cents sum ordered by the
     // (second-truncated ts, event_id) total order both engines share, peak
@@ -480,6 +529,38 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same six window sums (DuckDB's land in HUGEINT — the wide-accumulator
+    // twin); the r² ratio is the identical integer floor-div expression.
+    "win_rolling_corr" ->
+      s"""WITH b0 AS (SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                             CAST(l_quantity AS BIGINT) AS q,
+                             ${graft.Norm.moneySql("l_extendedprice")} AS p
+                      FROM lineitem),
+              b AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                           CAST(sum(q) AS BIGINT) AS q, CAST(sum(p) AS BIGINT) AS p
+                    FROM b0 GROUP BY l_suppkey, l_orderkey, l_linenumber),
+              r AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                           count(*) OVER w AS n,
+                           sum(q) OVER w AS sx, sum(p) OVER w AS sy,
+                           sum(q * p) OVER w AS sxy,
+                           sum(q * q) OVER w AS sx2,
+                           sum(p * p) OVER w AS sy2
+                    FROM b
+                    WINDOW w AS (PARTITION BY l_suppkey
+                                 ORDER BY l_orderkey, l_linenumber
+                                 ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+              m AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                           15 * sxy - sx * sy AS num,
+                           15 * sx2 - sx * sx AS denx,
+                           15 * sy2 - sy * sy AS deny
+                    FROM r WHERE n = 15)
+         SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+                CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                     ELSE CAST(1000000 * CAST(num AS HUGEINT) * num
+                               // (CAST(denx AS HUGEINT) * deny) AS BIGINT)
+                END AS r2_micro
+         FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     // Window sums land in HUGEINT; every output is CAST back to BIGINT so
     // the arrow kinds match Spark's longs.
     "win_drawdown" ->

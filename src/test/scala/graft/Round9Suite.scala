@@ -349,4 +349,135 @@ class Round9Suite extends AnyFunSuite {
       assert(dys <= 31 * n, s"order ${r.getLong(0)}: $dys days exceeds window bound")
     }
   }
+
+  test("win_rolling_corr: frame accounting closes and r² stays in [0, 1e6]") {
+    val rows = SparkEntry.queries("win_rolling_corr")(s, d).collect()
+    assert(rows.nonEmpty)
+    // One output row per full 15-row frame: Σ_supplier max(0, rows_s − 14),
+    // where rows_s counts the COLLAPSED (suppkey, orderkey, linenumber) keys
+    // the op's pre-aggregation produces.
+    val perSupp = Tables.lineitem(s, d)
+      .select("l_suppkey", "l_orderkey", "l_linenumber").distinct()
+      .groupBy("l_suppkey").count().collect()
+    val expected = perSupp.map(r => math.max(0L, r.getAs[Long]("count") - 14)).sum
+    assert(rows.length.toLong == expected,
+      s"${rows.length} frames vs expected $expected")
+    rows.foreach { r =>
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("r_sign")))
+      if (!r.isNullAt(r.fieldIndex("r2_micro"))) {
+        val r2 = r.getAs[Long]("r2_micro")
+        assert(r2 >= 0 && r2 <= 1000000L, s"r² out of range: $r2")
+      }
+    }
+  }
+
+  test("agg_corr_matrix: integer r² tracks float corr² on every pair") {
+    val rows = SparkEntry.queries("agg_corr_matrix")(s, d).collect()
+    val flags = rows.map(_.getAs[String]("flag")).distinct
+    // 6 pairs per returnflag group, r² ∈ [0, 1e18].
+    assert(rows.length == flags.length * 6)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("r2_x18")))
+        assert(r.getAs[Long]("r2_x18") >= 0 && r.getAs[Long]("r2_x18") <= (1e18 + 1e12).toLong)
+    }
+    // Cross-check the quantized integer path against Spark's float corr on
+    // the identical casted columns: sign AND r² must agree to ~1e-3 (the
+    // two floor-divides each quantize at 1e-9 of the factor).
+    val base = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").cast("double").as("q"),
+      Norm.money(col("l_extendedprice")).cast("double").as("p"))
+    val fc = base.groupBy("flag").agg(corr("q", "p").as("c")).collect()
+      .map(r => r.getAs[String]("flag") -> r.getAs[Double]("c")).toMap
+    rows.filter(_.getAs[String]("pair") == "q_p").foreach { r =>
+      val c = fc(r.getAs[String]("flag"))
+      val got = r.getAs[Long]("r2_x18") / 1e18
+      assert(math.abs(got - c * c) < 2e-3, s"flag ${r.getAs[String]("flag")}: $got vs ${c * c}")
+      assert(r.getAs[Long]("r_sign") == math.signum(c).toLong || math.abs(c) < 1e-9)
+    }
+  }
+
+  test("graph_assortativity: directed-endpoint algebra closes and r is bounded") {
+    val r = SparkEntry.queries("graph_assortativity")(s, d).head()
+    // Both orientations of every unordered edge: n = 2·n_edges exactly.
+    assert(r.getAs[Long]("n") == 2 * r.getAs[Long]("n_edges"))
+    // Pearson of a real sample: −1 ≤ r ≤ 1 (scaled ×1e6, floor-div slack 1).
+    if (!r.isNullAt(r.fieldIndex("r_micro"))) {
+      val rm = r.getAs[Long]("r_micro")
+      assert(rm >= -1000001L && rm <= 1000000L, s"assortativity out of range: $rm")
+    }
+    // Cauchy–Schwarz on the symmetric sums: |n·Σxy − Σx²| ≤ n·Σx² − (Σx)²
+    // is exactly den ≥ |num|, already implied by the range check above.
+  }
+
+  test("llm_shard_balance: shard census partitions the corpus exactly") {
+    val rows = SparkEntry.queries("llm_shard_balance")(s, d).collect()
+    assert(rows.map(_.getAs[Long]("shard")).forall(sh => sh >= 0 && sh < 16))
+    val docs = Tables.documents(s, d)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // Token mass closes against an independent count.
+    val tok = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == tok)
+    // Σ load_bp = Σ floor(10000·16·t_s/T) ∈ (160000 − #shards, 160000].
+    val lb = rows.map(_.getAs[Long]("load_bp")).sum
+    assert(lb > 160000L - rows.length && lb <= 160000L, s"load sum $lb")
+  }
+
+  test("llm_ngram_coverage: the head-coverage curve is a monotone CDF") {
+    val rows = SparkEntry.queries("llm_ngram_coverage")(s, d).collect()
+      .sortBy(_.getAs[Long]("top_n"))
+    assert(rows.length == 9)
+    val total = rows.head.getAs[Long]("total")
+    var prevCov = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_used") <= r.getAs[Long]("top_n"))
+      assert(r.getAs[Long]("total") == total, "total is a constant of the corpus")
+      val cov = r.getAs[Long]("covered")
+      assert(cov >= prevCov, "coverage is cumulative in top_n")
+      assert(cov <= total)
+      assert(r.getAs[Long]("coverage_bp") == 10000L * cov / total)
+      prevCov = cov
+    }
+  }
+
+  test("quantified ALL/ANY lowerings agree with direct min/max predicates") {
+    val cust = Tables.customer(s, d).select("c_custkey")
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(min(Norm.money(col("o_totalprice"))).as("lo"),
+        max(Norm.money(col("o_totalprice"))).as("hi"))
+    // ALL: every order ≥ $50k ⇔ min ≥ 5000000, vacuously true with no orders.
+    val expAll = cust.join(perCust, Seq("c_custkey"), "left")
+      .filter(col("lo").isNull || col("lo") >= 5000000L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val gotAll = SparkEntry.queries("sub_quantified_all")(s, d)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(gotAll == expAll, s"ALL: ${gotAll.size} vs ${expAll.size}")
+    assert(gotAll.nonEmpty)
+    // ANY: at least one order ≤ $5k ⇔ min ≤ 500000, false with no orders.
+    val expAny = perCust.filter(col("lo") <= 500000L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val gotAny = SparkEntry.queries("sub_quantified_any")(s, d)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(gotAny == expAny, s"ANY: ${gotAny.size} vs ${expAny.size}")
+  }
+
+  test("llm_contamination_sweep: longer grams can only flag fewer docs") {
+    val rows = SparkEntry.queries("llm_contamination_sweep")(s, d).collect()
+      .sortBy(_.getAs[Long]("gram_n"))
+    assert(rows.map(_.getAs[Long]("gram_n")).toSeq == Seq(3L, 5L, 8L))
+    val nDocs = rows.head.getAs[Long]("n_docs")
+    // Every n-gram of a shared (n+k)-gram window is itself shared (bench
+    // grams are taken over ALL windows of bench docs), so the contaminated
+    // set shrinks monotonically with gram length.
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs, "doc universe is n-independent")
+      val c = r.getAs[Long]("n_contaminated")
+      assert(c <= prev, s"n=${r.getAs[Long]("gram_n")}: $c contaminated > $prev at shorter n")
+      assert(r.getAs[Long]("doc_bp") == 10000L * c / nDocs)
+      assert(r.getAs[Long]("gram_bp") >= 0 && r.getAs[Long]("gram_bp") <= 10000L)
+      prev = c
+    }
+  }
 }
