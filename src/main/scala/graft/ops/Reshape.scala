@@ -377,6 +377,55 @@ object Reshape {
 
     // Calendar gap-fill: every day in each user's active span, zeros filled —
     // the sessionized-log densification job.
+    // Lagged cross-correlation between the click and purchase revenue
+    // series (the lead-indicator sweep: does click volume predict purchases
+    // k buckets later?): both series collapse to a 6-hour-bucket grid
+    // through ONE partial-aggregatable pass (conditional sums — corpus
+    // never survives the first shuffle), the calendar is gap-filled to 0
+    // so lag alignment is positional, and each lag k ∈ 0..5 pairs (x_t,
+    // y_{t+k}) via an equi join on the metadata-sized grid. Pearson per
+    // lag leaves as SIGN + r²·1e6 from exact moment sums on DECIMAL(38,0)
+    // accumulators (n·Σxy ~ 2e19 at sf1 overflows BIGINT — the
+    // wide-accumulator rule), factored as (1e3·num div denx)·(1e3·num div
+    // deny) — num² alone reaches ~4e41 at sf1, past DECIMAL(38,0), where
+    // Spark's non-ANSI overflow degrades to NULL SILENTLY (the
+    // agg_corr_matrix factorization rule); zero variance → NULL via the
+    // CASE guard. Scale: everything after the first agg is
+    // |buckets|×|lags| rows.
+    "ts_cross_corr_lags" -> ((s, d) => {
+      val per = events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(expr("unix_timestamp(date_trunc('second', ts)) div 21600").as("b"),
+          col("event_type").as("t"), money(col("value")).as("v"))
+        .groupBy("b").agg(
+          sum(when(col("t") === "click", col("v")).otherwise(0L)).as("x"),
+          sum(when(col("t") === "purchase", col("v")).otherwise(0L)).as("y"))
+      val g = per.agg(min("b").as("b0"), max("b").as("b1"))
+        .select(explode(expr("sequence(b0, b1)")).as("b"))
+        .join(per, Seq("b"), "left")
+        .select(col("b"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val g2 = g.select(col("b").as("b2"), col("y").as("y2"))
+      g.crossJoin(broadcast(s.range(0, 6).select(col("id").as("lag"))))
+        .join(g2, col("b2") === col("b") + col("lag"))
+        .groupBy("lag").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y2").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y2")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"),
+          sum(expr("CAST(y2 AS DECIMAL(38,0)) * y2")).as("sy2"))
+        .select(col("lag"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("num"),
+          expr("CAST(n AS DECIMAL(38,0)) * sx2 - CAST(sx AS DECIMAL(38,0)) * sx").as("denx"),
+          expr("CAST(n AS DECIMAL(38,0)) * sy2 - CAST(sy AS DECIMAL(38,0)) * sy").as("deny"))
+        .select(col("lag"), col("n"),
+          expr("CASE WHEN num > 0 THEN 1L WHEN num < 0 THEN -1L ELSE 0L END").as("r_sign"),
+          expr("""CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                       ELSE CAST((1000 * num div denx) *
+                                 (1000 * num div deny) AS BIGINT)
+                  END""").as("r2_micro"))
+        .orderBy("lag")
+    }),
+
     "reshape_gapfill" -> ((s, d) => {
       val ev = events(s, d).filter(col("user_id") < 20)
         .select(col("user_id"), date_trunc("day", tsec(col("ts"))).cast("date").as("day"))
@@ -997,6 +1046,40 @@ object Reshape {
            UNION ALL
            SELECT l_orderkey, l_linenumber, l_extendedprice, 'l_tax', l_tax FROM src)
          ORDER BY l_orderkey, l_linenumber, l_extendedprice, metric""",
+    // Same grid/lag algebra in HUGEINT; range() is end-exclusive, hence
+    // max(b) + 1 and range(0, 6) for lags 0..5.
+    "ts_cross_corr_lags" ->
+      s"""WITH e AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 21600 AS b,
+                            event_type AS t, ${graft.Norm.moneySql("value")} AS v
+                     FROM events WHERE event_type IN ('click', 'purchase')),
+              per AS (SELECT b,
+                             CAST(sum(CASE WHEN t = 'click' THEN v ELSE 0 END) AS BIGINT) AS x,
+                             CAST(sum(CASE WHEN t = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS y
+                      FROM e GROUP BY b),
+              cal AS (SELECT unnest(range((SELECT min(b) FROM per),
+                                          (SELECT max(b) FROM per) + 1)) AS b),
+              g AS (SELECT cal.b, coalesce(per.x, 0) AS x, coalesce(per.y, 0) AS y
+                    FROM cal LEFT JOIN per ON per.b = cal.b),
+              lags AS (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS lag),
+              pr AS (SELECT l.lag, a.x, b.y AS y2
+                     FROM g a CROSS JOIN lags l JOIN g b ON b.b = a.b + l.lag),
+              m AS (SELECT lag, count(*) AS n,
+                           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y2 AS HUGEINT)) AS sy,
+                           sum(CAST(x AS HUGEINT) * y2) AS sxy,
+                           sum(CAST(x AS HUGEINT) * x) AS sx2,
+                           sum(CAST(y2 AS HUGEINT) * y2) AS sy2
+                    FROM pr GROUP BY lag),
+              c AS (SELECT lag, n,
+                           CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+                           CAST(n AS HUGEINT) * sx2 - sx * sx AS denx,
+                           CAST(n AS HUGEINT) * sy2 - sy * sy AS deny
+                    FROM m)
+         SELECT lag, n,
+                CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS r_sign,
+                CASE WHEN denx = 0 OR deny = 0 THEN NULL
+                     ELSE CAST((1000 * num // denx) * (1000 * num // deny) AS BIGINT)
+                END AS r2_micro
+         FROM c ORDER BY lag""",
     "reshape_gapfill" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
                      FROM events WHERE user_id < 20),

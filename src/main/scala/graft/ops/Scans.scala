@@ -457,6 +457,42 @@ object Scans {
         .orderBy("ship_year")
     }),
 
+    // Z-ORDER clustered sink layout (the 2-D data-skipping rewrite —
+    // sink_sorted_layout's multi-dimensional sibling, what Delta/Iceberg
+    // OPTIMIZE ZORDER does): orders are written sorted by the Morton
+    // interleave of an 8-bit customer bucket and an 8-bit order-day
+    // bucket, so every output file bounds BOTH dimensions — a 1-D sort
+    // bounds only its sort key, and a 2-D box query (customer range ×
+    // date range) then touches every file. Bit interleave is pure integer
+    // arithmetic (8 unrolled (bit·4ᵇ) terms — engine-portable, no UDF);
+    // the query side runs a 32×32 box over the z-ordered files and emits
+    // a per-8×8-tile census (count, price mass, z min/max), which pins the
+    // morton math, the box filter, AND write-roundtrip losslessness. The
+    // quantitative pruning claim (z-order touches ~¼ of the files a 1-D
+    // layout must read for a y-narrow box) is footer-asserted in
+    // Round9Suite via _metadata. At 100 TB the layout decides the bytes
+    // read; z-order is the right default when TWO filter dims matter.
+    "sink_zorder_layout" -> ((s, d) => {
+      val path = tmpDir(d, "zorder")
+      def morton(di: String) = (0 until 8).map { b =>
+        s"((xb $di ${1L << b}) % 2) * ${1L << (2 * b)} + ((yb $di ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      orders(s, d)
+        .select(col("o_orderkey"), money(col("o_totalprice")).as("price_c"),
+          (col("o_custkey") % 256).as("xb"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 256").as("yb"))
+        .withColumn("z", expr(morton("div")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("xb").between(64, 95) && col("yb").between(128, 159))
+        .groupBy(expr("xb div 8").as("x_t"), expr("yb div 8").as("y_t"))
+        .agg(count(lit(1)).as("n"), sum("price_c").as("price_sum"),
+          min("z").as("z_min"), max("z").as("z_max"))
+        .orderBy("x_t", "y_t")
+    }),
+
     // Malformed-record tolerance at the CSV source (the 100 TB ingestion
     // reality: one bad line must cost one row, not the stage). Every 50th
     // event line is written corrupted (a non-numeric value field); the
@@ -750,6 +786,23 @@ object Scans {
           count(*) AS n, ${moneySumSql("l_quantity")} AS qty_sum
           FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
           GROUP BY 1 ORDER BY 1""",
+    // Same unrolled morton interleave with // for div; the write roundtrip
+    // is an identity for the oracle.
+    "sink_zorder_layout" -> {
+      val mortonSql = (0 until 8).map { b =>
+        s"((xb // ${1L << b}) % 2) * ${1L << (2 * b)} + ((yb // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey, ${moneySql("o_totalprice")} AS price_c,
+                            o_custkey % 256 AS xb,
+                            date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS yb
+                     FROM orders),
+              z AS (SELECT *, $mortonSql AS z FROM b)
+         SELECT xb // 8 AS x_t, yb // 8 AS y_t, count(*) AS n,
+                CAST(sum(price_c) AS BIGINT) AS price_sum,
+                CAST(min(z) AS BIGINT) AS z_min, CAST(max(z) AS BIGINT) AS z_max
+         FROM z WHERE xb BETWEEN 64 AND 95 AND yb BETWEEN 128 AND 159
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
     "scan_csv_malformed" ->
       s"""SELECT CAST(sum(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
           CAST(sum(CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,

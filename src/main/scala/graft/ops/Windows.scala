@@ -70,6 +70,33 @@ object Windows {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // Bounded-frame EWMA per user (binary-decay kernel over the last ≤16
+    // events): the distributed-exact form of the exponentially weighted
+    // moving average. The textbook recursion y_t = αx_t + (1−α)y_{t−1} is
+    // inherently SEQUENTIAL (each row needs its predecessor — a
+    // non-parallelizable scan); truncating the kernel at 16 taps with
+    // α = 1/2 makes the weights powers of two, so the estimate is a ratio
+    // of EXACT BIGINTs — ewma = Σᵢ vᵢ·2ⁱ div (2ⁿ − 1) over the frame list
+    // (i = frame position, current row highest) — and the truncation error
+    // is ≤ 2⁻¹⁶ of the weight mass, far below the 1-cent floor quantum.
+    // The frame list is collected in frame order on the shared (tss,
+    // event_id) total order, so both engines reduce the identical vector;
+    // per-row state is the 16-slot list — constant, not corpus-sized. ONE
+    // (user_id, (tss, event_id)) exchange feeds collect + output sort.
+    "win_ewma_bounded" -> ((s, d) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), tsec(col("ts")).as("tss"),
+          money(col("value")).as("v"))
+        .withColumn("vs", collect_list("v").over(byU.rowsBetween(-15, 0)))
+        .select(col("user_id"), col("event_id"),
+          size(col("vs")).cast("long").as("n_in"),
+          expr("""aggregate(transform(vs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),
+                            CAST(0 AS BIGINT), (a, x) -> a + x)
+                  div (shiftleft(CAST(1 AS BIGINT), size(vs)) - 1)""").as("ewma_c"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Max drawdown per user over the cumulative value series (the
     // equity-curve risk stat): cum = running cents sum ordered by the
     // (second-truncated ts, event_id) total order both engines share, peak
@@ -561,6 +588,22 @@ object Windows {
                                // (CAST(denx AS HUGEINT) * deny) AS BIGINT)
                 END AS r2_micro
          FROM m ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    // Same frame-ordered list; DuckDB's indexed lambda is 1-based (hence
+    // i − 1) and list_sum lands in HUGEINT — cast back to BIGINT.
+    "win_ewma_bounded" ->
+      s"""WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS tss,
+                            ${graft.Norm.moneySql("value")} AS v
+                     FROM events),
+              w AS (SELECT user_id, event_id,
+                           list(v) OVER (PARTITION BY user_id
+                                         ORDER BY tss, event_id
+                                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vs
+                    FROM e)
+         SELECT user_id, event_id, CAST(len(vs) AS BIGINT) AS n_in,
+                CAST(CAST(list_sum(list_transform(vs,
+                          (x, i) -> x * (1::BIGINT << (i - 1)))) AS HUGEINT)
+                     // ((1::HUGEINT << len(vs)) - 1) AS BIGINT) AS ewma_c
+         FROM w ORDER BY user_id, event_id""",
     // Window sums land in HUGEINT; every output is CAST back to BIGINT so
     // the arrow kinds match Spark's longs.
     "win_drawdown" ->

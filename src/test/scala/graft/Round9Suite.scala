@@ -480,4 +480,82 @@ class Round9Suite extends AnyFunSuite {
       prev = c
     }
   }
+
+  test("win_ewma_bounded: matches a sequential replay of the binary-decay kernel") {
+    val got = SparkEntry.queries("win_ewma_bounded")(s, d).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("ewma_c"))).toMap
+    // Replay the kernel sequentially (the semantics the bounded frame
+    // approximates exactly) for three users straight off the raw table.
+    val users = Seq(1L, 7L, 42L)
+    val raw = Tables.events(s, d).filter(col("user_id").isin(users: _*))
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("tss"), Norm.money(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("tss"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("v")))
+    users.foreach { u =>
+      val series = raw.filter(_._1 == u).sortBy(t => (t._2.getTime, t._3))
+      var window = Vector.empty[Long]
+      series.foreach { case (_, _, eid, v) =>
+        window = (window :+ v).takeRight(16)
+        val num = window.zipWithIndex.map { case (x, i) => x * (1L << i) }.sum
+        val den = (1L << window.size) - 1
+        val (nIn, ewma) = got((u, eid))
+        assert(nIn == window.size, s"user $u event $eid: frame size")
+        assert(ewma == num / den, s"user $u event $eid: ${num / den} vs $ewma")
+      }
+    }
+    // Weighted-mean sanity on every row: the estimate never leaves the
+    // global value range.
+    assert(got.values.forall { case (_, e) => e >= 1 && e <= 49002 })
+  }
+
+  test("ts_cross_corr_lags: lag alignment shrinks the grid by exactly one per lag") {
+    val rows = SparkEntry.queries("ts_cross_corr_lags")(s, d).collect()
+      .sortBy(_.getAs[Long]("lag"))
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (0L to 5L))
+    val n0 = rows.head.getAs[Long]("n")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n0 - r.getAs[Long]("lag"),
+        "each lag k drops exactly k boundary buckets from the pair set")
+      if (!r.isNullAt(r.fieldIndex("r2_micro"))) {
+        val r2 = r.getAs[Long]("r2_micro")
+        // Product of two same-sign truncating divides: 0 ≤ r² ≤ 1e6.
+        assert(r2 >= 0 && r2 <= 1000000L, s"lag ${r.getAs[Long]("lag")}: r² $r2")
+      }
+      assert(Set(-1L, 0L, 1L).contains(r.getAs[Long]("r_sign")))
+    }
+  }
+
+  test("sink_zorder_layout: z-order prunes a y-narrow box a 1-D x-sort cannot") {
+    // Run the op (writes the z-ordered files), then write the 1-D
+    // comparison layout and measure, per file, whether its (xb, yb)
+    // min/max envelope intersects a box that is FULL in x and narrow in y
+    // — the shape that defeats single-key sorting: an x-sorted file bounds
+    // xb tightly but spans all of yb, so every file intersects, while the
+    // morton interleave bounds both dimensions per file.
+    SparkEntry.queries("sink_zorder_layout")(s, d).collect()
+    val zPath = s"${System.getProperty("java.io.tmpdir")}/graft_zorder${Math.abs(d.hashCode)}"
+    val xPath = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_x${Math.abs(d.hashCode)}"
+    s.read.parquet(zPath).select("xb", "yb")
+      .repartitionByRange(8, col("xb")).sortWithinPartitions("xb")
+      .write.mode("overwrite").parquet(xPath)
+    def touched(path: String): (Int, Int) = {
+      val envs = s.read.parquet(path)
+        .groupBy(col("_metadata.file_name"))
+        .agg(min("xb").as("x0"), max("xb").as("x1"),
+          min("yb").as("y0"), max("yb").as("y1"))
+        .collect()
+      val hit = envs.count { r =>
+        r.getAs[Number]("y1").longValue >= 128 && r.getAs[Number]("y0").longValue <= 159
+      }
+      (hit, envs.length)
+    }
+    val (zHit, zTotal) = touched(zPath)
+    val (xHit, xTotal) = touched(xPath)
+    assert(xHit == xTotal, s"1-D x-sort should touch every file for a y-box ($xHit/$xTotal)")
+    assert(zHit * 2 <= zTotal,
+      s"z-order should skip at least half the files on the y-box ($zHit/$zTotal)")
+  }
 }
