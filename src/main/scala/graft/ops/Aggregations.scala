@@ -76,6 +76,61 @@ object Aggregations {
         .orderBy("flag", "pair")
     }),
 
+    // Two-regressor OLS per return flag (agg_regr's MULTIPLE-regression
+    // completion — price-dollars on (quantity, discount-percent) solved
+    // EXACTLY by Cramer's rule on the centered 2×2 normal equations):
+    // ONE partial-aggregatable pass collects the 9 moment sums on the
+    // DECIMAL(38,0)/HUGEINT accumulator rule; centered second moments
+    // (n·Sab − Sa·Sb) and the 2×2 determinants stay ≤ ~4e36 at sf1 with
+    // the chosen units — dollars and whole percent; cents/bp would push
+    // the worst-case determinant products past width 38, where Spark
+    // degrades to NULL silently (the agg_corr_matrix overflow mode).
+    // Each slope leaves as SIGN + |β|·1e3 via the exact quotient/remainder
+    // split floor(1e3·a/den) = 1e3·q + (1e3·r) div den with a = |num|,
+    // r = a − q·den < den — the scale factor never multiplies a full-width
+    // determinant, so the bound is provable, and milli-resolution is ample
+    // for dollar-scale slopes. Collinear groups (den = 0) emit NULL.
+    // Scale: one groupBy over 3 groups, map-side combining carries 10
+    // numbers per (task, group) — one scan at any corpus size.
+    "agg_ols_multi" -> ((s, d) => {
+      val base = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x1"),
+        d4(col("l_discount")).as("dbp"),
+        money(col("l_extendedprice")).as("yc"))
+        .select(col("flag"), col("x1"),
+          expr("dbp div 100").as("x2"), expr("yc div 100").as("y"))
+      val m = base.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("s11"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("s22"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * x2")).as("s12"),
+        sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+        sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"))
+      m.select(col("flag"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * s11 - CAST(s1 AS DECIMAL(38,0)) * s1").as("c11"),
+          expr("CAST(n AS DECIMAL(38,0)) * s22 - CAST(s2 AS DECIMAL(38,0)) * s2").as("c22"),
+          expr("CAST(n AS DECIMAL(38,0)) * s12 - CAST(s1 AS DECIMAL(38,0)) * s2").as("c12"),
+          expr("CAST(n AS DECIMAL(38,0)) * s1y - CAST(s1 AS DECIMAL(38,0)) * sy").as("c1y"),
+          expr("CAST(n AS DECIMAL(38,0)) * s2y - CAST(s2 AS DECIMAL(38,0)) * sy").as("c2y"))
+        .select(col("flag"), col("n"),
+          expr("c11 * c22 - c12 * c12").as("den"),
+          expr("c22 * c1y - c12 * c2y").as("num1"),
+          expr("c11 * c2y - c12 * c1y").as("num2"))
+        .select(col("flag"), col("n"),
+          expr("CASE WHEN num1 > 0 THEN 1L WHEN num1 < 0 THEN -1L ELSE 0L END").as("b1_sign"),
+          expr("""CASE WHEN den = 0 THEN NULL ELSE CAST(
+                    1000 * (abs(num1) div den)
+                    + (1000 * (abs(num1) - (abs(num1) div den) * den)) div den
+                  AS BIGINT) END""").as("b1_abs_milli"),
+          expr("CASE WHEN num2 > 0 THEN 1L WHEN num2 < 0 THEN -1L ELSE 0L END").as("b2_sign"),
+          expr("""CASE WHEN den = 0 THEN NULL ELSE CAST(
+                    1000 * (abs(num2) div den)
+                    + (1000 * (abs(num2) - (abs(num2) div den) * den)) div den
+                  AS BIGINT) END""").as("b2_abs_milli"))
+        .orderBy("flag")
+    }),
+
     // Herfindahl–Hirschman concentration index per market segment (the
     // market-concentration report a revenue audit runs): firms = customers,
     // shares = revenue share within the segment. hhi_bp = 10000·Σrᵢ²/(Σrᵢ)²
@@ -876,6 +931,48 @@ object Aggregations {
                      ELSE CAST((1000000000 * num // dena) *
                                (1000000000 * num // denb) AS BIGINT) END AS r2_x18
          FROM c ORDER BY flag, pair""",
+    // Same centered normal equations in HUGEINT; all quotient/remainder
+    // operands are nonnegative (a = |num|, den > 0), where `//` and `div`
+    // agree exactly (both truncate, and truncation = floor on nonnegatives).
+    "agg_ols_multi" ->
+      s"""WITH b AS (SELECT l_returnflag AS flag,
+                            CAST(l_quantity AS BIGINT) AS x1,
+                            ${d4Sql("l_discount")} // 100 AS x2,
+                            ${moneySql("l_extendedprice")} // 100 AS y
+                     FROM lineitem),
+              m AS (SELECT flag, count(*) AS n,
+                           sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+                           sum(CAST(y AS HUGEINT)) AS sy,
+                           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+                           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+                           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+                           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+                           sum(CAST(x2 AS HUGEINT) * y) AS s2y
+                    FROM b GROUP BY flag),
+              c AS (SELECT flag, n,
+                           CAST(n AS HUGEINT) * s11 - s1 * s1 AS c11,
+                           CAST(n AS HUGEINT) * s22 - s2 * s2 AS c22,
+                           CAST(n AS HUGEINT) * s12 - s1 * s2 AS c12,
+                           CAST(n AS HUGEINT) * s1y - s1 * sy AS c1y,
+                           CAST(n AS HUGEINT) * s2y - s2 * sy AS c2y
+                    FROM m),
+              k AS (SELECT flag, n,
+                           c11 * c22 - c12 * c12 AS den,
+                           c22 * c1y - c12 * c2y AS num1,
+                           c11 * c2y - c12 * c1y AS num2
+                    FROM c)
+         SELECT flag, n,
+                CAST(CASE WHEN num1 > 0 THEN 1 WHEN num1 < 0 THEN -1 ELSE 0 END AS BIGINT) AS b1_sign,
+                CASE WHEN den = 0 THEN NULL ELSE CAST(
+                  1000 * (abs(num1) // den)
+                  + (1000 * (abs(num1) - (abs(num1) // den) * den)) // den
+                AS BIGINT) END AS b1_abs_milli,
+                CAST(CASE WHEN num2 > 0 THEN 1 WHEN num2 < 0 THEN -1 ELSE 0 END AS BIGINT) AS b2_sign,
+                CASE WHEN den = 0 THEN NULL ELSE CAST(
+                  1000 * (abs(num2) // den)
+                  + (1000 * (abs(num2) - (abs(num2) // den) * den)) // den
+                AS BIGINT) END AS b2_abs_milli
+         FROM k ORDER BY flag""",
     // sum(BIGINT·BIGINT) runs in HUGEINT — DuckDB's DECIMAL(38,0)-width twin;
     // `//` truncates toward zero exactly like Spark's `div`.
     "agg_hhi" ->

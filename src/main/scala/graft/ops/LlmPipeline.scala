@@ -481,6 +481,35 @@ object LlmPipeline {
     // word) partial-aggregatable count, a rank window over the COLLAPSED
     // frequency frame, one (source) partial-aggregatable sum — vocab-bound
     // throughout, never corpus².
+    // Unigram-LM perplexity proxy per document (the CCNet-style LM quality
+    // filter: docs whose tokens are globally rare score high surprisal and
+    // get routed to the low-quality bucket): corpus unigram counts collapse
+    // through ONE partial-aggregatable pass; per-term surprisal is the
+    // EXACT integer floor(1e6·ln T) − floor(1e6·ln c) — two independently
+    // floored lns (the llm_zipf_fit discipline: one deterministic double
+    // step per VOCAB TERM, never per token, and no float ever crosses a
+    // sum) — and each doc aggregates Σ surprisal over its tokens plus the
+    // truncating mean. Scale: the token→surprisal join is vocab-keyed —
+    // hot tokens are hot keys (stopwords carry most of the mass), so at
+    // cluster scale broadcast the vocab map when it fits (it is
+    // |vocab|·16B — GBs at web scale, so shuffle-hash + salting is the
+    // real path; the saltedEquiJoin rule); everything else is one agg.
+    "llm_perplexity_unigram" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val surp = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("tc"))))
+        .select(col("w"),
+          expr("""CAST(floor(1000000 * ln(CAST(tc AS DOUBLE))) AS BIGINT)
+                  - CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT)""").as("sp"))
+      toks.join(surp, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("sp").as("nll_total"))
+        .select(col("doc_id"), col("n_tok"), col("nll_total"),
+          expr("nll_total div n_tok").as("mean_nll_micro"))
+        .orderBy("doc_id")
+    }),
+
     "llm_zipf_fit" -> ((s, d) => {
       val tf = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
@@ -1196,6 +1225,22 @@ object LlmPipeline {
          GROUP BY 1 ORDER BY 1""",
     // Same per-term micro-floored lns; DuckDB sum(BIGINT) is HUGEINT, the
     // exact twin of the Spark side's DECIMAL(38,0) accumulators.
+    // Same two independently-floored lns; the total is the token count
+    // (Σ vocab counts), computed off the token stream on both engines.
+    "llm_perplexity_unigram" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+              vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS tc FROM toks),
+              surp AS (SELECT w,
+                              CAST(floor(1000000 * ln(CAST(tc AS DOUBLE))) AS BIGINT)
+                              - CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS sp
+                       FROM vocab, tot)
+         SELECT doc_id, count(*) AS n_tok,
+                CAST(sum(sp) AS BIGINT) AS nll_total,
+                CAST(sum(sp) // count(*) AS BIGINT) AS mean_nll_micro
+         FROM toks JOIN surp USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_zipf_fit" ->
       """WITH tf AS (SELECT source, w, count(*) AS c
                      FROM (SELECT source, unnest(string_split(text, ' ')) AS w

@@ -414,6 +414,61 @@ object SetOps {
         .orderBy("relationship")
     }),
 
+    // Order-insensitive table checksums (the migration-validation
+    // primitive: after moving 100 TB between clusters/engines/formats,
+    // prove content equality WITHOUT sorting either side): every row
+    // canonicalizes to a '|'-joined string (integer cents for money — the
+    // repr discipline), hashes through md5, and the 60-bit hash prefixes
+    // fold with the commutative pair (bit_xor, count) — both
+    // partial-aggregatable, so the checksum is ONE map-side-combining scan
+    // per table with no shuffle of data rows, and the fold is immune to
+    // row order, partitioning, and engine. XOR (not sum) so the fold
+    // never overflows and duplicate-row imbalances flip it. Three tables
+    // union their 1-row frames for free.
+    "util_table_checksum" -> ((s, d) => {
+      def ck(name: String, df: DataFrame, canon: String): DataFrame =
+        df.select(expr(
+            s"CAST(conv(substring(md5($canon), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_checksum"))
+          .select(lit(name).as("tab"), col("n_rows"), col("xor_checksum"))
+      ck("nation", nation(s, d),
+          "concat_ws('|', n_nationkey, n_name, n_regionkey)")
+        .unionAll(ck("orders", orders(s, d),
+          s"concat_ws('|', o_orderkey, o_custkey, ${moneySql("o_totalprice")}, " +
+            "CAST(o_orderdate AS DATE), o_orderpriority)"))
+        .unionAll(ck("lineitem", lineitem(s, d),
+          s"concat_ws('|', l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT), " +
+            s"${moneySql("l_extendedprice")}, l_returnflag)"))
+        .orderBy("tab")
+    }),
+
+    // Sharded checksum manifest (util_table_checksum's Merkle drill-down:
+    // when two 100 TB copies' table checksums DISAGREE, this locates the
+    // divergence): every row's 60-bit content hash lands in shard h % 64,
+    // and each shard folds its own (count, bit_xor) — compare manifests
+    // side-by-side and only ~1/64 of the key space needs re-inspection;
+    // recurse on higher hash bits to isolate single rows in log rounds.
+    // Sharding by the CONTENT hash (not a partition id) makes the manifest
+    // identical across engines, layouts, and file splits. Still ONE
+    // map-side-combining scan — the groupBy key has 64 values, so the
+    // shuffle carries ≤64 rows per map task; h_min/h_max ride along as
+    // free extra discriminators (a swap across shards flips those even if
+    // xors collide). Each drill level re-scans only to re-hash (no index),
+    // the honest trade vs a sort-based diff that shuffles the full table.
+    "util_checksum_shards" -> ((s, d) => {
+      lineitem(s, d)
+        .select(expr(
+          s"""CAST(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+              CAST(l_quantity AS BIGINT), ${moneySql("l_extendedprice")},
+              l_returnflag)), 1, 15), 16, 10) AS BIGINT)""").as("h"))
+        .groupBy(expr("h % 64").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_checksum"),
+          min("h").as("h_min"), max("h").as("h_max"))
+        .orderBy("shard")
+    }),
+
     "util_assert_constraints" -> ((s, d) => {
       val rowChecks = orders(s, d).agg(
         count(lit(1)).as("n"),
@@ -638,6 +693,41 @@ object SetOps {
                 CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_excess_rows,
                 max(c) AS max_multiplicity
          FROM g""",
+    // Identical canonical strings (concat_ws renders ints/dates the same
+    // on both engines; the money term is the shared portable SQL), md5 of
+    // the same bytes, 60-bit hex prefix via ('0x'||…)::BIGINT, commutative
+    // bit_xor fold — so the checksums must match bit-for-bit.
+    "util_table_checksum" ->
+      s"""WITH nh AS (SELECT ('0x' || substr(md5(concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15))::BIGINT AS h
+                      FROM nation),
+              oh AS (SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+                              ${graft.Norm.moneySql("o_totalprice")},
+                              CAST(o_orderdate AS DATE), o_orderpriority)), 1, 15))::BIGINT AS h
+                     FROM orders),
+              lh AS (SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+                              CAST(l_quantity AS BIGINT),
+                              ${graft.Norm.moneySql("l_extendedprice")}, l_returnflag)), 1, 15))::BIGINT AS h
+                     FROM lineitem)
+         SELECT tab, n_rows, xor_checksum FROM (
+           SELECT 'nation' AS tab, count(*) AS n_rows,
+                  CAST(bit_xor(h) AS BIGINT) AS xor_checksum FROM nh
+           UNION ALL
+           SELECT 'orders', count(*), CAST(bit_xor(h) AS BIGINT) FROM oh
+           UNION ALL
+           SELECT 'lineitem', count(*), CAST(bit_xor(h) AS BIGINT) FROM lh)
+         ORDER BY tab""",
+    // Same canonical string/hash/fold as util_table_checksum's lineitem
+    // leg; the shard key is the hash's low 6 bits on both engines (h ≥ 0,
+    // so % agrees between Spark and DuckDB).
+    "util_checksum_shards" ->
+      s"""WITH lh AS (SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+                              CAST(l_quantity AS BIGINT),
+                              ${graft.Norm.moneySql("l_extendedprice")}, l_returnflag)), 1, 15))::BIGINT AS h
+                      FROM lineitem)
+         SELECT h % 64 AS shard, count(*) AS n_rows,
+                CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+                min(h) AS h_min, max(h) AS h_max
+         FROM lh GROUP BY 1 ORDER BY 1""",
     "util_fk_orphans" ->
       """WITH r AS (
            SELECT 'customer.c_nationkey->nation' AS relationship,

@@ -558,4 +558,118 @@ class Round9Suite extends AnyFunSuite {
     assert(zHit * 2 <= zTotal,
       s"z-order should skip at least half the files on the y-box ($zHit/$zTotal)")
   }
+
+  test("util_table_checksum: fold is order/partition-invariant and row-sensitive") {
+    val rows = SparkEntry.queries("util_table_checksum")(s, d).collect()
+      .map(r => r.getAs[String]("tab") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_checksum"))).toMap
+    // Row counts must agree with the raw tables — the (count, xor) pair is
+    // only a proof of content equality if count is honest.
+    assert(rows("nation")._1 == Tables.t(s, d, "nation").count())
+    assert(rows("orders")._1 == Tables.t(s, d, "orders").count())
+    // Invariance: the same fold over a deliberately different physical
+    // layout (17-way hash repartition on a non-key column, which also
+    // scrambles intra-partition order) must produce the identical xor —
+    // that is the entire point of a commutative checksum.
+    val scrambled = Tables.t(s, d, "nation")
+      .repartition(17, col("n_name"))
+      .selectExpr("CAST(conv(substring(md5(concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    assert(scrambled == rows("nation")._2, "checksum must not depend on layout")
+    // Sensitivity: mutating a single row's key flips the xor (the two md5
+    // prefixes differ, so their xor contribution is nonzero).
+    val mutated = Tables.t(s, d, "nation")
+      .withColumn("n_nationkey",
+        when(col("n_nationkey") === 0, lit(9999)).otherwise(col("n_nationkey")))
+      .selectExpr("CAST(conv(substring(md5(concat_ws('|', n_nationkey, n_name, n_regionkey)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+    assert(mutated != rows("nation")._2, "a mutated row must move the checksum")
+  }
+
+  test("agg_ols_multi: exact milli betas track a float least-squares solve") {
+    val rows = SparkEntry.queries("agg_ols_multi")(s, d).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.t(s, d, "lineitem").count())
+    // Re-solve the same normal equations in doubles from the raw columns
+    // and require the exact integer path to agree to the milli it floors
+    // to — Cramer's rule is the same algebra, so any divergence beyond
+    // 1 ulp of the float solve is an arithmetic bug, not noise.
+    import org.apache.spark.sql.functions._
+    // Mirror the op's exact integerization (whole percent, truncated
+    // dollars) so the float solve sees the same regressors.
+    val base = Tables.t(s, d, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x1l"),
+        Norm.d4(col("l_discount")).as("dbp"),
+        Norm.money(col("l_extendedprice")).as("yc"))
+      .select(col("flag"),
+        col("x1l").cast("double").as("x1"),
+        expr("CAST(dbp div 100 AS DOUBLE)").as("x2"),
+        expr("CAST(yc div 100 AS DOUBLE)").as("y"))
+    val m = base.groupBy("flag").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+      sum(expr("x1*x1")).as("s11"), sum(expr("x2*x2")).as("s22"),
+      sum(expr("x1*x2")).as("s12"), sum(expr("x1*y")).as("s1y"),
+      sum(expr("x2*y")).as("s2y")).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    rows.foreach { r =>
+      val g = m(r.getAs[String]("flag"))
+      def f(c: String) = g.getAs[Double](c)
+      val (n, s1, s2, sy) = (f("n"), f("s1"), f("s2"), f("sy"))
+      val c11 = n * f("s11") - s1 * s1; val c22 = n * f("s22") - s2 * s2
+      val c12 = n * f("s12") - s1 * s2
+      val c1y = n * f("s1y") - s1 * sy; val c2y = n * f("s2y") - s2 * sy
+      val den = c11 * c22 - c12 * c12
+      assert(den > 0, "fixture regressors must not be collinear")
+      val b1 = (c22 * c1y - c12 * c2y) / den
+      val b2 = (c11 * c2y - c12 * c1y) / den
+      val got1 = r.getAs[Long]("b1_sign") * r.getAs[Long]("b1_abs_milli") / 1000.0
+      val got2 = r.getAs[Long]("b2_sign") * r.getAs[Long]("b2_abs_milli") / 1000.0
+      assert(math.abs(got1 - b1) < 0.002 + math.abs(b1) * 1e-9,
+        s"${r.get(0)}: b1 exact $got1 vs float $b1")
+      assert(math.abs(got2 - b2) < 0.002 + math.abs(b2) * 1e-9,
+        s"${r.get(0)}: b2 exact $got2 vs float $b2")
+    }
+  }
+
+  test("util_checksum_shards: the manifest folds to the table-level checksum") {
+    val shards = SparkEntry.queries("util_checksum_shards")(s, d).collect()
+    // Every shard id is a low-6-bit value and (at 60k rows) all 64 occur.
+    assert(shards.map(_.getAs[Long]("shard")).toSet == (0L until 64L).toSet)
+    // Partition property: shard counts sum to the table count.
+    assert(shards.map(_.getAs[Long]("n_rows")).sum ==
+      Tables.t(s, d, "lineitem").count())
+    // Merkle-root property: xor of the shard xors equals the whole-table
+    // xor_checksum util_table_checksum emits for lineitem — the drill-down
+    // and the root are the same fold, just grouped.
+    val root = SparkEntry.queries("util_table_checksum")(s, d).collect()
+      .find(_.getAs[String]("tab") == "lineitem").get
+      .getAs[Long]("xor_checksum")
+    assert(shards.map(_.getAs[Long]("xor_checksum")).reduce(_ ^ _) == root)
+    // The extrema discriminators nest inside the hash space of the shard.
+    shards.foreach { r =>
+      assert(r.getAs[Long]("h_min") <= r.getAs[Long]("h_max"))
+      assert(r.getAs[Long]("h_min") % 64 == r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("h_max") % 64 == r.getAs[Long]("shard"))
+    }
+  }
+
+  test("llm_perplexity_unigram: surprisal is nonnegative and the mean is an honest floor-divide") {
+    val rows = SparkEntry.queries("llm_perplexity_unigram")(s, d).collect()
+    assert(rows.nonEmpty)
+    // Σ n_tok across docs must equal the raw token count — the vocab join
+    // is inner on a total vocab, so no token may be dropped or duplicated.
+    val rawToks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == rawToks)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      val tot = r.getAs[Long]("nll_total")
+      // floor(1e6 ln T) ≥ floor(1e6 ln c) for every term (c ≤ T, floor is
+      // monotone), so every per-token surprisal — hence the total — is ≥ 0.
+      assert(tot >= 0, s"doc ${r.get(0)}: negative total surprisal $tot")
+      assert(r.getAs[Long]("mean_nll_micro") == tot / n,
+        "mean must be the truncating integer divide of the emitted pair")
+    }
+  }
 }
