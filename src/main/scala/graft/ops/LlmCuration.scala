@@ -574,6 +574,41 @@ object LlmCuration {
     // per-sentence. One narrow pass, no shuffle before the final sort; the
     // regex split is the filter's INPUT argument (evaluated once per row —
     // not the per-element-re-eval lambda trap).
+    // Readability census per document (the Flesch–Kincaid-family quality
+    // feature curation pipelines threshold on, in EXACT integers): the
+    // syllable proxy is vowel-group counting — each word's maximal
+    // [aeiouy]+ runs collapse to one marker, vg = marker count, syllables
+    // = max(vg, 1) — the standard heuristic within ~10% of dictionary
+    // syllabification on English; sentences reuse llm_text_sentences'
+    // [.!?] rule (punctuation-free corpora degrade to 1 sentence/doc and
+    // the W/S term dominates — documented, not hidden). fk_grade_c =
+    // (39·W) div S + (1180·Syl) div W − 1559 is 100× the FK grade with
+    // both ratios as truncating integer divides (engine-identical).
+    // Scale: one token explode → (doc) partial agg — the same shape and
+    // cost as llm_text_quality; the regex runs once per token (no HOF
+    // re-evaluation — the BPE in-lambda lesson), sentences ride a
+    // doc-level select joined on the doc-sized frame.
+    "llm_text_readability" -> ((s, d) => {
+      val w = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), regexp_replace(col("w"), "[aeiouy]+", "#").as("r"))
+        .select(col("doc_id"),
+          (length(col("r")) - length(regexp_replace(col("r"), "#", ""))).cast("long").as("vg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("greatest(vg, 1)")).cast("long").as("n_syll"),
+          sum(expr("CASE WHEN vg >= 3 THEN 1 ELSE 0 END")).cast("long").as("n_poly"))
+      val sents = documents(s, d).select(col("doc_id"),
+        expr("greatest(CAST(size(filter(split(text, '[.!?]+'), x -> trim(x) != '')) AS BIGINT), 1)")
+          .as("n_sent"))
+      w.join(sents, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_poly"), col("n_sent"),
+          expr("10000 * n_syll div n_words").as("syll_per_word_bp"),
+          expr("(39 * n_words) div n_sent + (1180 * n_syll) div n_words - 1559")
+            .as("fk_grade_c"))
+        .orderBy("doc_id")
+    }),
+
     "llm_text_sentences" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"),
@@ -1319,6 +1354,26 @@ object LlmCuration {
          SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_replicas,
                 CAST(10000 * count(*) // count(DISTINCT doc_id) AS BIGINT) AS avg_epochs_bp
          FROM reps GROUP BY 1 ORDER BY 1""",
+    // Same vowel-group proxy; DuckDB regexp_replace needs the explicit 'g'
+    // flag where Spark replaces globally by default (llm_text_scrub rule).
+    "llm_text_readability" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+              v AS (SELECT doc_id,
+                           CAST(length(r) - length(replace(r, '#', '')) AS BIGINT) AS vg
+                    FROM (SELECT doc_id, regexp_replace(w, '[aeiouy]+', '#', 'g') AS r FROM t)),
+              a AS (SELECT doc_id, count(*) AS n_words,
+                           CAST(sum(greatest(vg, 1)) AS BIGINT) AS n_syll,
+                           CAST(sum(CASE WHEN vg >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_poly
+                    FROM v GROUP BY doc_id),
+              sct AS (SELECT doc_id,
+                             greatest(CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                                           x -> trim(x) <> '')) AS BIGINT), 1) AS n_sent
+                      FROM documents)
+         SELECT doc_id, n_words, n_syll, n_poly, n_sent,
+                CAST(10000 * n_syll // n_words AS BIGINT) AS syll_per_word_bp,
+                CAST((39 * n_words) // n_sent + (1180 * n_syll) // n_words - 1559 AS BIGINT) AS fk_grade_c
+         FROM a JOIN sct USING (doc_id)
+         ORDER BY doc_id""",
     "llm_text_sentences" ->
       """SELECT doc_id, n_words, n_sentences,
                 CAST(100 * n_words // greatest(n_sentences, 1) AS BIGINT) AS wps_c

@@ -297,6 +297,44 @@ object Reshape {
         .orderBy("seg", "mo")
     }),
 
+    // Mann–Kendall trend test per market segment (the nonparametric
+    // monotone-trend screen a forecasting pipeline runs before fitting
+    // anything — no distributional assumption, outlier-robust): S =
+    // Σ_{i<j} sign(y_j − y_i) over the monthly revenue grid, with the
+    // normal-approximation significance call at z = 1.96 resolved as ONE
+    // exact integer cross-multiplication — (|S|−1)²·45000 > 9604·n(n−1)(2n+5)
+    // is z² > 1.96² with 18·Var(S) = n(n−1)(2n+5) kept integral (no-ties
+    // variance: exact-decimal money sums over thousands of orders never
+    // tie; sign ties would still contribute 0 to S). Scale: the corpus
+    // collapses through ONE partial-aggregatable (seg, month) pass; the
+    // O(grid²) pair stage runs on the CALENDAR-sized frame (~80 rows per
+    // segment, C(80,2) ≈ 3.2k pairs) — constant in corpus size, so the op
+    // costs one scan at 100 TB exactly like at sf0.01.
+    "ts_trend_mann_kendall" -> ((s, d) => {
+      val g = orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
+            .as("mo"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val pairs = g.select(col("seg"), col("mo").as("mo1"), col("rev").as("r1"))
+        .join(g.select(col("seg").as("seg2"), col("mo").as("mo2"), col("rev").as("r2")),
+          col("seg") === col("seg2") && col("mo1") < col("mo2"))
+        .groupBy("seg")
+        .agg(sum(expr("CAST(sign(r2 - r1) AS BIGINT)")).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+      pairs.join(g.groupBy("seg").agg(count(lit(1)).as("n")), "seg")
+        .select(col("seg"), col("n"), col("n_pairs"), col("s_stat"),
+          expr("n * (n - 1) * (2 * n + 5)").as("var18"),
+          expr("""CASE WHEN s_stat > 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1) * 45000
+                            > 9604 * (n * (n - 1) * (2 * n + 5)) THEN 'increasing'
+                       WHEN s_stat < 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1) * 45000
+                            > 9604 * (n * (n - 1) * (2 * n + 5)) THEN 'decreasing'
+                       ELSE 'none' END""").as("trend"))
+        .orderBy("seg")
+    }),
+
     // Seasonal-naive forecast evaluation per event type: forecast(t) =
     // value(t−7 days); report Σ|actual − snaive| vs the non-seasonal
     // naive Σ|actual − lag1| — the two MASE ingredients, emitted as exact
@@ -896,6 +934,29 @@ object Reshape {
                 rev_cents - prev_cents AS delta_cents
          FROM lg WHERE prev_cents IS NOT NULL
          ORDER BY seg, mo""",
+    // Same grid, same pair algebra; DuckDB sign() is already integral and
+    // all cross-multiplied operands are BIGINT-safe (S ≤ C(grid,2) ≈ 3.2k).
+    "ts_trend_mann_kendall" ->
+      s"""WITH g AS (SELECT c_mktsegment AS seg,
+                            date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE)) // 30 AS mo,
+                            ${moneySumSql("o_totalprice")} AS rev
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+              p AS (SELECT a.seg, CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat,
+                           count(*) AS n_pairs
+                    FROM g a JOIN g b ON a.seg = b.seg AND a.mo < b.mo
+                    GROUP BY a.seg),
+              ns AS (SELECT seg, count(*) AS n FROM g GROUP BY seg)
+         SELECT seg, n, n_pairs, s_stat,
+                n * (n - 1) * (2 * n + 5) AS var18,
+                CASE WHEN s_stat > 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1) * 45000
+                          > 9604 * (n * (n - 1) * (2 * n + 5)) THEN 'increasing'
+                     WHEN s_stat < 0 AND (abs(s_stat) - 1) * (abs(s_stat) - 1) * 45000
+                          > 9604 * (n * (n - 1) * (2 * n + 5)) THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM p JOIN ns USING (seg)
+         ORDER BY seg""",
     "ts_snaive_error" ->
       """WITH daily AS (SELECT event_type,
                                date_diff('day', DATE '2024-01-01',

@@ -654,6 +654,42 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("ts_trend_mann_kendall: pair accounting closes and the z-call matches its algebra") {
+    val rows = SparkEntry.queries("ts_trend_mann_kendall")(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val np = r.getAs[Long]("n_pairs")
+      val st = r.getAs[Long]("s_stat")
+      assert(np == n * (n - 1) / 2, "every ordered grid pair must be scored once")
+      assert(math.abs(st) <= np, "S is a sum of ±1/0 over the pairs")
+      assert(r.getAs[Long]("var18") == n * (n - 1) * (2 * n + 5))
+      val sig = (math.abs(st) - 1) * (math.abs(st) - 1) * 45000 >
+        9604 * n * (n - 1) * (2 * n + 5)
+      val expect = if (sig && st > 0) "increasing"
+                   else if (sig && st < 0) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == expect)
+    }
+  }
+
+  test("llm_text_readability: syllable proxy and word accounting cohere with the sentence op") {
+    val rd = SparkEntry.queries("llm_text_readability")(s, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val se = SparkEntry.queries("llm_text_sentences")(s, d).collect()
+    assert(rd.size == se.length)
+    se.foreach { t =>
+      val r = rd(t.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == t.getAs[Long]("n_words"),
+        "both ops must count the same whitespace words")
+      val (w, syl, poly) =
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_syll"), r.getAs[Long]("n_poly"))
+      assert(syl >= w, "every word carries at least one syllable")
+      assert(poly <= w)
+      assert(r.getAs[Long]("syll_per_word_bp") == 10000 * syl / w)
+      assert(r.getAs[Long]("fk_grade_c") ==
+        39 * w / r.getAs[Long]("n_sent") + 1180 * syl / w - 1559)
+    }
+  }
+
   test("llm_perplexity_unigram: surprisal is nonnegative and the mean is an honest floor-divide") {
     val rows = SparkEntry.queries("llm_perplexity_unigram")(s, d).collect()
     assert(rows.nonEmpty)
