@@ -1568,6 +1568,55 @@ object LlmExtras {
     // shuffle carrying K·dims accumulator rows per map task — the canonical
     // distributed k-means update. K grows as √(n/targetListLen)
     // (SCALE_TUNING centroid rule); the shuffle stays K·dims, metadata-sized.
+    // K-round Lloyd TRAINING (llm_kmeans_step's completion, the pattern
+    // llm_bpe_train_k set: loop the one-step op with per-round lineage
+    // truncation and emit the trained state). Unlike the single step, the
+    // nearest-centroid argmax here is EXACT INTEGER arithmetic end to end:
+    // components quantize once to micro-units, centroids live at 1e4
+    // scale, dot = Σ xu·cu is a BIGINT, and the ranking key is
+    // sign(dot)·(dot² div nsq_c) — the vector's own norm cancels across
+    // centroids of the SAME vector, so cosine ranking needs no sqrt and
+    // no float ever orders anything (truncation ties break by cid on both
+    // engines). Per round: one broadcast(K·dims) join + (vec,cid) partial
+    // agg + (cid,dim) partial agg — the matrix-multiply-as-join shape,
+    // corpus×K work, never corpus²; empty clusters drop out (documented).
+    // Scale: 3 rounds = 3 linear passes; xu and each assignment are
+    // eagerly localCheckpoint'ed (graph_pagerank lineage rule) so the
+    // plan does not deepen with K.
+    "llm_kmeans_train_k" -> ((s, d) => {
+      val xu = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "dim", "x")
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          expr("CAST(round(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)), 6) * 1000000 AS BIGINT)")
+            .as("xu"))
+        .localCheckpoint(true) // re-read 7 times across the 3 rounds
+      var cent = xu.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("dim"), expr("xu div 100").as("cu"))
+      var assign: DataFrame = null
+      for (_ <- 1 to 3) {
+        val nsq = cent.groupBy("cid").agg(sum(expr("cu * cu")).as("nsq"))
+        val dots = xu.join(broadcast(cent), Seq("dim"))
+          .groupBy("vec_id", "cid").agg(sum(expr("xu * cu")).as("dot"))
+        assign = dots.join(broadcast(nsq), Seq("cid"))
+          .withColumn("key", expr(
+            """CASE WHEN dot >= 0 THEN (CAST(dot AS DECIMAL(38,0)) * dot) div nsq
+                    ELSE -((CAST(dot AS DECIMAL(38,0)) * dot) div nsq) END"""))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("key").desc, col("cid"))))
+          .filter(col("rn") === 1).select("vec_id", "cid")
+          .localCheckpoint(true)
+        cent = xu.join(assign, "vec_id").groupBy("cid", "dim")
+          .agg(count(lit(1)).as("n"), sum("xu").as("sxu"))
+          .select(col("cid"), col("dim"), expr("sxu div (100 * n)").as("cu"))
+      }
+      xu.join(assign, "vec_id").groupBy("cid", "dim")
+        .agg(count(lit(1)).as("n"), sum("xu").as("sxu"))
+        .select(col("cid").as("cluster"), col("dim"), col("n"),
+          col("sxu").as("sum_xu"), expr("sxu div (100 * n)").as("cent_cu"))
+        .orderBy("cluster", "dim")
+    }),
+
     "llm_kmeans_step" -> ((s, d) => {
       val cent = vecs(s, d).filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
@@ -2519,6 +2568,43 @@ object LlmExtras {
          GROUP BY label, pos ORDER BY label, dim""",
     // Same fixed-seed assignment as IVF/purity; update = the embed_centroid
     // micro-unit sum per (cluster, dim); drift_nu in exact BIGINTs.
+    // The 3 Lloyd rounds unrolled; every quantity is integral (HUGEINT
+    // products, `//` = Spark's `div` on the all-nonnegative divides and
+    // both truncate toward zero on the signed centroid means), so the
+    // hash must match bit-for-bit.
+    "llm_kmeans_train_k" -> {
+      def round(k: Int): String = {
+        val (c, a) = (s"c${k - 1}", s"a$k")
+        s"""n${k - 1} AS (SELECT cid, sum(CAST(cu AS HUGEINT) * cu) AS nsq FROM $c GROUP BY cid),
+            d$k AS (SELECT x.vec_id, c.cid, sum(CAST(x.xu AS HUGEINT) * c.cu) AS dot
+                    FROM xu x JOIN $c c ON c.dim = x.dim GROUP BY 1, 2),
+            $a AS (SELECT vec_id, cid FROM (
+                     SELECT d.vec_id, d.cid,
+                            row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                              CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // n.nsq
+                                   ELSE -((d.dot * d.dot) // n.nsq) END DESC, d.cid) AS rn
+                     FROM d$k d JOIN n${k - 1} n ON n.cid = d.cid) WHERE rn = 1),
+            c$k AS (SELECT a.cid, x.dim, sum(x.xu) // (100 * count(*)) AS cu
+                    FROM xu x JOIN $a a ON a.vec_id = x.vec_id GROUP BY 1, 2)"""
+      }
+      s"""WITH xu AS (SELECT vec_id, pos - 1 AS dim,
+                             CAST(CAST(round(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10)), 6)
+                                       AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS xu
+                      FROM (SELECT vec_id,
+                                   unnest(range(1, len(embedding) + 1)) AS pos,
+                                   unnest(embedding) AS x
+                            FROM embeddings)),
+              c0 AS (SELECT vec_id AS cid, dim, xu // 100 AS cu FROM xu WHERE vec_id < 8),
+              ${round(1)},
+              ${round(2)},
+              ${round(3)}
+         SELECT a.cid AS cluster, CAST(x.dim AS BIGINT) AS dim, count(*) AS n,
+                CAST(sum(x.xu) AS BIGINT) AS sum_xu,
+                CAST(sum(x.xu) // (100 * count(*)) AS BIGINT) AS cent_cu
+         FROM xu x JOIN a3 a ON a.vec_id = x.vec_id
+         GROUP BY 1, 2
+         ORDER BY 1, 2"""
+    },
     "llm_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
                cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),

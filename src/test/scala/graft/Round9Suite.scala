@@ -654,6 +654,25 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("llm_kmeans_train_k: the trained state is a consistent hard partition") {
+    val rows = SparkEntry.queries("llm_kmeans_train_k")(s, d).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    // Every surviving cluster carries all 64 dims with ONE member count —
+    // n is a cluster property, repeated per dim by construction.
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Long]("dim")).toSet == (0L until 64L).toSet, s"cluster $c dims")
+      assert(rs.map(_.getAs[Long]("n")).toSet.size == 1, s"cluster $c member count must be constant")
+    }
+    // Hard partition: cluster sizes sum to the corpus.
+    assert(byCluster.values.map(_.head.getAs[Long]("n")).sum ==
+      Tables.t(s, d, "embeddings").count())
+    // The emitted next-centroid is exactly the truncating mean at 1e4.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cent_cu") ==
+        r.getAs[Long]("sum_xu") / (100 * r.getAs[Long]("n")))
+    }
+  }
+
   test("ts_trend_mann_kendall: pair accounting closes and the z-call matches its algebra") {
     val rows = SparkEntry.queries("ts_trend_mann_kendall")(s, d).collect()
     assert(rows.nonEmpty)
