@@ -76,6 +76,39 @@ object Aggregations {
         .orderBy("flag", "pair")
     }),
 
+    // Chi-square test of independence over (returnflag × linestatus) —
+    // agg_mutual_info's frequentist sibling, the classic categorical-
+    // association census, in EXACT integers: the corpus collapses through
+    // ONE partial-aggregatable 2-key groupBy to the |R|×|C| cell frame
+    // (6 rows here), and every derived quantity is metadata arithmetic —
+    // row/col/grand totals as window sums over the CELL frame, expected
+    // count exp_micro = (1e6·r·c) div N and the cell's chi-square term
+    // term_micro = (1e6·(O·N − r·c)²) div (N·r·c) on DECIMAL(38,0)/HUGEINT
+    // (O·N ≈ 3.6e13 at sf1 squares to 1.3e27, and N·r·c ≈ 2.2e20 — both
+    // past BIGINT, both comfortably inside width 38; the quotients land
+    // back in BIGINT provably: term ≤ 1e6·N). The declared chi2 statistic
+    // is the SUM OF FLOORED per-cell terms — defined identically on both
+    // engines, so the hash pins the definition, not a float boundary.
+    "agg_chi2_independence" -> ((s, d) => {
+      val cells = lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("r_tot", sum("obs").over(Window.partitionBy("flag")))
+        .withColumn("c_tot", sum("obs").over(Window.partitionBy("st")))
+        .withColumn("n", sum("obs").over(wAll))
+        .select(col("flag"), col("st"), col("obs"), col("r_tot"), col("c_tot"),
+          expr("CAST((CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000) div n AS BIGINT)")
+            .as("exp_micro"),
+          expr("""CAST((1000000 *
+                        (CAST(obs AS DECIMAL(38,0)) * n - CAST(r_tot AS DECIMAL(38,0)) * c_tot) *
+                        (CAST(obs AS DECIMAL(38,0)) * n - CAST(r_tot AS DECIMAL(38,0)) * c_tot))
+                       div (CAST(n AS DECIMAL(38,0)) * r_tot * c_tot) AS BIGINT)""")
+            .as("term_micro"))
+        .orderBy("flag", "st")
+    }),
+
     // Two-regressor OLS per return flag (agg_regr's MULTIPLE-regression
     // completion — price-dollars on (quantity, discount-percent) solved
     // EXACTLY by Cramer's rule on the centered 2×2 normal equations):
@@ -931,6 +964,26 @@ object Aggregations {
                      ELSE CAST((1000000000 * num // dena) *
                                (1000000000 * num // denb) AS BIGINT) END AS r2_x18
          FROM c ORDER BY flag, pair""",
+    // Same cell frame and window totals; HUGEINT carries the same
+    // over-BIGINT intermediates and `//` truncates like `div` (all
+    // operands nonnegative).
+    "agg_chi2_independence" ->
+      """WITH cells AS (SELECT l_returnflag AS flag, l_linestatus AS st,
+                               count(*) AS obs
+                        FROM lineitem GROUP BY 1, 2),
+              t AS (SELECT flag, st, obs,
+                           sum(obs) OVER (PARTITION BY flag) AS r_tot,
+                           sum(obs) OVER (PARTITION BY st) AS c_tot,
+                           sum(obs) OVER () AS n
+                    FROM cells)
+         SELECT flag, st, obs,
+                CAST(r_tot AS BIGINT) AS r_tot, CAST(c_tot AS BIGINT) AS c_tot,
+                CAST((CAST(r_tot AS HUGEINT) * c_tot * 1000000) // n AS BIGINT) AS exp_micro,
+                CAST((1000000 *
+                      (CAST(obs AS HUGEINT) * n - CAST(r_tot AS HUGEINT) * c_tot) *
+                      (CAST(obs AS HUGEINT) * n - CAST(r_tot AS HUGEINT) * c_tot))
+                     // (CAST(n AS HUGEINT) * r_tot * c_tot) AS BIGINT) AS term_micro
+         FROM t ORDER BY flag, st""",
     // Same centered normal equations in HUGEINT; all quotient/remainder
     // operands are nonnegative (a = |num|, den > 0), where `//` and `div`
     // agree exactly (both truncate, and truncation = floor on nonnegatives).

@@ -654,6 +654,29 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("agg_chi2_independence: contingency accounting and per-cell algebra close") {
+    val rows = SparkEntry.queries("agg_chi2_independence")(s, d).collect()
+    val n = rows.map(_.getAs[Long]("obs")).sum
+    assert(n == Tables.t(s, d, "lineitem").count())
+    rows.groupBy(_.getAs[String]("flag")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("obs")).sum == rs.head.getAs[Long]("r_tot"))
+    }
+    rows.groupBy(_.getAs[String]("st")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("obs")).sum == rs.head.getAs[Long]("c_tot"))
+    }
+    rows.foreach { r =>
+      val (o, rt, ct) = (BigInt(r.getAs[Long]("obs")),
+        BigInt(r.getAs[Long]("r_tot")), BigInt(r.getAs[Long]("c_tot")))
+      assert(BigInt(r.getAs[Long]("exp_micro")) == rt * ct * 1000000 / n)
+      val dlt = o * n - rt * ct
+      assert(BigInt(r.getAs[Long]("term_micro")) ==
+        dlt * dlt * 1000000 / (BigInt(n) * rt * ct))
+    }
+    // Expected counts partition N exactly up to the per-cell floors.
+    val expSum = rows.map(_.getAs[Long]("exp_micro")).sum
+    assert(expSum <= n * 1000000L && expSum > n * 1000000L - 1000000L * rows.length)
+  }
+
   test("llm_kmeans_train_k: the trained state is a consistent hard partition") {
     val rows = SparkEntry.queries("llm_kmeans_train_k")(s, d).collect()
     val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
