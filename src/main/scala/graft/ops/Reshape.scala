@@ -335,6 +335,41 @@ object Reshape {
         .orderBy("seg")
     }),
 
+    // Sen's slope per segment (Mann–Kendall's standard companion — the
+    // robust trend MAGNITUDE where M–K gives direction/significance; the
+    // pair always ships together in trend reports): the median of all
+    // pairwise slopes (y_j − y_i)/(mo_j − mo_i) over the same monthly
+    // revenue grid, each slope resolved ONCE to exact micro-cents/month
+    // via a truncating divide (both engines truncate toward zero on the
+    // signed quotient identically), and the median taken DISCRETELY —
+    // the lower median under the (slope, mo1, mo2) total order, so the
+    // selection is engine-stable with no float and no interpolation.
+    // Scale: same shape as ts_trend_mann_kendall — ONE partial-agg
+    // collapse, the O(grid²) pair set is calendar-sized, and the median
+    // window runs on those ~3.2k pairs per segment. Constant in corpus.
+    "ts_theilsen_slope" -> ((s, d) => {
+      val g = orders(s, d)
+        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
+            .as("mo"))
+        .agg(moneySum(col("o_totalprice")).as("rev"))
+      val slopes = g.select(col("seg"), col("mo").as("mo1"), col("rev").as("r1"))
+        .join(g.select(col("seg").as("seg2"), col("mo").as("mo2"), col("rev").as("r2")),
+          col("seg") === col("seg2") && col("mo1") < col("mo2"))
+        .select(col("seg"), col("mo1"), col("mo2"),
+          expr("(1000000 * (r2 - r1)) div (mo2 - mo1)").as("slope_micro"))
+      val ranked = slopes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("seg").orderBy("slope_micro", "mo1", "mo2")))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("seg")))
+      ranked.filter(expr("rn = (np + 1) div 2"))
+        .select(col("seg"), col("np").as("n_pairs"),
+          col("slope_micro").as("sen_slope_micro"))
+        .orderBy("seg")
+    }),
+
     // Seasonal-naive forecast evaluation per event type: forecast(t) =
     // value(t−7 days); report Σ|actual − snaive| vs the non-seasonal
     // naive Σ|actual − lag1| — the two MASE ingredients, emitted as exact
@@ -934,6 +969,27 @@ object Reshape {
                 rev_cents - prev_cents AS delta_cents
          FROM lg WHERE prev_cents IS NOT NULL
          ORDER BY seg, mo""",
+    // Same grid and pair set; `//` truncates toward zero like `div` on the
+    // signed slopes, and the lower-median pick is a pure row_number
+    // selection under the identical total order.
+    "ts_theilsen_slope" ->
+      s"""WITH g AS (SELECT c_mktsegment AS seg,
+                            date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE)) // 30 AS mo,
+                            ${moneySumSql("o_totalprice")} AS rev
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+              sl AS (SELECT a.seg, a.mo AS mo1, b.mo AS mo2,
+                            CAST((1000000 * (b.rev - a.rev)) // (b.mo - a.mo) AS BIGINT) AS slope_micro
+                     FROM g a JOIN g b ON a.seg = b.seg AND a.mo < b.mo),
+              r AS (SELECT seg, slope_micro,
+                           row_number() OVER (PARTITION BY seg
+                                              ORDER BY slope_micro, mo1, mo2) AS rn,
+                           count(*) OVER (PARTITION BY seg) AS np
+                    FROM sl)
+         SELECT seg, CAST(np AS BIGINT) AS n_pairs, slope_micro AS sen_slope_micro
+         FROM r WHERE rn = (np + 1) // 2
+         ORDER BY seg""",
     // Same grid, same pair algebra; DuckDB sign() is already integral and
     // all cross-multiplied operands are BIGINT-safe (S ≤ C(grid,2) ≈ 3.2k).
     "ts_trend_mann_kendall" ->

@@ -713,6 +713,23 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("ts_theilsen_slope: pair set matches Mann-Kendall and the median sign obeys S") {
+    val sen = SparkEntry.queries("ts_theilsen_slope")(s, d).collect()
+      .map(r => r.getAs[String]("seg") -> r).toMap
+    val mk = SparkEntry.queries("ts_trend_mann_kendall")(s, d).collect()
+    assert(sen.keySet == mk.map(_.getAs[String]("seg")).toSet)
+    mk.foreach { m =>
+      val r = sen(m.getAs[String]("seg"))
+      assert(r.getAs[Long]("n_pairs") == m.getAs[Long]("n_pairs"),
+        "both ops rank the same C(grid,2) pair set")
+      // S = #pos − #neg slopes, so S > 0 forces the lower median slope
+      // ≥ 0 and S < 0 forces it ≤ 0 — the two trend ops must agree.
+      val (sStat, slope) = (m.getAs[Long]("s_stat"), r.getAs[Long]("sen_slope_micro"))
+      if (sStat > 0) assert(slope >= 0, s"S=$sStat but sen=$slope")
+      if (sStat < 0) assert(slope <= 0, s"S=$sStat but sen=$slope")
+    }
+  }
+
   test("llm_text_readability: syllable proxy and word accounting cohere with the sentence op") {
     val rd = SparkEntry.queries("llm_text_readability")(s, d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
