@@ -328,6 +328,37 @@ object SetOps {
     // global sort), and the 1-row stats frame broadcasts onto it. rank is
     // assigned on the post-limit 5-row frame, so the unpartitioned window
     // is free.
+    // Salt-factor ADVISOR for the declared fact-join keys — the
+    // SCALE_TUNING saltedEquiJoin sizing rule turned into a table the
+    // engine computes (the llm_lsh_band_recall pattern applied to skew:
+    // read the deployment knob off a measured frame, don't estimate it):
+    // per relationship ONE (key) partial agg collapses the fact side and
+    // a 1-row agg reads (rows, keys, max multiplicity); the advisories
+    // are exact integers — avg_mult_bp = 10000·rows div keys, the skew
+    // flag by cross-multiply (max·keys > 4·rows ⇔ max > 4×avg, no
+    // division), and salt_factor = max(1, ⌈max_mult/4096⌉) with 4096 the
+    // declared target rows-per-reducer-task — exactly the bucket rule
+    // Scale.saltedEquiJoin documents. Unlike util_skew_report (a top-N
+    // leaderboard) nothing here sorts: the per-key frame collapses
+    // map-side and never leaves the executors.
+    "util_salt_advisor" -> ((s, d) => {
+      def leg(name: String, df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+            max("c").as("max_mult"))
+          .select(lit(name).as("relationship"),
+            col("n_rows"), col("n_keys"), col("max_mult"),
+            expr("10000 * n_rows div n_keys").as("avg_mult_bp"),
+            expr("CASE WHEN max_mult * n_keys > 4 * n_rows THEN 1L ELSE 0L END")
+              .as("skewed"),
+            expr("greatest(1L, (max_mult + 4095) div 4096)").as("salt_factor"))
+      leg("events.user_id", events(s, d), "user_id")
+        .unionAll(leg("lineitem.l_orderkey", lineitem(s, d), "l_orderkey"))
+        .unionAll(leg("lineitem.l_suppkey", lineitem(s, d), "l_suppkey"))
+        .unionAll(leg("orders.o_custkey", orders(s, d), "o_custkey"))
+        .orderBy("relationship")
+    }),
+
     "util_skew_report" -> ((s, d) => {
       val per = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_events"))
       val g = per.agg(count(lit(1)).as("n_keys"), sum("n_events").as("total"),
@@ -669,6 +700,27 @@ object SetOps {
                   CAST(sum(cents) AS BIGINT) AS cents_sum, count(*) AS n
            FROM base GROUP BY o_custkey % 10)
          ORDER BY dim, key""",
+    // Same per-leg (key) collapse + 1-row read; events.user_id included
+    // (the one genuinely skewed fixture key).
+    "util_salt_advisor" ->
+      """WITH e AS (SELECT count(*) AS c FROM events GROUP BY user_id),
+              lo AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey),
+              ls AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey),
+              oc AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+              legs AS (
+                SELECT 'events.user_id' AS relationship, CAST(sum(c) AS BIGINT) AS n_rows,
+                       count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_mult FROM e
+                UNION ALL
+                SELECT 'lineitem.l_orderkey', CAST(sum(c) AS BIGINT), count(*), CAST(max(c) AS BIGINT) FROM lo
+                UNION ALL
+                SELECT 'lineitem.l_suppkey', CAST(sum(c) AS BIGINT), count(*), CAST(max(c) AS BIGINT) FROM ls
+                UNION ALL
+                SELECT 'orders.o_custkey', CAST(sum(c) AS BIGINT), count(*), CAST(max(c) AS BIGINT) FROM oc)
+         SELECT relationship, n_rows, n_keys, max_mult,
+                CAST(10000 * n_rows // n_keys AS BIGINT) AS avg_mult_bp,
+                CAST(CASE WHEN max_mult * n_keys > 4 * n_rows THEN 1 ELSE 0 END AS BIGINT) AS skewed,
+                CAST(greatest(1, (max_mult + 4095) // 4096) AS BIGINT) AS salt_factor
+         FROM legs ORDER BY relationship""",
     "util_skew_report" ->
       """WITH per AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
               g AS (SELECT count(*) AS n_keys, sum(n_events) AS total,

@@ -632,6 +632,28 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("util_salt_advisor: advisories follow the documented sizing rule and match the skew report") {
+    val legs = SparkEntry.queries("util_salt_advisor")(s, d).collect()
+      .map(r => r.getAs[String]("relationship") -> r).toMap
+    assert(legs.size == 4)
+    // Each leg's row count must be the raw table count (the key collapse
+    // is a partition of the fact side).
+    assert(legs("events.user_id").getAs[Long]("n_rows") == Tables.events(s, d).count())
+    assert(legs("orders.o_custkey").getAs[Long]("n_rows") == Tables.t(s, d, "orders").count())
+    legs.values.foreach { r =>
+      val (rows, keys, mx) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("max_mult"))
+      assert(mx * keys >= rows, "max multiplicity cannot sit below the mean")
+      assert(r.getAs[Long]("avg_mult_bp") == 10000 * rows / keys)
+      assert(r.getAs[Long]("skewed") == (if (mx * keys > 4 * rows) 1L else 0L))
+      assert(r.getAs[Long]("salt_factor") == math.max(1L, (mx + 4095) / 4096))
+    }
+    // The events leg must agree with util_skew_report's global stats.
+    val sk = SparkEntry.queries("util_skew_report")(s, d).collect().head
+    assert(legs("events.user_id").getAs[Long]("n_keys") == sk.getAs[Long]("n_keys"))
+    assert(legs("events.user_id").getAs[Long]("max_mult") == sk.getAs[Long]("max_n"))
+  }
+
   test("util_checksum_shards: the manifest folds to the table-level checksum") {
     val shards = SparkEntry.queries("util_checksum_shards")(s, d).collect()
     // Every shard id is a low-6-bit value and (at 60k rows) all 64 occur.
