@@ -378,6 +378,42 @@ object Streaming {
     // the true foreachBatch twin — per-microbatch last-wins merge into the
     // sink, arriving in event-time-disordered batches — is in
     // StreamingSuite and must converge to exactly this frame.
+    // Streaming CDC materialization, batch-lowered (the MERGE-stream
+    // emulation: sink_cdc_apply WRITES the live rows; this is the keyed
+    // STATE census a streaming changelog consumer holds — tombstones
+    // included, since a CDC store must remember deletes to stay
+    // idempotent): the I/U/D changelog resolves last-writer-wins by seq
+    // through ONE (k) window, then a per-nation report of live keys,
+    // tombstoned keys, and live balance mass. The TRUE streaming twin
+    // (StreamingSuite) maintains the same state with
+    // flatMapGroupsWithState over OUT-OF-ORDER and DUPLICATE-delivered
+    // microbatches and must land on the identical census — pinning
+    // seq-idempotence (re-delivery of an applied seq is a no-op), the
+    // semantic the exactly-once sink relies on upstream. Scale: the
+    // changelog shuffles once on the key; state per key is one
+    // (nk, bal, deleted, last_seq) record — exactly what the streaming
+    // store would hold at any volume.
+    "stream_cdc_upsert" -> ((s, d) => {
+      val base = customer(s, d).select(col("c_custkey").as("k"),
+        col("c_nationkey").as("nk"), money(col("c_acctbal")).as("bal"))
+      val log = base
+        .select(col("k"), col("nk"), col("bal"), lit("I").as("op"), lit(1L).as("seq"))
+        .unionAll(base.filter(col("k") % 7 === 0)
+          .select(col("k"), col("nk"), (col("bal") + 500L).as("bal"),
+            lit("U").as("op"), lit(2L).as("seq")))
+        .unionAll(base.filter(col("k") % 13 === 0)
+          .select(col("k"), col("nk"), lit(0L).as("bal"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      log.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .groupBy("nk")
+        .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstones"),
+          sum(when(col("op") =!= "D", col("bal")).otherwise(0L)).as("bal_cents"))
+        .orderBy("nk")
+    }),
+
     "stream_upsert_view" -> ((s, d) =>
       events(s, d)
         .select(col("user_id"), tsec(col("ts")).as("ts_s"), col("event_id"),
@@ -608,6 +644,26 @@ object Streaming {
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value
           FROM (SELECT user_id, event_id, $tsS AS ts_s, value FROM events)
           ORDER BY user_id, event_id""",
+    // Same changelog derivation and LWW window; the census definitions
+    // are shared SQL verbatim.
+    "stream_cdc_upsert" ->
+      s"""WITH base AS (SELECT c_custkey AS k, c_nationkey AS nk,
+                               ${graft.Norm.moneySql("c_acctbal")} AS bal
+                        FROM customer),
+              log AS (SELECT k, nk, bal, 'I' AS op, 1 AS seq FROM base
+                      UNION ALL
+                      SELECT k, nk, bal + 500, 'U', 2 FROM base WHERE k % 7 = 0
+                      UNION ALL
+                      SELECT k, nk, 0, 'D', 3 FROM base WHERE k % 13 = 0),
+              lst AS (SELECT k, nk, bal, op,
+                             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                      FROM log)
+         SELECT nk,
+                CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+                CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+                CAST(sum(CASE WHEN op <> 'D' THEN bal ELSE 0 END) AS BIGINT) AS bal_cents
+         FROM lst WHERE rn = 1
+         GROUP BY nk ORDER BY nk""",
     "stream_upsert_view" ->
       s"""SELECT user_id, event_type AS last_type, cents AS last_cents,
                  ts_s AS last_ts, n_events

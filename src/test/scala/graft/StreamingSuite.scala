@@ -556,6 +556,63 @@ class StreamingSuite extends AnyFunSuite {
     assert(streamed.count(_.contains("10:00")) == 3)
   }
 
+  test("stream_cdc_upsert twin: LWW state over out-of-order, duplicate-delivered changelog batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val sp = s; import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    // rows: (k, nk, bal, op, seq). State per key = (nk, bal, deleted,
+    // lastSeq); a row with seq <= lastSeq is a RE-DELIVERY and must be a
+    // no-op — the idempotence the declared op's LWW window encodes.
+    val mem = MemoryStream[(Long, Long, Long, String, Long)]
+    val q = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, Boolean, Long)]) =>
+          val sorted = rows.toArray.sortBy(_._5) // in-batch out-of-order repair
+          val init = state.getOption.getOrElse((0L, 0L, false, Long.MinValue))
+          val fin = sorted.foldLeft(init) { (st, r) =>
+            if (r._5 <= st._4) st // duplicate / stale delivery: no-op
+            else (r._2, r._3, r._4 == "D", r._5)
+          }
+          state.update(fin)
+          Iterator((k, fin._1, fin._2, fin._3, fin._4))
+      }
+      .toDF("k", "nk", "bal", "deleted", "last_seq")
+      .writeStream.format("memory").queryName("cdc_twin_out")
+      .outputMode(OutputMode.Append()).start()
+    // Keys 1,2 live; key 7 updated then deleted; key 3 updated. Batches
+    // arrive with: an update BEFORE its insert inside one batch (in-batch
+    // sort repairs), a cross-batch duplicate of an applied seq, and a
+    // stale late insert after a delete (must not resurrect the key).
+    try {
+      mem.addData((1L, 10L, 100L, "I", 1L), (7L, 20L, 700L, "I", 1L),
+        (3L, 10L, 300L, "U", 2L), (3L, 10L, 290L, "I", 1L)) // 3's U precedes its I
+      q.processAllAvailable()
+      mem.addData((2L, 20L, 200L, "I", 1L), (7L, 20L, 750L, "U", 2L),
+        (3L, 10L, 300L, "U", 2L)) // duplicate of 3's applied seq 2
+      q.processAllAvailable()
+      mem.addData((7L, 20L, 0L, "D", 3L), (7L, 20L, 700L, "I", 1L)) // stale I after D
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per key = the emission with the max last_seq
+    val fin = sp.table("cdc_twin_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("last_seq").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(fin == Map(
+      1L -> ((10L, 100L, false)),
+      2L -> ((20L, 200L, false)),
+      3L -> ((10L, 300L, false)), // LWW kept the seq-2 update, duplicate was a no-op
+      7L -> ((20L, 0L, true))     // deleted; the stale insert did not resurrect it
+    ), s"CDC state diverged: $fin")
+    // The same census the DECLARED op reports, over this state.
+    val live = fin.values.filterNot(_._3)
+    assert(live.size == 3 && live.map(_._2).sum == 600L)
+  }
+
   test("stream_idempotent_sink twin: kill + forced batch replay commits nothing twice (no dup, no loss)") {
     import java.nio.file.Files
     val sp = s
