@@ -133,6 +133,31 @@ object Joins {
 
     // Equi key + theta residual: the equi part hashes, the theta part is a
     // post-probe filter — no nested-loop explosion.
+    // Point-in-interval join through the CUSTOM planner strategy (the §2.K
+    // ladder's whole-operator rung, declared as a §2.C join): overlapping
+    // price bands probe part retail cents via graft's own
+    // LogicalPlan/SparkStrategy/SparkPlan triple
+    // (plans/RangeJoin.scala, injected by GraftExtensions). Spark's own
+    // planner would hand this keyless range predicate to
+    // BroadcastNestedLoopJoin — O(|probe|·|bands|) predicate evaluations;
+    // BroadcastRangeJoinExec answers each probe row by binary search +
+    // max-length-bounded walk over the lo-sorted broadcast intervals.
+    // Round9Suite asserts the exec actually plans AND that it emits
+    // bit-identical rows to the nested-loop lowering; the oracle states
+    // the BETWEEN-join truth. Scale: probe streams partition-parallel, no
+    // shuffle before the band census agg; build side is broadcast-sized
+    // by contract (documented in the exec).
+    "join_range_strategy" -> ((s, d) => {
+      val bands = s.range(0, 40).select(col("id").as("band_id"),
+        (lit(90000L) + col("id") * 250L).as("lo"),
+        (lit(90500L) + col("id") * 250L).as("hi"))
+      val probe = part(s, d).select(money(col("p_retailprice")).as("cents"))
+      graft.plans.GraftRangeJoin(probe, bands, "cents", "lo", "hi")
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("sum_cents"))
+        .orderBy("band_id")
+    }),
+
     "join_theta" -> ((s, d) =>
       lineitem(s, d)
         .join(broadcast(part(s, d)),
@@ -547,6 +572,16 @@ object Joins {
       """SELECT p_brand, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
          GROUP BY p_brand ORDER BY p_brand""",
+    // The BETWEEN-join truth of the custom-strategy plan: DuckDB evaluates
+    // the same half-open interval predicate over the same generated bands.
+    "join_range_strategy" ->
+      s"""WITH bands AS (SELECT k AS band_id, 90000 + k * 250 AS lo,
+                                90500 + k * 250 AS hi
+                         FROM range(0, 40) t(k)),
+               p AS (SELECT ${moneySql("p_retailprice")} AS cents FROM part)
+          SELECT band_id, count(*) AS n_parts, CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM p JOIN bands ON cents >= lo AND cents < hi
+          GROUP BY band_id ORDER BY band_id""",
     "join_range_interval" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

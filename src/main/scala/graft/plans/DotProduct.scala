@@ -99,5 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           new org.apache.spark.sql.catalyst.expressions.XxHash64(children.slice(1, 2)))))
     ext.injectOptimizerRule(_ => RewriteIntersectSize)
+    // Whole-operator extension (ladder rung (c)): the broadcast range-join
+    // LogicalPlan/SparkStrategy/SparkPlan triple — see plans/RangeJoin.scala.
+    ext.injectPlannerStrategy(_ => new RangeJoinStrategy)
   }
 }

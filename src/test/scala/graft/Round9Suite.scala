@@ -632,6 +632,33 @@ class Round9Suite extends AnyFunSuite {
     }
   }
 
+  test("join_range_strategy: the custom exec plans and matches the nested-loop lowering") {
+    val df = SparkEntry.queries("join_range_strategy")(s, d)
+    // The injected strategy must actually fire — the whole point of the
+    // LogicalPlan/Strategy/SparkPlan triple is that the plan contains OUR
+    // operator, not a BroadcastNestedLoopJoin.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), s"custom exec missing from plan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Vanilla lowering of the same predicate (Spark picks nested-loop).
+    val bands = s.range(0, 40).select(col("id").as("band_id"),
+      (lit(90000L) + col("id") * 250L).as("lo"),
+      (lit(90500L) + col("id") * 250L).as("hi"))
+    val probe = Tables.t(s, d, "part")
+      .select(Norm.money(col("p_retailprice")).as("cents"))
+    val want = probe.join(bands, col("cents") >= col("lo") && col("cents") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "custom exec diverged from the nested-loop truth")
+    // Overlapping half-width bands: every in-range part lands in exactly 2
+    // bands except the first half-band's — so the census roughly doubles
+    // the part count and can never exceed it.
+    val parts = probe.count()
+    val total = got.toSeq.map(_._2).sum
+    assert(total > parts && total <= 2 * parts, s"stab count $total vs parts $parts")
+  }
+
   test("util_salt_advisor: advisories follow the documented sizing rule and match the skew report") {
     val legs = SparkEntry.queries("util_salt_advisor")(s, d).collect()
       .map(r => r.getAs[String]("relationship") -> r).toMap
