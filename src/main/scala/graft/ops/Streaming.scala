@@ -394,18 +394,18 @@ object Streaming {
     // (nk, bal, deleted, last_seq) record — exactly what the streaming
     // store would hold at any volume.
     "stream_cdc_upsert" -> ((s, d) => {
-      val base = customer(s, d).select(col("c_custkey").as("k"),
+      val base = customer(s, d).select(col("c_custkey").as("ckey"),
         col("c_nationkey").as("nk"), money(col("c_acctbal")).as("bal"))
       val log = base
-        .select(col("k"), col("nk"), col("bal"), lit("I").as("op"), lit(1L).as("seq"))
-        .unionAll(base.filter(col("k") % 7 === 0)
-          .select(col("k"), col("nk"), (col("bal") + 500L).as("bal"),
+        .select(col("ckey"), col("nk"), col("bal"), lit("I").as("op"), lit(1L).as("seq"))
+        .unionAll(base.filter(col("ckey") % 7 === 0)
+          .select(col("ckey"), col("nk"), (col("bal") + 500L).as("bal"),
             lit("U").as("op"), lit(2L).as("seq")))
-        .unionAll(base.filter(col("k") % 13 === 0)
-          .select(col("k"), col("nk"), lit(0L).as("bal"),
+        .unionAll(base.filter(col("ckey") % 13 === 0)
+          .select(col("ckey"), col("nk"), lit(0L).as("bal"),
             lit("D").as("op"), lit(3L).as("seq")))
       log.withColumn("rn", row_number().over(
-          Window.partitionBy("k").orderBy(col("seq").desc)))
+          Window.partitionBy("ckey").orderBy(col("seq").desc)))
         .filter(col("rn") === 1)
         .groupBy("nk")
         .agg(sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
@@ -647,16 +647,16 @@ object Streaming {
     // Same changelog derivation and LWW window; the census definitions
     // are shared SQL verbatim.
     "stream_cdc_upsert" ->
-      s"""WITH base AS (SELECT c_custkey AS k, c_nationkey AS nk,
+      s"""WITH base AS (SELECT c_custkey AS ckey, c_nationkey AS nk,
                                ${graft.Norm.moneySql("c_acctbal")} AS bal
                         FROM customer),
-              log AS (SELECT k, nk, bal, 'I' AS op, 1 AS seq FROM base
+              log AS (SELECT ckey, nk, bal, 'I' AS op, 1 AS seq FROM base
                       UNION ALL
-                      SELECT k, nk, bal + 500, 'U', 2 FROM base WHERE k % 7 = 0
+                      SELECT ckey, nk, bal + 500, 'U', 2 FROM base WHERE ckey % 7 = 0
                       UNION ALL
-                      SELECT k, nk, 0, 'D', 3 FROM base WHERE k % 13 = 0),
-              lst AS (SELECT k, nk, bal, op,
-                             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                      SELECT ckey, nk, 0, 'D', 3 FROM base WHERE ckey % 13 = 0),
+              lst AS (SELECT ckey, nk, bal, op,
+                             row_number() OVER (PARTITION BY ckey ORDER BY seq DESC) AS rn
                       FROM log)
          SELECT nk,
                 CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
