@@ -376,4 +376,29 @@ class PropertySuite extends AnyFunSuite {
     }.toSet
     assert(got == want, s"got=$got\nwant=$want")
   }
+
+  test("BroadcastRangeJoinExec == brute-force stabbing on random intervals (empty, duplicate, boundary)") {
+    val sp = s; import sp.implicits._
+    // The exec's bounded backward walk stops at lo ≤ p − maxLen; the
+    // boundary class that kills naive implementations is lo == p − maxLen
+    // with an interval of exactly maxLen (half-open: must NOT match) next
+    // to duplicates and empty intervals. Generate exactly that zoo.
+    val intervalGen = Gen.listOf(Gen.zip(Gen.chooseNum(-20L, 20L), Gen.chooseNum(0L, 12L)))
+    val pointGen = Gen.listOf(Gen.chooseNum(-25L, 30L))
+    for (((ivs0, pts0), round) <- samples(Gen.zip(intervalGen, pointGen), 25).zipWithIndex) {
+      val ivs = ivs0.zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      val pts = pts0.zipWithIndex.map { case (p, i) => (1000L + i, p) }
+      if (ivs.nonEmpty && pts.nonEmpty) {
+        val build = sp.createDataset(ivs).toDF("iv_id", "lo", "hi")
+        val probe = sp.createDataset(pts).toDF("p_id", "p")
+        val df = graft.plans.GraftRangeJoin(probe, build, "p", "lo", "hi")
+        assert(df.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+        val got = df.select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (pid, p) <- pts; (iid, lo, hi) <- ivs if lo <= p && p < hi
+        } yield (pid, iid)).toSet
+        assert(got == want, s"round $round: got=$got want=$want ivs=$ivs pts=$pts")
+      }
+    }
+  }
 }
