@@ -54,6 +54,15 @@ case class BroadcastRangeJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(probe = newLeft, build = newRight)
 
+  // Native-operator reporting: the exec surfaces the same numOutputRows
+  // metric the built-in joins do (visible in the SQL UI / metrics API),
+  // plus the build-side size the broadcast contract depends on.
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "buildRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast interval count"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val loB = BindReferences.bindReference(lo, build.output)
     val hiB = BindReferences.bindReference(hi, build.output)
@@ -63,9 +72,11 @@ case class BroadcastRangeJoinExec(
     }.sortBy(_._1)
     val maxLen = if (entries.isEmpty) 0L
                  else entries.iterator.map(e => e._2 - e._1).max
+    metrics("buildRows").add(entries.length)
     val bc = sparkContext.broadcast((entries, maxLen))
     val keyB = BindReferences.bindReference(probeKey, probe.output)
     val outAttrs = output
+    val outRows = metrics("numOutputRows")
     probe.execute().mapPartitions { iter =>
       val (arr, mlen) = bc.value
       val joined = new JoinedRow
@@ -82,6 +93,7 @@ case class BroadcastRangeJoinExec(
           if (arr(i)._2 > p) buf += proj(joined(row, arr(i)._3)).copy()
           i -= 1
         }
+        outRows.add(buf.length)
         buf.iterator
       }
     }
