@@ -1174,7 +1174,17 @@ object LlmCuration {
     // llm_mixture_weights' fixed targets): per source, the n^0.7 weight
     // floored to micro-units (one deterministic exp(0.7·ln n) per source
     // — metadata-sized, the per-term floor making everything after exact
-    // integers), then a 10,000-slot budget apportioned by LARGEST
+    // integers). ACCEPTED ULP RISK (r9 ADVICE, documented next to the
+    // exact-integer rules in SCALE_TUNING.md): exp∘ln composes two libm
+    // calls per engine, so a cross-engine divergence ≤ ~3e-15 relative
+    // can flip the floor when 1e6·n^0.7 sits within that band of an
+    // integer. A TRUE integer fix (w^10 ≤ 1e60·n^7 root extraction)
+    // exceeds both engines' 128-bit integers, so instead the risk is
+    // CLOSED for this harness's domain: Round10Suite exhaustively proves
+    // every per-source count n reachable at sf0.001..sf10 (fixture counts
+    // and their ScaleUp ×10/×100 tilings) keeps 1e6·exp(0.7·ln n) at
+    // least 1e-3 from an integer — 11 orders of magnitude of margin.
+    // Then a 10,000-slot budget is apportioned by LARGEST
     // REMAINDER (floor share + the Σbudget − Σfloors leftovers to the
     // largest 10000·w mod W remainders, source tie-break) — quotas sum to
     // the budget EXACTLY, no float ever re-enters. Scale: one (source)

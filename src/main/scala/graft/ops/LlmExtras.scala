@@ -769,17 +769,26 @@ object LlmExtras {
       // nests iteration k−1 inside k — measured 3.5 s with the tree
       // recomputed 3×, the top bench line; 3 edge-scans collapse to 1).
       // Same per-iteration lineage truncation as Scale.connectedComponents.
-      // DISK_ONLY (r9): the edge frame is the op's one corpus-scale cached
-      // block (2.97M rows at sf0.1, ~30M at sf1) and it is read once per
-      // iteration — holding it in the unified pool is what starved 32
-      // concurrent tasks of execution memory in the r8 full-suite sf1 run
-      // (UNABLE_TO_ACQUIRE_MEMORY with the suite's memos resident;
-      // SCALE_TUNING.md headroom rule). Sequential disk reads of a
-      // columnar-compact frame are cheap next to the join+agg work; the
-      // node-sized rank checkpoints below stay in memory.
+      // Storage level is SIZE-GATED (r9 verdict #5): the edge frame is the
+      // op's one corpus-scale cached block (2.97M rows at sf0.1, ~30M at
+      // sf1) read once per iteration. At sf1+ holding it in the unified
+      // pool starved 32 concurrent tasks of execution memory in the r8
+      // full-suite run (UNABLE_TO_ACQUIRE_MEMORY with the suite's memos
+      // resident; SCALE_TUNING.md headroom rule) → DISK_ONLY. At sf0.1 and
+      // below the frame is small next to the pool and DISK_ONLY was pure
+      // tax (+0.6–2 s, the #1 r9 bench line) → MEMORY_AND_DISK. The gate
+      // reads the INPUT corpus bytes (documents.parquet — a metadata stat,
+      // edge count scales with it): ≥2 MB ≈ sf1-and-up territory between
+      // the 595 KB sf0.1 and ~6 MB sf1 fixtures.
+      val docsPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val docsBytes = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(docsPath).getLength
+      val edgeLevel = if (docsBytes >= (2L << 20))
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val wedges = edges.join(
         edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .localCheckpoint(true, edgeLevel)
       val deg = wedges.select("src", "deg").distinct()
       val nodes = documents(s, d).select(col("doc_id"))
       var r = nodes.withColumn("r", lit(1000000L))

