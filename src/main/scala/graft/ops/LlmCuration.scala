@@ -153,6 +153,14 @@ object LlmCuration {
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeTrained(s, d)._1
 
+  /** Deterministic memo force for [[graft.ops.Shared.forceMemos]] (bench
+    * accounting honesty — the training loop's cost is reported as its own
+    * `memo:bpe.trained` line, never smeared into whichever of the three
+    * BPE consumers happens to run first). */
+  private[ops] def forceBpeMemo(s: SparkSession, d: String): Unit = {
+    bpeTrained(s, d); ()
+  }
+
   /** Unrolled K-round DuckDB twin of the BPE train loop: per round a CTE
     * triple p{k} (pair counts), b{k} (argmax winner), w{k} (merged symbol
     * stream) — the same shapes the Spark loop materializes per iteration. */
