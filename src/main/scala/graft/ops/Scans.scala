@@ -17,6 +17,26 @@ object Scans {
     s"${System.getProperty("java.io.tmpdir")}/graft_$fmt${Math.abs(d.hashCode)}"
 
   val ops: Map[String, Q] = Map(
+    // Custom DataSource V2 connector (closes the r9 "last ladder rung"):
+    // graft.sources.GraftRangeSource is a TableProvider with REAL filter
+    // and projection pushdown — the id predicates below are CONSUMED by
+    // the source (they narrow the generated span before any row exists;
+    // the DSV2 analog of partition pruning), the tag predicate stays a
+    // Spark-side residual, and column pruning drops `id` from the read
+    // schema entirely (the group-by needs only bucket/val/tag). Both
+    // properties are plan-asserted in Round10Suite against the scan
+    // node's description. The oracle re-derives the same deterministic
+    // relation from DuckDB's range() — a hash match proves the pushdown
+    // changed WHERE the work happens, not WHAT is computed.
+    "scan_dsv2_pushdown" -> ((s, _) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100000L).option("slices", 8)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 70000L && col("tag") =!= "c")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"))
+        .orderBy("bucket")),
+
     // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
     // stats are fed to the optimizer through the supported channel — a
     // managed catalog copy + ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS —
@@ -648,6 +668,17 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    // The generated relation re-derived from range(): same id domain,
+    // same exact-integer column math as GraftRangeTable.fieldValue.
+    "scan_dsv2_pushdown" ->
+      """WITH t AS (SELECT range AS id, range % 100 AS bucket,
+                           (range * range) % 1000003 AS val,
+                           ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] AS tag
+                    FROM range(100000))
+         SELECT bucket, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val
+         FROM t WHERE id >= 20000 AND id < 70000 AND tag <> 'c'
+         GROUP BY bucket ORDER BY bucket""",
+
     "sink_cdc_apply" -> {
       val bal = graft.Norm.moneySql("c_acctbal")
       s"""WITH log AS (

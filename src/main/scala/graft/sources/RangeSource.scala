@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY.md §2.K — the LAST custom-operator ladder rung (r9 VERDICT #1):
+  * a full DataSource V2 connector with FILTER and PROJECTION pushdown,
+  * expressed purely through the PUBLIC `connector` API (TableProvider →
+  * Table → ScanBuilder → Scan/Batch → PartitionReader).
+  *
+  * The table is a deterministic generated integer relation (the
+  * "ranged-integer table" shape): for `rows = N`,
+  *
+  *   id     BIGINT   0 … N−1
+  *   bucket BIGINT   id % 100
+  *   val    BIGINT   (id·id) % 1000003   (exact in BIGINT for id < 3e9 —
+  *                    and reproducible VERBATIM in DuckDB, so the oracle
+  *                    is `range(N)` + the same arithmetic)
+  *   tag    STRING   ('a','b','c','d','e')[id % 5]
+  *
+  * Pushdown semantics — the part that decides whether a 100 TB scan reads
+  * 100 TB:
+  *  - `SupportsPushDownFilters`: comparison predicates on `id` tighten the
+  *    generated span [lo, hi) BEFORE planning — the DSV2 twin of parquet
+  *    row-group pruning / partition pruning. A pushed id-range never
+  *    reaches the reader as a per-row test; the rows outside it are never
+  *    GENERATED (at a real source: never read). Handled filters are
+  *    consumed (not returned), so Catalyst drops its post-scan Filter and
+  *    column pruning may drop `id` entirely; non-id filters are returned
+  *    as residuals for Spark to evaluate.
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY the
+  *    requested fields, in the requested order (a 2-column projection
+  *    generates 2 columns, the ReadSchema contract `scan_projection`
+  *    proves for parquet).
+  *  - `SupportsReportStatistics`: post-pushdown row count and byte size,
+  *    so the optimizer (and AQE) can see the narrowed span — the same
+  *    channel `scan_cbo_stats` exercises through ANALYZE.
+  *
+  * Scale notes: `slices` controls partition-parallel generation — each
+  * InputPartition owns a contiguous sub-span; with filters pushed the
+  * SPAN ITSELF shrinks, so slices stay balanced at any selectivity. No
+  * shuffle, no driver materialization; the whole relation exists only as
+  * per-task iterators. Plan-audited in Round10Suite: the executed plan's
+  * scan node must carry the pushed range and the pruned ReadSchema.
+  */
+class GraftRangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeTable.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
+    require(rows >= 0 && rows < 3000000000L, s"rows=$rows outside [0, 3e9) — val math must stay BIGINT-exact")
+    require(slices > 0, s"slices=$slices must be positive")
+    new GraftRangeTable(rows, slices)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftRangeTable {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("val", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+  private val TAGS = Array("a", "b", "c", "d", "e").map(UTF8String.fromString)
+  /** One generated field value; the single source of truth the readers and
+    * the DuckDB oracle expression both mirror. */
+  private[sources] def fieldValue(name: String, id: Long): Any = name match {
+    case "id" => id
+    case "bucket" => id % 100
+    case "val" => (id * id) % 1000003
+    case "tag" => TAGS((id % 5).toInt)
+  }
+}
+
+class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = GraftRangeTable.SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(rows, slices)
+}
+
+class GraftRangeScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GraftRangeTable.SCHEMA
+
+  /** Consume id-comparison filters into the span; everything else is
+    * residual. Saturating arithmetic keeps Long.MaxValue bounds safe. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (handled, residual) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    handled.foreach {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, if (v == Long.MaxValue) v else v + 1)
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, if (v == Long.MaxValue) v else v + 1)
+      case _ => ()
+    }
+    accepted = handled
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan =
+    new GraftRangeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required, accepted)
+}
+
+class GraftRangeScan(lo: Long, hi: Long, slices: Int,
+                     required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  /** Shown in `.explain()` on the BatchScan node — the plan-audit hook:
+    * the narrowed span proves the filters reached the source, ReadSchema
+    * proves the projection did. */
+  override def description(): String =
+    s"GraftRangeScan span=[$lo,$hi) PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.fieldNames.mkString("struct<", ",", ">")}"
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo) * 8L * required.size)
+    override def numRows(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo))
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) Array.empty
+    else (0 until slices).flatMap { i =>
+      val a = lo + n * i / slices
+      val b = lo + n * (i + 1) / slices
+      if (b > a) Some(GraftRangePartition(a, b)) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required.fieldNames)
+}
+
+case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+
+class GraftRangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftRangePartition]
+    new PartitionReader[InternalRow] {
+      private var cur = p.start - 1
+      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          row.update(i, GraftRangeTable.fieldValue(fields(i), cur))
+          i += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
