@@ -108,6 +108,39 @@ class Round10Suite extends AnyFunSuite {
     assert(st.numRows().getAsLong == 50000L)
   }
 
+  test("join_skew_aqe: AQE actually splits the engineered hot partition; result == salted-strategy twin") {
+    val df = SparkEntry.queries("join_skew_aqe")(s, d)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // The final adaptive plan (available only after execution) must show
+    // the sort-merge join flagged as a skew join — proof the engine
+    // detected and split the 75%-hot partition rather than running it as
+    // one straggler task (r9 verdict #7's plan assertion).
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$finalPlan")
+    assert(finalPlan.contains("isFinalPlan=true"), s"not the final adaptive plan:\n$finalPlan")
+    // Strategy-twin hash match: the manual saltedEquiJoin remedy over the
+    // SAME engineered data must produce identical census rows — salting
+    // and AQE splitting are interchangeable answers to the same skew.
+    val salted = graft.Scale.saltedEquiJoin(
+        graft.ops.Joins.skewAqeJoin(s, d).select("hot_key", "l_extendedprice"),
+        s.range(0, 97).select(col("id").as("hk2"), (col("id") % 5).as("dim_grp")),
+        "hot_key", "hk2", buckets = 8)
+      .groupBy("dim_grp")
+      .agg(count(lit(1)).as("n"), Norm.moneySum(col("l_extendedprice")).as("total"))
+      .orderBy("dim_grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == salted, s"AQE result diverged from salted twin:\ngot=$got\nsalted=$salted")
+    // Hot-key contract: ~75% of the fact stream must actually land on key
+    // 0 (the pathology the op claims to remedy).
+    val hot = graft.ops.Joins.skewAqeJoin(s, d)
+      .groupBy("hot_key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = hot.values.sum
+    assert(hot(0L) * 10 >= total * 7, s"hot key carries ${hot(0L)} of $total rows — not skewed")
+  }
+
   test("graph_pagerank_fixed: edge checkpoint storage level is size-gated") {
     // r9 verdict #5: DISK_ONLY bought sf1 headroom but taxed sf0.1 by
     // +0.6–2 s. The gate keys on documents.parquet bytes (≥2 MB ⇒ sf1+).
