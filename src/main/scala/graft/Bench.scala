@@ -36,7 +36,7 @@ object Bench {
     // first. Full-suite runs only; a targeted spot run pays (and shows)
     // its own op's true cold cost instead.
     val memoTimes: Seq[(String, Double)] =
-      if (only.isEmpty) {
+      if (only.isEmpty || sys.env.get("SPARK_GRAFT_FORCE_MEMOS").contains("1")) {
         val ms = graft.ops.Shared.forceMemos(spark, sfDir)
         ms.foreach { case (n, t) =>
           System.err.println(f"[bench] memo:$n built in $t%.2f s (untimed, reported separately)")
