@@ -193,8 +193,16 @@ private[graft] object Shared {
       "bpe.trained"       -> (() => LlmCuration.forceBpeMemo(s, d)))
     builders.map { case (n, f) =>
       val t0 = System.nanoTime()
-      f()
-      n -> (System.nanoTime() - t0) / 1e9
+      // A memo that cannot build (e.g. memory pressure at an extreme SF)
+      // must not kill the whole bench — record it as -1 and move on; its
+      // consumers will retry the build inside their own timed run.
+      try {
+        f()
+        n -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] memo:$n FAILED (consumers will rebuild): ${e.toString.take(300)}")
+        n -> -1.0
+      }
     }
   }
 }

@@ -280,7 +280,20 @@ object Subqueries {
     "sub_cte_chain"   -> ((s, d) => viaSql(s, d, SUB_CTE_CHAIN, "orders")),
     "sub_lateral"     -> ((s, d) => viaSql(s, d, SUB_LATERAL, "orders", "lineitem")),
     "sub_not_in_null" -> ((s, d) => viaSql(s, d, SUB_NOT_IN_NULL, "orders", "customer")),
-    "sub_recursive_cte" -> ((s, d) => viaSql(s, d, SUB_RECURSIVE_CTE, "customer")),
+    // Row-limit valve sized to the op's PROVEN output (r10 sf10 finding):
+    // the key tree emits exactly |customer|+1 rows — every key has one
+    // parent chain, UNION-ALL iterations never revisit a key — so the
+    // default 1M spark.sql.cteRecursionRowLimit safety valve false-trips
+    // at sf10's 1.5M customers. Raised to 1e8 on an ISOLATED newSession
+    // (the join_skew_aqe conf pattern — no leak into the shared session's
+    // other recursions, where the default valve keeps guarding runaway
+    // recursion). Depth stays ~log2 |customer| (22 at sf10), far under
+    // the level limit.
+    "sub_recursive_cte" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+      viaSql(s, d, SUB_RECURSIVE_CTE, "customer")
+    }),
     "sub_pipe_syntax" -> ((s, d) => viaSql(s, d, SUB_PIPE, "orders")),
     "sub_param_sql" -> ((s, d) => {
       val vn = s"graft_sub_orders_" + java.util.UUID.randomUUID().toString.replace("-", "")
