@@ -264,12 +264,29 @@ object LlmExtras {
       val dir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val deg = dir.groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
-      dir
-        .join(deg.select(col("v").as("src"), col("dg").as("dx")), "src")
-        .join(deg.select(col("v").as("dst"), col("dg").as("dy")), "dst")
-        .agg(count(lit(1)).as("n"), sum("dx").as("s1"),
-          sum(expr("CAST(dx AS DECIMAL(38,0)) * dx")).as("s2"),
-          sum(expr("CAST(dx AS DECIMAL(38,0)) * dy")).as("sxy"))
+      // r10 sf10 rework (was 62× for 10× data): the old shape joined the
+      // EDGE frame against the degree frame TWICE (dx and dy legs); with
+      // checkpoint-derived size estimates the node frame stops
+      // auto-broadcasting and each leg becomes a full edge-frame
+      // sort-merge join. Edge-moment algebra removes one leg entirely:
+      // Σ_edges f(deg(src)) = Σ_v deg(v)·f(deg(v)) — n, s1, s2 come from
+      // the NODE frame alone; only sxy needs edge context, via ONE
+      // explicitly-broadcast deg join + a src-keyed partial agg
+      // (t(v) = Σ_{u∈N(v)} deg(u)), then a node⋈node join. At corpora
+      // where the node frame outgrows the broadcast budget, drop the hint
+      // — the single dst-keyed shuffle join is the scale path, still one
+      // edge-sized join instead of two.
+      val moms = deg.agg(sum("dg").as("n"),
+        sum(expr("CAST(dg AS DECIMAL(38,0)) * dg")).cast("decimal(38,0)").as("s1d"),
+        sum(expr("CAST(dg AS DECIMAL(38,0)) * dg * dg")).cast("decimal(38,0)").as("s2d"))
+      val tsum = dir
+        .join(broadcast(deg.select(col("v").as("dst"), col("dg").as("dy"))), "dst")
+        .groupBy("src").agg(sum("dy").as("t"))
+      val sxyF = tsum.join(broadcast(deg.select(col("v").as("src"), col("dg").as("dx"))), "src")
+        .agg(sum(expr("CAST(dx AS DECIMAL(38,0)) * t")).cast("decimal(38,0)").as("sxyd"))
+      moms.join(sxyF, lit(true))
+        .select(col("n"), col("s1d").cast("long").as("s1"),
+          col("s2d").as("s2"), col("sxyd").as("sxy"))
         .select(expr("n div 2").as("n_edges"), col("n"),
           col("s1"), col("s2").cast("long").as("s2"), col("sxy").cast("long").as("sxy"),
           expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 = 0 THEN NULL
@@ -786,15 +803,23 @@ object LlmExtras {
       val edgeLevel = if (docsBytes >= (2L << 20))
         org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // Node-sized frames (degree map, per-iteration rank) carry EXPLICIT
+      // broadcast hints (r10, sf10 finding): checkpoint-derived size
+      // estimates stop auto-broadcasting them at sf10 and every edge⋈node
+      // join flips to a full edge-frame sort-merge join — the measured
+      // 29.5× (for 10× data) cliff. At corpora whose node frame outgrows
+      // the broadcast budget, drop the hints: the src-keyed shuffle join
+      // is the scale path (edge-linear either way; the hint only picks
+      // hash-probe over edge-sort).
       val wedges = edges.join(
-        edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+        broadcast(edges.groupBy("src").agg(count(lit(1)).as("deg"))), "src")
         .localCheckpoint(true, edgeLevel)
       val deg = wedges.select("src", "deg").distinct()
       val nodes = documents(s, d).select(col("doc_id"))
       var r = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = wedges
-          .join(r.select(col("doc_id").as("src"), col("r")), "src")
+          .join(broadcast(r.select(col("doc_id").as("src"), col("r"))), "src")
           .select(col("dst"), expr("r div deg").as("c"))
         val sums = contrib.groupBy("dst").agg(sum("c").as("insum"))
         r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")
