@@ -62,7 +62,8 @@ object Bench {
     // healthy). Record the failure and report it in the JSON tail so the
     // error count rides along with the timing numbers.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def runPass(): Seq[(String, Double)] = selected.map { case (name, fn) =>
+    def runPass(ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, Double)] = ops.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projection and under-measure).
@@ -75,11 +76,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Contention-proofing (r10 verdict #1): each pass runs the inventory in
+    // a DIFFERENT deterministic order, so a heavy neighbor can't co-schedule
+    // against the same op in every pass and min-of-passes rejects the
+    // contention (the r10 driver artifact carried a 2.68× phantom on
+    // win_rolling_corr because both passes ran the same fixed order).
+    // Deterministic seeds keep runs reproducible.
+    def shuffledOps(seed: Int) = new scala.util.Random(1000003L * seed + 42).shuffle(selected)
     def qJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     (1 to warmupPasses).foreach { i =>
       val t0 = System.nanoTime()
-      runPass()
+      runPass(selected)
       System.err.println(f"[bench] warmup pass $i done in ${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
     }
     // Warmup-only failures (e.g. a transient fixture-write race) must not be
@@ -88,12 +96,34 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} warmup-pass failure(s) cleared before timed passes: ${errors.keys.mkString(",")}")
     errors.clear()
-    val allPasses = (1 to passes).map(_ => runPass())
+    val allPasses = (1 to passes).map(i => runPass(shuffledOps(i)))
     allPasses.zipWithIndex.foreach { case (rs, i) =>
       println(s"""{"pass":${i + 1},"queries":${qJson(rs)},"sf":"$sfDir"}""")
     }
+    // Adaptive re-time (r10 verdict #1, second leg): an op whose timed
+    // passes disagree by >25% was plausibly co-scheduled against a heavy
+    // neighbor in its FASTER pass too — give it one more sample and keep
+    // the min of all three. Floor at 0.15 s: below that, 25% is scheduler
+    // jitter on a number too small to matter for any total or regression
+    // check, and re-timing the whole tail would cost a third full pass.
+    val spreadCut = sys.env.get("SPARK_GRAFT_RETIME_SPREAD").map(_.toDouble).getOrElse(0.25)
+    val unstable =
+      if (passes < 2) Seq.empty
+      else selected.filter { case (name, _) =>
+        val ts = allPasses.map(_.toMap.apply(name))
+        !errors.contains(name) && ts.min >= 0.15 && ts.max > ts.min * (1 + spreadCut)
+      }
+    val retimed: Seq[(String, Double)] =
+      if (unstable.isEmpty) Nil
+      else {
+        System.err.println(s"[bench] adaptive re-time of ${unstable.size} op(s) with >${(spreadCut * 100).toInt}% pass spread: ${unstable.map(_._1).mkString(",")}")
+        val rs = runPass(new scala.util.Random(7919L).shuffle(unstable))
+        println(s"""{"pass":"retime","queries":${qJson(rs)},"sf":"$sfDir"}""")
+        rs
+      }
+    val retimedMap = retimed.toMap
     val best = selected.map { case (name, _) =>
-      name -> allPasses.map(_.toMap.apply(name)).min
+      name -> (allPasses.map(_.toMap.apply(name)) ++ retimedMap.get(name)).min
     }
     val passTotals = allPasses.map(_.map(_._2).sum)
     // Failed queries are excluded from the reported total — a crash time is
@@ -110,7 +140,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val memoJson = memoTimes.map { case (k, v) => s"\"memo:" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val tail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"memos":$memoJson,"error_count":${errors.size},"errors":$errJson}"""
+    val tail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"retimed":${retimed.size},"memos":$memoJson,"error_count":${errors.size},"errors":$errJson}"""
     println(tail)
     // The driver's tail capture is bounded (~59/274 per-query numbers
     // survive), so the full per-query map is ALSO written as its own
@@ -122,7 +152,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isEmpty) "BENCH_FULL_latest.json" else "/tmp/BENCH_SPOT_latest.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"queries":${qJson(best)},"sf":"$sfDir","total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"memos":$memoJson,"error_count":${errors.size},"errors":$errJson}""" + "\n")
+      s"""{"queries":${qJson(best)},"sf":"$sfDir","total":$total,"passes":$passes,"pass_totals":[${passTotals.mkString(",")}],"retimed":${retimed.size},"memos":$memoJson,"error_count":${errors.size},"errors":$errJson}""" + "\n")
     graft.ops.CacheReuse.release()
     spark.stop()
   }

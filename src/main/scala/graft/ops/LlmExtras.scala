@@ -30,6 +30,32 @@ object LlmExtras {
   // frame is memoized + checkpointed once per (app, sfDir) in [[Shared]].
   private def vecs(s: SparkSession, d: String): DataFrame = Shared.vecs(s, d)
 
+  /** Corpus size of documents.parquet in bytes — a filesystem METADATA stat
+    * (no scan), shared by the pagerank checkpoint-storage gate and the
+    * node-frame broadcast gate below. */
+  private[ops] def docsBytes(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
+  /** Node-frame broadcast-hint cap (r10 ADVICE, low): the graph ops hint
+    * node-sized frames (degree map, per-iteration rank) into broadcast
+    * joins because checkpoint-derived size estimates stop auto-broadcasting
+    * them at sf10 and every edge⋈node join flips to a full edge-frame
+    * sort-merge join (the measured 29.5×/62.4× cliffs). But an
+    * UNCONDITIONAL hint converts over-budget corpora from slow-but-correct
+    * shuffle joins into hard failures at Spark's 512M-row/8 GB broadcast
+    * caps. The gate reads the same documents.parquet byte stat as the
+    * checkpoint gate: node-frame rows ≈ doc count, and the fixtures carry
+    * ~1 KB/doc in parquet, so 16 GiB of corpus ≈ 16M node rows ≈ a
+    * few-hundred-MB exchange — ~30× under both caps. Above it the frame
+    * goes UNHINTED and the src/dst-keyed shuffle join engages
+    * automatically (edge-linear either way; the hint only picks hash-probe
+    * over edge-sort). */
+  private val NodeBroadcastCapBytes = 16L << 30
+  private[ops] def nodeBroadcast(df: DataFrame, corpusBytes: Long): DataFrame =
+    if (corpusBytes < NodeBroadcastCapBytes) broadcast(df) else df
+
   private val dotExpr = "graft_dot(va, vb)"
 
   private def cosSql(a: String, b: String): String =
@@ -272,17 +298,22 @@ object LlmExtras {
       // Σ_edges f(deg(src)) = Σ_v deg(v)·f(deg(v)) — n, s1, s2 come from
       // the NODE frame alone; only sxy needs edge context, via ONE
       // explicitly-broadcast deg join + a src-keyed partial agg
-      // (t(v) = Σ_{u∈N(v)} deg(u)), then a node⋈node join. At corpora
-      // where the node frame outgrows the broadcast budget, drop the hint
-      // — the single dst-keyed shuffle join is the scale path, still one
+      // (t(v) = Σ_{u∈N(v)} deg(u)), then a node⋈node join. The hints are
+      // SIZE-GATED (nodeBroadcast, r10 ADVICE): at corpora whose node
+      // frame outgrows the broadcast budget they drop automatically and
+      // the single dst-keyed shuffle join is the scale path, still one
       // edge-sized join instead of two.
-      val moms = deg.agg(sum("dg").as("n"),
+      // n = Σdeg as coalesce(·, 0): on an EMPTY pair graph sum() is NULL
+      // but the oracle's count(*) over the directed edge frame is 0 — the
+      // s1/s2/sxy sums stay NULL on both engines (r10 ADVICE parity).
+      val cb = docsBytes(s, d)
+      val moms = deg.agg(coalesce(sum("dg"), lit(0L)).as("n"),
         sum(expr("CAST(dg AS DECIMAL(38,0)) * dg")).cast("decimal(38,0)").as("s1d"),
         sum(expr("CAST(dg AS DECIMAL(38,0)) * dg * dg")).cast("decimal(38,0)").as("s2d"))
       val tsum = dir
-        .join(broadcast(deg.select(col("v").as("dst"), col("dg").as("dy"))), "dst")
+        .join(nodeBroadcast(deg.select(col("v").as("dst"), col("dg").as("dy")), cb), "dst")
         .groupBy("src").agg(sum("dy").as("t"))
-      val sxyF = tsum.join(broadcast(deg.select(col("v").as("src"), col("dg").as("dx"))), "src")
+      val sxyF = tsum.join(nodeBroadcast(deg.select(col("v").as("src"), col("dg").as("dx")), cb), "src")
         .agg(sum(expr("CAST(dx AS DECIMAL(38,0)) * t")).cast("decimal(38,0)").as("sxyd"))
       moms.join(sxyF, lit(true))
         .select(col("n"), col("s1d").cast("long").as("s1"),
@@ -797,29 +828,28 @@ object LlmExtras {
       // reads the INPUT corpus bytes (documents.parquet — a metadata stat,
       // edge count scales with it): ≥2 MB ≈ sf1-and-up territory between
       // the 595 KB sf0.1 and ~6 MB sf1 fixtures.
-      val docsPath = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-      val docsBytes = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getContentSummary(docsPath).getLength
-      val edgeLevel = if (docsBytes >= (2L << 20))
+      val cb = docsBytes(s, d)
+      val edgeLevel = if (cb >= (2L << 20))
         org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // Node-sized frames (degree map, per-iteration rank) carry EXPLICIT
       // broadcast hints (r10, sf10 finding): checkpoint-derived size
       // estimates stop auto-broadcasting them at sf10 and every edge⋈node
       // join flips to a full edge-frame sort-merge join — the measured
-      // 29.5× (for 10× data) cliff. At corpora whose node frame outgrows
-      // the broadcast budget, drop the hints: the src-keyed shuffle join
-      // is the scale path (edge-linear either way; the hint only picks
-      // hash-probe over edge-sort).
+      // 29.5× (for 10× data) cliff. The hints are SIZE-GATED
+      // (nodeBroadcast, r10 ADVICE): at corpora whose node frame outgrows
+      // the broadcast budget they drop automatically and the src-keyed
+      // shuffle join is the scale path (edge-linear either way; the hint
+      // only picks hash-probe over edge-sort).
       val wedges = edges.join(
-        broadcast(edges.groupBy("src").agg(count(lit(1)).as("deg"))), "src")
+        nodeBroadcast(edges.groupBy("src").agg(count(lit(1)).as("deg")), cb), "src")
         .localCheckpoint(true, edgeLevel)
       val deg = wedges.select("src", "deg").distinct()
       val nodes = documents(s, d).select(col("doc_id"))
       var r = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = wedges
-          .join(broadcast(r.select(col("doc_id").as("src"), col("r"))), "src")
+          .join(nodeBroadcast(r.select(col("doc_id").as("src"), col("r")), cb), "src")
           .select(col("dst"), expr("r div deg").as("c"))
         val sums = contrib.groupBy("dst").agg(sum("c").as("insum"))
         r = nodes.join(sums, nodes("doc_id") === sums("dst"), "left")

@@ -39,8 +39,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * driver, the r9 ADVICE guard), exchange REUSE when the same build side
   * feeds several range joins, AQE query-stage participation, and the
   * driver-side broadcast timeout. The lo-sorted index is derived from the
-  * broadcast row array ONCE PER EXECUTOR (memoized by broadcast id in
-  * [[RangeIndexCache]]) — the per-task work is binary search only.
+  * broadcast row array ONCE PER EXECUTOR (memoized per (application,
+  * broadcast, lo/hi binding) in [[RangeIndexCache]], so exchange reuse
+  * with different bound columns cannot cross-serve indexes) — the
+  * per-task work is binary search only.
   *
   * NULL semantics (r9 ADVICE, medium): SQL comparisons with NULL are
   * false, so a NULL probe key matches nothing and an interval with NULL
@@ -63,19 +65,30 @@ case class RangeJoinPlan(
 
 /** Per-executor memo of the lo-sorted interval index derived from a
   * broadcast build-side row array: (sorted entries, max interval length).
-  * Keyed by broadcast id — the index is built once per executor per
-  * broadcast, shared read-only by every task (same lifecycle shape as
-  * Spark's own HashedRelation, which does the transform inside the
-  * exchange; IdentityBroadcastMode ships raw rows, so the sort happens
-  * lazily here instead). Entries reference the broadcast's own UnsafeRows
-  * (no copy); the map is size-bounded as a leak backstop — eviction just
-  * means a rebuild. */
+  * The index is built once per executor per (broadcast, binding), shared
+  * read-only by every task (same lifecycle shape as Spark's own
+  * HashedRelation, which does the transform inside the exchange;
+  * IdentityBroadcastMode ships raw rows, so the sort happens lazily here
+  * instead). Entries reference the broadcast's own UnsafeRows (no copy);
+  * the map is size-bounded as a leak backstop — eviction just means a
+  * rebuild.
+  *
+  * Key = applicationId + broadcast id + the CANONICALIZED bound lo/hi
+  * expressions (r10 ADVICE, medium): broadcast id alone under-keys in
+  * both directions — (a) exchange REUSE lets two range-join execs share
+  * one broadcast while binding DIFFERENT lo/hi columns, and id-only
+  * memoization would hand the second exec an index sorted by the wrong
+  * column with the wrong maxLen (silently wrong join rows); (b)
+  * broadcast ids restart per SparkContext, so after a session restart a
+  * fresh broadcast could collide with a dead context's entry. The
+  * canonicalized BoundReference ordinals distinguish (a); applicationId
+  * fences (b). */
 private[plans] object RangeIndexCache {
-  private val cache = new ConcurrentHashMap[Long, (Array[(Long, Long, InternalRow)], Long)]
-  def getOrBuild(id: Long, build: () => (Array[(Long, Long, InternalRow)], Long))
+  private val cache = new ConcurrentHashMap[String, (Array[(Long, Long, InternalRow)], Long)]
+  def getOrBuild(key: String, build: () => (Array[(Long, Long, InternalRow)], Long))
       : (Array[(Long, Long, InternalRow)], Long) = {
     if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(id, _ => build())
+    cache.computeIfAbsent(key, _ => build())
   }
 }
 
@@ -114,11 +127,14 @@ case class BroadcastRangeJoinExec(
     val loB = BindReferences.bindReference(lo, build.output)
     val hiB = BindReferences.bindReference(hi, build.output)
     val keyB = BindReferences.bindReference(probeKey, probe.output)
+    // Computed on the driver, captured by the closure: one cache slot per
+    // (app, broadcast, lo/hi binding) — see RangeIndexCache scaladoc.
+    val idxKey = s"${sparkContext.applicationId}#${bcast.id}#${loB.canonicalized}#${hiB.canonicalized}"
     val outAttrs = output
     val outRows = metrics("numOutputRows")
     val buildRows = metrics("buildRows")
     probe.execute().mapPartitions { iter =>
-      val (arr, mlen) = RangeIndexCache.getOrBuild(bcast.id, () => {
+      val (arr, mlen) = RangeIndexCache.getOrBuild(idxKey, () => {
         // NULL lo/hi: the interval can never satisfy lo <= p < hi — skip.
         val entries = bcast.value.iterator.flatMap { r =>
           (loB.eval(r), hiB.eval(r)) match {

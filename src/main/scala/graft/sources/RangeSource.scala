@@ -75,8 +75,11 @@ object GraftRangeTable {
     StructField("val", LongType, nullable = false),
     StructField("tag", StringType, nullable = false)))
   private val TAGS = Array("a", "b", "c", "d", "e").map(UTF8String.fromString)
-  /** One generated field value; the single source of truth the readers and
-    * the DuckDB oracle expression both mirror. */
+  private[sources] val TAG_BYTES: Array[Array[Byte]] = TAGS.map(_.getBytes)
+  /** One generated field value; the single source of truth the readers
+    * (row AND columnar — the vector fillers in
+    * [[GraftRangeReaderFactory.createColumnarReader]] mirror these four
+    * arms 1:1) and the DuckDB oracle expression all follow. */
   private[sources] def fieldValue(name: String, id: Long): Any = name match {
     case "id" => id
     case "bucket" => id % 100
@@ -91,10 +94,12 @@ class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(rows, slices)
+    // columnar=true opts into the vectorized ColumnarBatch read path (r10
+    // verdict #2); row-oriented InternalRows remain the default.
+    new GraftRangeScanBuilder(rows, slices, options.getBoolean("columnar", false))
 }
 
-class GraftRangeScanBuilder(rows: Long, slices: Int)
+class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows
@@ -102,7 +107,18 @@ class GraftRangeScanBuilder(rows: Long, slices: Int)
   private var required: StructType = GraftRangeTable.SCHEMA
 
   /** Consume id-comparison filters into the span; everything else is
-    * residual. Saturating arithmetic keeps Long.MaxValue bounds safe. */
+    * residual. Saturating arithmetic keeps Long.MaxValue bounds safe.
+    *
+    * The `_: Long` guards are DELIBERATE, not an oversight (r10 verdict
+    * #6): `id` is LongType, so post-analysis comparison literals arrive
+    * as Long (an `Int` literal in user code is cast during analysis and
+    * reaches the source as Long). Any other literal type here would mean
+    * a comparison Spark chose NOT to canonicalize to the column's type —
+    * widening the match to accept it (e.g. `v: Int`, or a lossy
+    * `.toString.toLong`) could consume a filter whose SQL semantics
+    * differ from the span arithmetic below. Unmatched shapes fall to the
+    * residual path, which is always correct: Spark re-evaluates them
+    * row-side (the residual-correctness property in PropertySuite). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition {
       case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
@@ -124,19 +140,21 @@ class GraftRangeScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan =
-    new GraftRangeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required, accepted)
+    new GraftRangeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required, accepted, columnar)
 }
 
 class GraftRangeScan(lo: Long, hi: Long, slices: Int,
-                     required: StructType, pushed: Array[Filter])
+                     required: StructType, pushed: Array[Filter],
+                     columnar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   /** Shown in `.explain()` on the BatchScan node — the plan-audit hook:
     * the narrowed span proves the filters reached the source, ReadSchema
-    * proves the projection did. */
+    * proves the projection did, and mode names the active read path. */
   override def description(): String =
-    s"GraftRangeScan span=[$lo,$hi) PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+    s"GraftRangeScan span=[$lo,$hi) mode=${if (columnar) "columnar" else "row"} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.fieldNames.mkString("struct<", ",", ">")}"
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo) * 8L * required.size)
@@ -152,27 +170,87 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRangeReaderFactory(required.fieldNames)
+    new GraftRangeReaderFactory(required, columnar)
 }
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition
 
-class GraftRangeReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class GraftRangeReaderFactory(required: StructType, columnar: Boolean)
+    extends PartitionReaderFactory {
+  private def fields = required.fieldNames
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftRangePartition]
+    val fs = fields
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
       override def next(): Boolean = { cur += 1; cur < p.end }
       override def get(): InternalRow = {
-        val row = new GenericInternalRow(fields.length)
+        val row = new GenericInternalRow(fs.length)
         var i = 0
-        while (i < fields.length) {
-          row.update(i, GraftRangeTable.fieldValue(fields(i), cur))
+        while (i < fs.length) {
+          row.update(i, GraftRangeTable.fieldValue(fs(i), cur))
           i += 1
         }
         row
       }
       override def close(): Unit = ()
+    }
+  }
+
+  /** Vectorized read path (r10 verdict #2, the last 10% of the DSv2
+    * surface): BatchScanExec asks this factory per partition; `true` makes
+    * the scan node itself columnar — Spark appends one ColumnarToRow
+    * transition (or keeps batches columnar for downstream columnar
+    * operators) instead of the source boxing a GenericInternalRow per row.
+    * At a real 100 TB source this is the parquet-vectorized-reader shape:
+    * cache-friendly column fills, one object per BATCH (4096 rows), and
+    * whole-stage codegen consuming primitive vectors. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftRangePartition]
+    val batchSize = 4096
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private val vectors = org.apache.spark.sql.execution.vectorized
+        .OnHeapColumnVector.allocateColumns(batchSize, required)
+      private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+        vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+      // Per-column filler, resolved ONCE per reader (mirrors fieldValue's
+      // four arms 1:1 — that method stays the single source of truth the
+      // DuckDB oracle transcribes; these avoid its per-row boxing + name
+      // dispatch inside the fill loop).
+      private val fillers: Array[(Int, Long) => Unit] =
+        required.fieldNames.zipWithIndex.map { case (name, c) =>
+          val v = vectors(c)
+          name match {
+            case "id"     => (i: Int, id: Long) => v.putLong(i, id)
+            case "bucket" => (i: Int, id: Long) => v.putLong(i, id % 100)
+            case "val"    => (i: Int, id: Long) => v.putLong(i, (id * id) % 1000003)
+            case "tag"    => (i: Int, id: Long) =>
+              v.putByteArray(i, GraftRangeTable.TAG_BYTES((id % 5).toInt))
+          }
+        }
+      private var cur = p.start
+      override def next(): Boolean = {
+        if (cur >= p.end) return false
+        val n = math.min(batchSize.toLong, p.end - cur).toInt
+        var c = 0
+        while (c < vectors.length) { vectors(c).reset(); c += 1 }
+        c = 0
+        while (c < fillers.length) {
+          val fill = fillers(c)
+          var i = 0
+          while (i < n) { fill(i, cur + i); i += 1 }
+          c += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }
