@@ -704,7 +704,13 @@ object Aggregations {
 
     // Gini coefficient per market segment (spend-inequality analytics),
     // exact: with x ascending and i = rank, G = (2Σi·x − (n+1)Σx)/(n·Σx) —
-    // emitted as the (numerator, denominator) integer pair, never divided.
+    // emitted as gini_bp = 10000·num div den via ONE truncating integral
+    // divide in DECIMAL(38,0) (both engines truncate toward zero; num ≥ 0).
+    // r11 sf10 finding: the earlier (gini_num, gini_den) BIGINT pair output
+    // was itself the overflow — num ≈ G·n·Σx reached 7.6e19 at sf10's 15M
+    // orders (CAST_OVERFLOW), and n·Σx grows as corpus²; the reduced bp is
+    // ≤ 10000 at ANY corpus size while the wide math stays in the decimal
+    // accumulators end to end.
     // Plan shape: the naive form ranks the whole orders⋈customer frame in a
     // 5-partition window (5 segments → 5 tasks each sorting 1/5 of the
     // corpus — the few-group corpus-sized window sort the r6 verdict
@@ -749,9 +755,9 @@ object Aggregations {
             .as("twice_six"),
           expr("CAST(sum(CAST(cents AS DECIMAL(38,0)) * c) AS BIGINT)").as("sx"))
         .select(col("seg"), col("n"),
-          expr("CAST(twice_six - (n + 1) * CAST(sx AS DECIMAL(38,0)) AS BIGINT)")
-            .as("gini_num"),
-          (col("n") * col("sx")).as("gini_den"))
+          expr("""CAST((10000 * (twice_six - (n + 1) * CAST(sx AS DECIMAL(38,0))))
+                       div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)""")
+            .as("gini_bp"))
         .orderBy("seg")
     }),
 
@@ -1273,10 +1279,12 @@ object Aggregations {
                            row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS i
                     FROM j),
               a AS (SELECT seg, count(*) AS n,
-                           CAST(sum(i * cents) AS BIGINT) AS six,
+                           sum(CAST(i AS HUGEINT) * cents) AS six,
                            CAST(sum(cents) AS BIGINT) AS sx
                     FROM r GROUP BY seg)
-         SELECT seg, n, 2 * six - (n + 1) * sx AS gini_num, n * sx AS gini_den
+         SELECT seg, n,
+                CAST(10000 * (2 * six - (n + 1) * CAST(sx AS HUGEINT))
+                     // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_bp
          FROM a ORDER BY seg""",
     // list(DISTINCT …) + list_sort is DuckDB's deterministic LISTAGG twin
     // (string_agg's ORDER BY + DISTINCT interaction is version-dependent).

@@ -639,13 +639,21 @@ object LlmExtras {
     // cluster the corpus, then inside each cluster drop every vector that
     // has a near-duplicate (cos >= 0.3 here; paper uses ~0.95+ on real
     // embeddings, this synthetic corpus tops out near 0.44) with a smaller
-    // id. Clusters reuse the IVF assignment (first 8 vectors as fixed
-    // centroids — deterministic and oracle-mirrorable). The within-cluster
-    // pair join is the SemDeDup scale story: quadratic work is bounded per
-    // cluster (n/k)², never corpus², and k grows with the corpus
-    // (SCALE_TUNING: centroids ≈ √(n/targetListLen)).
+    // id. Clusters reuse the IVF assignment shape (first k vectors as
+    // fixed centroids — deterministic and oracle-mirrorable). The
+    // within-cluster pair join is the SemDeDup scale story: quadratic work
+    // is bounded per cluster (n/k)², never corpus² — and k now actually
+    // GROWS with the corpus (r11, full-inventory decade finding: the fixed
+    // k=8 of earlier rounds made the op corpus-quadratic, measured 79× for
+    // 10× data at sf10): k = max(8, ⌈√(n/64)⌉) keeps per-cluster size ≈
+    // √(64·n), total pair work ≈ 64·n — corpus-LINEAR. k is derived from
+    // count(*) identically on both engines (exact integer → IEEE sqrt/ceil,
+    // both correctly rounded; k = 8 at every oracle-checked SF so small-SF
+    // results are unchanged; 18 at sf1, 56 at sf10).
     "llm_semdedup" -> ((s, d) => {
-      val cent = vecs(s, d).filter(col("vec_id") < 8)
+      val n = embeddings(s, d).count()
+      val k = math.max(8L, math.ceil(math.sqrt(n / 64.0)).toLong)
+      val cent = vecs(s, d).filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("v").as("vb"), col("nrm").as("nb"))
       val assign = vecs(s, d)
         .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
@@ -1530,7 +1538,17 @@ object LlmExtras {
     // a growing lineage).
     "llm_sim_mmr" -> ((s, d) => {
       val all = vecs(s, d)
-      val qv = all.filter(col("vec_id") % 100 === 7)
+      // Bounded query census (r11, full-inventory decade finding): at
+      // vec_id % 100 the query set grew WITH the corpus, making the probe
+      // |Q|·n = n²/100 — corpus-quadratic (measured 74.5× for 10× data at
+      // sf10). qstep = max(100, n div 200) caps |Q| at ~200 once the
+      // corpus exceeds 20k vectors, so the probe is ≤200·n — linear. The
+      // stride derivation is exact integer on both engines; below 20k
+      // vectors (every oracle-checked SF and sf1) qstep = 100, results
+      // unchanged.
+      val nv = embeddings(s, d).count()
+      val qstep = math.max(100L, nv / 200L)
+      val qv = all.filter(col("vec_id") % qstep === 7)
       val cand = SimKernel.scoreAgainstQueries(s, all, qv)
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
@@ -2163,11 +2181,15 @@ object LlmExtras {
           SELECT cluster, n AS n_members, nl AS n_labels, label AS top_label,
                  10000 * c // n AS purity_bp
           FROM r WHERE rk = 1 ORDER BY cluster""",
-    // Same centroid assignment as IVF; dropped = any same-cluster smaller-id
-    // neighbor at cos >= 0.3 (NOT-EXISTS mirrored as a distinct-drop set).
+    // Same centroid assignment shape as IVF with the corpus-scaled k
+    // (max(8, ceil(sqrt(n/64))) — identical integer+IEEE derivation on
+    // both engines); dropped = any same-cluster smaller-id neighbor at
+    // cos >= 0.3 (NOT-EXISTS mirrored as a distinct-drop set).
     "llm_semdedup" ->
       s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
-               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v WHERE vec_id < 8),
+               params AS (SELECT greatest(8, CAST(ceil(sqrt(count(*) / 64.0)) AS BIGINT)) AS k
+                          FROM embeddings),
+               cent AS (SELECT vec_id AS cid, embedding AS cv FROM v, params WHERE vec_id < k),
                assign AS (SELECT vec_id, cluster FROM (
                    SELECT v.vec_id, cent.cid AS cluster,
                           row_number() OVER (PARTITION BY v.vec_id
@@ -2587,14 +2609,15 @@ object LlmExtras {
                  ${moneySumSql("CAST(n_chars AS DOUBLE)")} AS total_chars
           FROM kept GROUP BY lang ORDER BY lang""",
     "llm_sim_mmr" ->
-      s"""WITH cand AS (SELECT qid, cid, sim FROM (
+      s"""WITH params AS (SELECT greatest(100, count(*) // 200) AS qstep FROM embeddings),
+           cand AS (SELECT qid, cid, sim FROM (
                SELECT q.vec_id AS qid, c.vec_id AS cid,
                       ${cosSql("q.embedding", "c.embedding")} AS sim,
                       row_number() OVER (PARTITION BY q.vec_id
                                          ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
                                                   c.vec_id) AS rn
                FROM embeddings q JOIN embeddings c
-                 ON q.vec_id % 100 = 7 AND q.vec_id <> c.vec_id)
+                 ON q.vec_id % (SELECT qstep FROM params) = 7 AND q.vec_id <> c.vec_id)
              WHERE rn <= 12),
            cp AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
                          ${cosSql("ea.embedding", "eb.embedding")} AS csim

@@ -424,11 +424,11 @@ class Round6Suite extends AnyFunSuite {
       s"bloom-accelerated result must equal the exact semi join (got ${got.size} rows)")
   }
 
-  test("agg_gini: numerator within [0, den]; equal-spend degenerate case is 0") {
+  test("agg_gini: gini_bp within [0, 10000]; equal-spend degenerate case is 0") {
     import s.implicits._
     SparkEntry.queries("agg_gini")(s, d).collect().foreach { r =>
-      val (num, den) = (r.getAs[Long]("gini_num"), r.getAs[Long]("gini_den"))
-      assert(den > 0 && num >= 0 && num <= den, s"Gini out of [0,1]: $r")
+      val bp = r.getAs[Long]("gini_bp")
+      assert(r.getAs[Long]("n") > 0 && bp >= 0 && bp <= 10000, s"Gini out of [0,1]: $r")
     }
     // constant incomes ⇒ G = 0 exactly under the same formula
     val const = Seq.tabulate(7)(i => ("x", 500L, i.toLong)).toDF("seg", "cents", "k")

@@ -77,8 +77,8 @@ class Round7Suite extends AnyFunSuite {
         expr("CAST(sum(CAST(i * cents AS DECIMAL(38,0))) AS BIGINT)").as("six"),
         expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").as("sx"))
       .select(col("seg"), col("n"),
-        (lit(2L) * col("six") - (col("n") + lit(1L)) * col("sx")).as("gini_num"),
-        (col("n") * col("sx")).as("gini_den"))
+        expr("""CAST((10000 * (2 * CAST(six AS DECIMAL(38,0)) - (n + 1) * CAST(sx AS DECIMAL(38,0))))
+                     div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)""").as("gini_bp"))
     assertSameFrame(SparkEntry.queries("agg_gini")(s, d), naive.orderBy("seg"),
       "agg_gini bucketed vs ranked")
   }
