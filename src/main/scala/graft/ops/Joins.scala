@@ -425,6 +425,40 @@ object Joins {
         .orderBy("dim_grp")
     }),
 
+    // Storage-partitioned join (r11): both sides are GraftRangeSource
+    // tables with partitionBy=bucket — one InputPartition per bucket
+    // value, each carrying its key via HasPartitionKey, the scan
+    // reporting KeyGroupedPartitioning(identity(bucket)). Under
+    // spark.sql.sources.v2.bucketing.enabled, EnsureRequirements sees the
+    // join keys already co-located BY THE SOURCE and plans the join with
+    // ZERO shuffle exchanges on either side — the V2 answer to
+    // join_bucketed_colocated's Hive bucketing: at 100 TB, co-location is
+    // a property of the table layout, not of a repartition someone
+    // remembered to run, and repeated fact-fact joins on the partition
+    // key never pay a shuffle. Broadcast is disabled in the isolated
+    // session because at THIS fixture scale the dim side would broadcast
+    // (also shuffle-free, but proving nothing) — the 100 TB regime this
+    // op models is both sides too big to broadcast. Round11Suite asserts
+    // the executed plan has no shuffle exchange and both scan nodes carry
+    // the bucket partitioning; the oracle is the same join from DuckDB
+    // range() twins.
+    "join_spj_storage_partitioned" -> ((s0, _) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def src(rows: Long) = s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", rows).option("partitionBy", "bucket").load()
+      val fact = src(50000L)
+      val dim = src(100L).select(col("bucket"),
+        col("val").as("dim_val"), col("tag").as("dim_tag"))
+      fact.join(dim, Seq("bucket"))
+        .groupBy("dim_tag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("val") + col("dim_val")).as("sum_vals"),
+          max("bucket").as("max_bucket"))
+        .orderBy("dim_tag")
+    }),
+
     // Bucketed co-located join: both fact tables are persisted bucketed on
     // the join key (Scale.writeBucketed), so the join itself plans with ZERO
     // Exchange — the 100 TB layout for repeated fact-fact joins, where the
@@ -775,6 +809,21 @@ object Joins {
           SELECT dim_grp, count(*) AS n, ${moneySumSql("l_extendedprice")} AS total
           FROM fact JOIN dim USING (hot_key)
           GROUP BY dim_grp ORDER BY dim_grp""",
+    // Storage partitioning is layout only — the oracle is the plain join
+    // over the same deterministic generated relations.
+    "join_spj_storage_partitioned" ->
+      """WITH fact AS (SELECT range % 100 AS bucket,
+                              (range * range) % 1000003 AS val
+                       FROM range(50000)),
+              dim AS (SELECT range % 100 AS bucket,
+                             (range * range) % 1000003 AS dim_val,
+                             ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] AS dim_tag
+                      FROM range(100))
+         SELECT dim_tag, count(*) AS n,
+                CAST(sum(val + dim_val) AS BIGINT) AS sum_vals,
+                max(bucket) AS max_bucket
+         FROM fact JOIN dim USING (bucket)
+         GROUP BY dim_tag ORDER BY dim_tag""",
     // Bucketing is storage-layout only — the oracle is the plain join.
     "join_bucketed_colocated" ->
       s"""SELECT o_orderstatus, count(*) AS n,

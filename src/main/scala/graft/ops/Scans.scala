@@ -55,6 +55,135 @@ object Scans {
         .agg(count(lit(1)).as("n"), sum("val").as("sum_val"), max("bucket").as("max_bucket"))
         .orderBy("tag")),
 
+    // Aggregate pushdown through the same connector (r11): GROUP BY +
+    // COUNT/SUM/MIN/MAX are handed to the source via
+    // SupportsPushDownAggregates and run INSIDE the readers as a
+    // per-partition partial aggregate — supportCompletePushDown stays
+    // false, so Spark's merge aggregate sits on top and exactness never
+    // depends on how the span splits. What crosses the source boundary is
+    // one row per (partition, group): ≤ 8·100 rows here instead of 60 000
+    // — at a 100 TB source, the scan→agg edge carries groups, not rows,
+    // which is map-side combine pushed BELOW the scan. Only offered when
+    // every filter was consumed (Spark's rule requires zero residuals),
+    // so the id span narrows first and the in-source grouping runs on the
+    // already-pruned generation. Plan-asserted in Round11Suite
+    // (PushedAggregation/PushedGroupBy on the scan node + a merge-only
+    // aggregate above it); the oracle recomputes the same aggregate from
+    // DuckDB's range() — value identity proves pushdown moved the work,
+    // not the answer.
+    "scan_dsv2_agg_pushdown" -> ((s, _) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100000L).option("slices", 8)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 80000L)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          min("val").as("min_val"), max("tag").as("max_tag"))
+        .orderBy("bucket")),
+
+    // LIMIT/OFFSET pushdown (r11): SupportsPushDownLimit/Offset narrow the
+    // generated span arithmetically — generation order IS id order, so
+    // OFFSET o skips [lo, lo+o) and the pushed limit caps the high end;
+    // rows outside are never generated (at a real source: never read).
+    // The pushdown stays PARTIAL (isPartiallyPushed=true), so Spark keeps
+    // its GlobalLimit — and the parameters here make that re-check a
+    // no-op BY CONSTRUCTION: after OFFSET 55000 only 5 000 of the 60 000
+    // filtered ids remain, fewer than LIMIT 20000, so "any 20 000 of
+    // 5 000 rows" is the whole set and the result is order-independent.
+    // (A limit smaller than the remaining span would let GlobalLimit pick
+    // an arbitrary subset — fine for LIMIT semantics, useless for a
+    // hash-compared oracle.) Round11Suite asserts PushedLimit/PushedOffset
+    // on the scan node and unit-tests the exact span arithmetic.
+    "scan_dsv2_limit_pushdown" -> ((s, _) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100000L).option("slices", 8)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 80000L)
+        .offset(55000).limit(20000)
+        .agg(count(lit(1)).as("n"), sum("id").as("sum_id"),
+          min("id").as("min_id"), max("id").as("max_id"),
+          sum("val").as("sum_val"))),
+
+    // ORDER BY id LIMIT n pushdown (r11): SupportsPushDownTopN turns the
+    // top-1000-by-id-desc into span arithmetic ([hi−n, hi) — the last n
+    // ids ARE the top n), so the scan generates 1 000 rows, not 60 000,
+    // and the plan's TakeOrderedAndProject re-sorts only that candidate
+    // set (partial pushdown: cross-partition order is Spark's to
+    // re-establish, the data-volume win is already banked). The id
+    // ordering has no ties (id is the key), so the top-k set is unique
+    // and the oracle is exact. Round11Suite asserts PushedTopN + the
+    // narrowed span on the scan node.
+    "scan_dsv2_topn_pushdown" -> ((s, _) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100000L).option("slices", 8)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 80000L)
+        .orderBy(col("id").desc).limit(1000)
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+          max("id").as("max_id"), sum("val").as("sum_val"))),
+
+    // Runtime filtering — dynamic partition pruning for a V2 source
+    // (r11): with partitionBy=bucket the table lays out one InputPartition
+    // per bucket value and advertises `bucket` through
+    // SupportsRuntimeV2Filtering. Joining against the dimension's 20
+    // filtered buckets makes Spark inject a DynamicPruningSubquery
+    // (reusing the dim's broadcast); at execution BatchScanExec hands the
+    // bucket set to Scan.filter(...) and partition planning drops 80 of
+    // the 100 bucket partitions BEFORE any task launches — the fact side
+    // reads 20% of itself, decided at runtime by the dim filter, exactly
+    // how partition-directory DPP behaves on a 100 TB parquet fact.
+    // Round11Suite asserts the dynamicpruningexpression on the scan node
+    // and the recorded 20/100 partition survival; the oracle is the plain
+    // join in DuckDB (pruning is an optimization, never a semantic).
+    "scan_dsv2_runtime_filter" -> ((s, _) => {
+      val fact = s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 200000L).option("partitionBy", "bucket")
+        .load()
+      val dim = s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100L).option("slices", 1)
+        .load()
+        .filter(col("tag") === "b")
+        .select(col("bucket").as("d_bucket"), col("val").as("d_val"))
+      fact.join(dim, col("bucket") === col("d_bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          max("d_val").as("dim_val"))
+        .orderBy("bucket")
+    }),
+
+    // DSv2 WRITE path (r11) — the write side of the connector ladder:
+    // graft.sources.GraftMemCatalog is a TableCatalog plugin (registered
+    // per isolated session); writeTo(...).createOrReplace() drives
+    // createTable with the query schema (the catalog route fixes the
+    // classic TableProvider problem — a bare save() can't tell a fresh
+    // sink its schema) and then the FULL V2 write protocol: WriteBuilder
+    // → BatchWrite → per-task DataWriter staging rows privately →
+    // WriterCommitMessage → ONE driver-side commit publishing all
+    // partitions atomically (abort publishes nothing) — the
+    // staged-then-manifest shape every transactional 100 TB sink
+    // follows. The written table is the 25-row nation dim (fixed
+    // cardinality at EVERY scale factor — the in-memory fixture's
+    // payload-in-message transport is only honest for bounded dims; a
+    // durable sink stages to storage and ships manifests). Read-back
+    // goes through the catalog's loadTable + a pruning scan, so the
+    // round trip exercises both protocol directions; the oracle computes
+    // the same aggregate straight from the parquet tables — parity
+    // proves the write/read cycle is lossless.
+    "sink_dsv2_write" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val t = s"nation_enriched_${Math.abs(d.hashCode)}"
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .writeTo(s"graftmem.$t").createOrReplace()
+      s.table(s"graftmem.$t")
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_nation"),
+          max("n_name").as("last_nation"))
+        .orderBy("r_name")
+    }),
+
     // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
     // stats are fed to the optimizer through the supported channel — a
     // managed catalog copy + ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS —
@@ -706,6 +835,62 @@ object Scans {
                 max(bucket) AS max_bucket
          FROM t WHERE id >= 10000 AND id < 90000 AND tag <> 'e'
          GROUP BY tag ORDER BY tag""",
+
+    "scan_dsv2_agg_pushdown" ->
+      """WITH t AS (SELECT range AS id, range % 100 AS bucket,
+                           (range * range) % 1000003 AS val,
+                           ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] AS tag
+                    FROM range(100000))
+         SELECT bucket, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+                min(val) AS min_val, max(tag) AS max_tag
+         FROM t WHERE id >= 20000 AND id < 80000
+         GROUP BY bucket ORDER BY bucket""",
+
+    // OFFSET/LIMIT ride the id order — the contractual generation order
+    // the pushed span arithmetic preserves on the Spark side.
+    "scan_dsv2_limit_pushdown" ->
+      """WITH t AS (SELECT range AS id, (range * range) % 1000003 AS val
+                    FROM range(100000)),
+              page AS (SELECT id, val FROM t
+                       WHERE id >= 20000 AND id < 80000
+                       ORDER BY id LIMIT 20000 OFFSET 55000)
+         SELECT count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+                min(id) AS min_id, max(id) AS max_id,
+                CAST(sum(val) AS BIGINT) AS sum_val
+         FROM page""",
+
+    "scan_dsv2_topn_pushdown" ->
+      """WITH t AS (SELECT range AS id, (range * range) % 1000003 AS val
+                    FROM range(100000)),
+              topk AS (SELECT id, val FROM t
+                       WHERE id >= 20000 AND id < 80000
+                       ORDER BY id DESC LIMIT 1000)
+         SELECT count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+                CAST(sum(val) AS BIGINT) AS sum_val
+         FROM topk""",
+
+    // The plain join — runtime partition pruning is an optimization the
+    // oracle must be blind to.
+    "scan_dsv2_runtime_filter" ->
+      """WITH fact AS (SELECT range % 100 AS bucket,
+                              (range * range) % 1000003 AS val
+                       FROM range(200000)),
+              dim AS (SELECT range % 100 AS d_bucket,
+                             (range * range) % 1000003 AS d_val
+                      FROM range(100)
+                      WHERE ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] = 'b')
+         SELECT bucket, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+                max(d_val) AS dim_val
+         FROM fact JOIN dim ON bucket = d_bucket
+         GROUP BY bucket ORDER BY bucket""",
+
+    // The write/read round trip is lossless, so the oracle is the same
+    // aggregate computed straight from the parquet tables.
+    "sink_dsv2_write" ->
+      """SELECT r_name, count(*) AS n, min(n_name) AS first_nation,
+                max(n_name) AS last_nation
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
 
     "sink_cdc_apply" -> {
       val bal = graft.Norm.moneySql("c_acctbal")

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCatalog, TableChange, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY.md §2.A — the WRITE side of the DSv2 ladder (r11): a
+  * `TableCatalog` plugin whose tables implement the full V2 write
+  * protocol — WriteBuilder → Write → BatchWrite → DataWriterFactory →
+  * per-task DataWriter → WriterCommitMessage → driver-side commit.
+  *
+  * Registered per session via
+  * `spark.sql.catalog.<name> = graft.sources.GraftMemCatalog`, then
+  * `df.writeTo("<name>.t").createOrReplace()` / `spark.table("<name>.t")`
+  * exercise createTable / loadTable / dropTable and both protocol
+  * directions with NO format-string side channel — the catalog carries
+  * the schema, which is what fixes the classic TableProvider write
+  * problem (a bare `save()` can't tell a fresh sink its schema;
+  * `writeTo` + catalog can, through createTable).
+  *
+  * The commit protocol is the part that matters at 100 TB: each task
+  * STAGES its rows privately and returns them inside its
+  * WriterCommitMessage; nothing becomes visible until the driver's
+  * single `commit(messages)` publishes all partitions atomically
+  * (task retries/speculation are already de-duplicated upstream by
+  * Spark's commit coordinator — `useCommitCoordinator` stays true).
+  * A failed job calls `abort` and the store never sees a row — the
+  * staged-then-manifest shape every transactional sink (Iceberg-style
+  * table formats, two-phase file sinks) follows. In this in-memory
+  * fixture the staged payload rides the commit message itself, which is
+  * only honest for BOUNDED tables (the declared op writes the 25-row
+  * nation dim — fixed cardinality at every SF); a durable sink would
+  * stage rows to storage per task and send back only the manifest.
+  * Values are deep-copied to JVM-native types at write time (UTF8String
+  * buffers are reused by Spark between `write(row)` calls — storing the
+  * raw row would alias dead memory).
+  */
+class GraftMemCatalog extends TableCatalog {
+  private var catalogName: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftMemStore.names(catalogName).map(n => Identifier.of(Array.empty, n))
+  override def tableExists(ident: Identifier): Boolean =
+    GraftMemStore.exists(key(ident))
+  override def loadTable(ident: Identifier): Table = {
+    if (!GraftMemStore.exists(key(ident)))
+      throw new NoSuchTableException(ident)
+    new GraftMemTable(key(ident))
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (GraftMemStore.exists(key(ident)))
+      throw new TableAlreadyExistsException(ident)
+    schema.fields.foreach(f => require(GraftMemStore.supported(f.dataType),
+      s"${f.name}: ${f.dataType.simpleString} outside the supported codec " +
+        "(long/int/double/string/boolean) — widen GraftMemStore.supported + the copyIn/copyOut arms together"))
+    GraftMemStore.create(key(ident), schema)
+    new GraftMemTable(key(ident))
+  }
+  override def dropTable(ident: Identifier): Boolean = GraftMemStore.drop(key(ident))
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft mem catalog tables are write-replace only")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft mem catalog tables are write-replace only")
+}
+
+/** JVM-singleton backing store: table key → (schema, committed rows).
+  * Rows are immutable snapshots; `publish` swaps the whole array in one
+  * reference write, so readers never observe a half-committed table. */
+object GraftMemStore {
+  private case class State(schema: StructType, rows: Array[Array[Any]])
+  private val tables = new ConcurrentHashMap[String, State]()
+
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType => true
+    case _ => false
+  }
+  def create(key: String, schema: StructType): Unit =
+    tables.put(key, State(schema, Array.empty))
+  def exists(key: String): Boolean = tables.containsKey(key)
+  def drop(key: String): Boolean = tables.remove(key) != null
+  def names(catalog: String): Array[String] =
+    tables.keySet().asScala.filter(_.startsWith(catalog + "."))
+      .map(_.stripPrefix(catalog + ".")).toArray.sorted
+  def schema(key: String): StructType = tables.get(key).schema
+  def rows(key: String): Array[Array[Any]] = tables.get(key).rows
+  def publish(key: String, schema: StructType, rows: Array[Array[Any]],
+              truncate: Boolean): Unit =
+    tables.compute(key, (_, prev) => {
+      val base = if (truncate || prev == null) Array.empty[Array[Any]] else prev.rows
+      State(schema, base ++ rows)
+    })
+}
+
+class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = key
+  override def schema(): StructType = GraftMemStore.schema(key)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMemScanBuilder(key)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftMemWriteBuilder(key, info.schema())
+}
+
+// ---------------------------------------------------------------- write
+
+class GraftMemWriteBuilder(key: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"GraftMemWrite $key truncate=$truncateFirst"
+    override def toBatch: BatchWrite = new GraftMemBatchWrite(key, schema, truncateFirst)
+  }
+}
+
+/** One task's staged rows. partitionId keeps the published order
+  * deterministic across commit-message arrival order. */
+case class GraftMemTaskCommit(partitionId: Int, rows: Array[Array[Any]])
+    extends WriterCommitMessage
+
+class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftMemWriterFactory(schema)
+  /** The atomic publish: until this runs, no reader can see any staged
+    * row; after it, every partition is visible. Sorting by partitionId
+    * makes the stored order a pure function of the input, not of which
+    * task's message arrived first. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: GraftMemTaskCommit => m }
+      .sortBy(_.partitionId).flatMap(_.rows)
+    GraftMemStore.publish(key, schema, rows, truncateFirst)
+  }
+  /** Nothing was published, so aborting is free — the staged rows die
+    * with the messages. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val types = schema.fields.map(_.dataType)
+    new DataWriter[InternalRow] {
+      private val buf = ArrayBuffer.empty[Array[Any]]
+      override def write(row: InternalRow): Unit = {
+        val out = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          // Deep copy to JVM-native values: InternalRow (and its
+          // UTF8String fields) may be a reused buffer owned by the
+          // upstream operator.
+          out(i) = if (row.isNullAt(i)) null else types(i) match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).toString
+            case dt => throw new IllegalStateException(s"unsupported codec type $dt")
+          }
+          i += 1
+        }
+        buf += out
+      }
+      override def commit(): WriterCommitMessage =
+        GraftMemTaskCommit(partitionId, buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ----------------------------------------------------------------- read
+
+class GraftMemScanBuilder(key: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftMemStore.schema(key)
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftMemScan(key, required)
+}
+
+class GraftMemScan(key: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMemScan $key ReadSchema: ${required.fieldNames.mkString("struct<", ",", ">")}"
+  /** Snapshot the committed rows at PLANNING time (repeatable reads even
+    * if a concurrent write republishes) and chunk them into up to 4
+    * partitions. Each InputPartition CARRIES its chunk — self-contained
+    * and serializable to real executors; only viable because this store
+    * holds bounded dims (see class doc). Column pruning projects inside
+    * the reader, so a 1-column read of a 5-column table materializes one
+    * value per row. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val schema = GraftMemStore.schema(key)
+    val idx = required.fieldNames.map(schema.fieldIndex)
+    val rows = GraftMemStore.rows(key)
+    val slices = math.min(4, math.max(1, rows.length))
+    (0 until slices).flatMap { i =>
+      val a = rows.length * i / slices
+      val b = rows.length * (i + 1) / slices
+      if (b > a) Some(GraftMemPartition(rows.slice(a, b), idx)) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftMemReaderFactory(required)
+}
+
+case class GraftMemPartition(rows: Array[Array[Any]], columns: Array[Int])
+    extends InputPartition
+
+class GraftMemReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftMemPartition]
+    val types = required.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val src = p.rows(i)
+        val out = new GenericInternalRow(p.columns.length)
+        var c = 0
+        while (c < p.columns.length) {
+          val v = src(p.columns(c))
+          out.update(c, types(c) match {
+            case StringType if v != null => UTF8String.fromString(v.asInstanceOf[String])
+            case _ => v
+          })
+          c += 1
+        }
+        out
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

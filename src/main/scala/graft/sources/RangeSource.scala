@@ -7,17 +7,20 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform, Expression => V2Expression, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SURVEY.md §2.K — the LAST custom-operator ladder rung (r9 VERDICT #1):
-  * a full DataSource V2 connector with FILTER and PROJECTION pushdown,
-  * expressed purely through the PUBLIC `connector` API (TableProvider →
-  * Table → ScanBuilder → Scan/Batch → PartitionReader).
+  * a full DataSource V2 connector, expressed purely through the PUBLIC
+  * `connector` API (TableProvider → Table → ScanBuilder → Scan/Batch →
+  * PartitionReader).
   *
   * The table is a deterministic generated integer relation (the
   * "ranged-integer table" shape): for `rows = N`,
@@ -29,8 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *                    is `range(N)` + the same arithmetic)
   *   tag    STRING   ('a','b','c','d','e')[id % 5]
   *
-  * Pushdown semantics — the part that decides whether a 100 TB scan reads
-  * 100 TB:
+  * Pushdown surfaces — each one decides whether a 100 TB scan reads
+  * 100 TB, ships 100 TB, or only the bytes the query needs:
   *  - `SupportsPushDownFilters`: comparison predicates on `id` tighten the
   *    generated span [lo, hi) BEFORE planning — the DSV2 twin of parquet
   *    row-group pruning / partition pruning. A pushed id-range never
@@ -43,16 +46,51 @@ import org.apache.spark.unsafe.types.UTF8String
   *    requested fields, in the requested order (a 2-column projection
   *    generates 2 columns, the ReadSchema contract `scan_projection`
   *    proves for parquet).
+  *  - `SupportsPushDownAggregates` (r11): GROUP BY + COUNT/SUM/MIN/MAX
+  *    run INSIDE the source as a per-partition partial aggregate —
+  *    `supportCompletePushDown` stays false, so Spark plans its final
+  *    merge aggregate on top and what crosses the source boundary is one
+  *    row per (partition, group) instead of every row. This is map-side
+  *    combine pushed below the scan: at 100 TB the scan→agg edge carries
+  *    ~groups·partitions rows, not 10^11. Only pushed when Spark proves
+  *    every filter was consumed (the rule requires zero residuals), so
+  *    span-narrowed generation and in-source grouping compose safely.
+  *  - `SupportsPushDownLimit`/`TopN`/`Offset` (r11): LIMIT/OFFSET and
+  *    ORDER BY id LIMIT n narrow the generated span arithmetically
+  *    (generation order IS id order, so "first n" = [lo, lo+n) and
+  *    "top n by id desc" = [hi−n, hi)). Both report PARTIAL pushdown
+  *    (`isPartiallyPushed = true`): the source emits the exact candidate
+  *    set and Spark keeps its global Limit/Sort on top — a few thousand
+  *    rows of re-check buys immunity to cross-partition ordering, while
+  *    the data-volume win (generate n rows, not N) is already banked.
   *  - `SupportsReportStatistics`: post-pushdown row count and byte size,
   *    so the optimizer (and AQE) can see the narrowed span — the same
   *    channel `scan_cbo_stats` exercises through ANALYZE.
+  *  - `SupportsReportPartitioning` (r11): with `partitionBy=bucket` the
+  *    table lays out one InputPartition PER BUCKET VALUE (each partition
+  *    implements HasPartitionKey), and the scan reports
+  *    KeyGroupedPartitioning(identity(bucket)). Under
+  *    spark.sql.sources.v2.bucketing.enabled, two such tables joined on
+  *    `bucket` plan a STORAGE-PARTITIONED JOIN: zero shuffle exchanges on
+  *    either side — the 100 TB fact-fact join layout where co-location is
+  *    a property of the source, not of a repartition someone remembered
+  *    to run.
+  *  - `SupportsRuntimeV2Filtering` (r11, bucket layout only): `bucket` is
+  *    advertised as a runtime-filterable attribute, so joining against a
+  *    filtered dimension injects a DynamicPruningSubquery; at execution
+  *    Spark hands the dim's bucket set to `filter(...)` and
+  *    planInputPartitions drops whole bucket partitions BEFORE any task
+  *    launches — dynamic partition pruning for a V2 source. Unhandled
+  *    predicate shapes are ignored (runtime filters are an optimization;
+  *    the join still filters semantically).
   *
   * Scale notes: `slices` controls partition-parallel generation — each
   * InputPartition owns a contiguous sub-span; with filters pushed the
   * SPAN ITSELF shrinks, so slices stay balanced at any selectivity. No
   * shuffle, no driver materialization; the whole relation exists only as
-  * per-task iterators. Plan-audited in Round10Suite: the executed plan's
-  * scan node must carry the pushed range and the pruned ReadSchema.
+  * per-task iterators. Plan-audited in Round10Suite (span + ReadSchema)
+  * and Round11Suite (columnar mode, pushed aggregation, pushed
+  * limit/topN/offset, shuffle-free SPJ, runtime-filter partition drops).
   */
 class GraftRangeSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -61,11 +99,22 @@ class GraftRangeSource extends TableProvider {
                         properties: java.util.Map[String, String]): Table = {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
+    val partBy = Option(properties.get("partitionBy")).map(_.toLowerCase)
     require(rows >= 0 && rows < 3000000000L, s"rows=$rows outside [0, 3e9) — val math must stay BIGINT-exact")
     require(slices > 0, s"slices=$slices must be positive")
-    new GraftRangeTable(rows, slices)
+    require(partBy.forall(_ == "bucket"), s"partitionBy=${partBy.get} unsupported — only 'bucket'")
+    new GraftRangeTable(rows, slices, partBy.contains("bucket"))
   }
   override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftRangeSource {
+  /** Driver-side test observability for runtime filtering: BatchScanExec
+    * calls `Scan.filter(...)` on the DRIVER before re-planning input
+    * partitions, so a plain volatile is race-free in local/test runs.
+    * Records (buckets kept, buckets in span) of the most recent runtime
+    * filter application. Never read by operator code. */
+  @volatile var lastRuntimePrune: Option[(Int, Int)] = None
 }
 
 object GraftRangeTable {
@@ -74,12 +123,14 @@ object GraftRangeTable {
     StructField("bucket", LongType, nullable = false),
     StructField("val", LongType, nullable = false),
     StructField("tag", StringType, nullable = false)))
+  val BUCKETS = 100L
   private val TAGS = Array("a", "b", "c", "d", "e").map(UTF8String.fromString)
   private[sources] val TAG_BYTES: Array[Array[Byte]] = TAGS.map(_.getBytes)
   /** One generated field value; the single source of truth the readers
-    * (row AND columnar — the vector fillers in
+    * (row, columnar — the vector fillers in
     * [[GraftRangeReaderFactory.createColumnarReader]] mirror these four
-    * arms 1:1) and the DuckDB oracle expression all follow. */
+    * arms 1:1 — and aggregating) and the DuckDB oracle expression all
+    * follow. */
   private[sources] def fieldValue(name: String, id: Long): Any = name match {
     case "id" => id
     case "bucket" => id % 100
@@ -88,7 +139,32 @@ object GraftRangeTable {
   }
 }
 
-class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
+/** One pushed aggregate call: `kind` ∈ count_star|count|sum|min|max,
+  * `col` the single source column it reads ("" for count_star). */
+private[sources] case class PushedAggSpec(kind: String, col: String) {
+  override def toString: String = kind match {
+    case "count_star" => "COUNT(*)"
+    case k => s"${k.toUpperCase}($col)"
+  }
+}
+private[sources] case class PushedAgg(groupCols: Seq[String], funcs: Seq[PushedAggSpec]) {
+  /** Partial-agg output schema: group columns (source types) then one
+    * column per function. COUNT/SUM over BIGINT stay BIGINT; MIN/MAX keep
+    * the column's type. Agg columns are nullable — Spark's merge-side
+    * aggregate expects the partial-row types of its own partial agg. */
+  def schema: StructType = StructType(
+    groupCols.map(c => GraftRangeTable.SCHEMA(c)) ++
+      funcs.zipWithIndex.map { case (f, i) =>
+        val dt = f.kind match {
+          case "count_star" | "count" | "sum" => LongType
+          case _ => GraftRangeTable.SCHEMA(f.col).dataType
+        }
+        StructField(s"agg_$i", dt, nullable = true)
+      })
+}
+
+class GraftRangeTable(rows: Long, slices: Int, partitionByBucket: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = GraftRangeTable.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
@@ -96,15 +172,23 @@ class GraftRangeTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // columnar=true opts into the vectorized ColumnarBatch read path (r10
     // verdict #2); row-oriented InternalRows remain the default.
-    new GraftRangeScanBuilder(rows, slices, options.getBoolean("columnar", false))
+    new GraftRangeScanBuilder(rows, slices, options.getBoolean("columnar", false),
+      partitionByBucket)
 }
 
-class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
+                            partitionByBucket: Boolean = false)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeTable.SCHEMA
+  private var agg: Option[PushedAgg] = None
+  private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (descending, n)
 
   /** Consume id-comparison filters into the span; everything else is
     * residual. Saturating arithmetic keeps Long.MaxValue bounds safe.
@@ -139,30 +223,201 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false)
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan =
-    new GraftRangeScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), slices, required, accepted, columnar)
+
+  /** A single-name column reference into the generated schema, or None —
+    * every pushdown below refuses anything it can't resolve this way, so
+    * unsupported shapes fall back to Spark's own operators (always
+    * correct, merely less pushed). */
+  private def colRef(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+      GraftRangeTable.SCHEMA.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+    case _ => None
+  }
+
+  /** Partial aggregate pushdown. Spark only calls this when ALL filters
+    * were consumed (zero residuals) and the plan is Aggregate directly
+    * over the scan, so grouping inside the narrowed span is safe. DISTINCT
+    * variants are refused — a per-partition partial can't merge them. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions.toSeq.map(colRef)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedAggSpec("count_star", ""))
+      case c: Count if !c.isDistinct => colRef(c.column).map(PushedAggSpec("count", _))
+      case s: Sum if !s.isDistinct =>
+        // SUM only over the BIGINT columns: a per-bucket sum of val caps at
+        // 1000003·3e9 ≈ 3e15 ≪ Long.MaxValue, so partials never overflow.
+        colRef(s.column).filter(c => GraftRangeTable.SCHEMA(c).dataType == LongType)
+          .map(PushedAggSpec("sum", _))
+      case m: Min => colRef(m.column).map(PushedAggSpec("min", _))
+      case m: Max => colRef(m.column).map(PushedAggSpec("max", _))
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    agg = Some(PushedAgg(groups.map(_.get), funcs.map(_.get)))
+    true
+  }
+  // Partial, never complete: Spark keeps the merge aggregate, so results
+  // are exact no matter how the span splits into partitions.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushLimit(l: Int): Boolean =
+    if (agg.isDefined) false else { limit = Some(l); true }
+  override def pushOffset(o: Int): Boolean =
+    if (agg.isDefined) false else { offset = Some(o); true }
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (agg.isDefined || orders.length != 1) return false
+    colRef(orders(0).expression()) match {
+      case Some("id") =>
+        topN = Some((orders(0).direction == SortDirection.DESCENDING, n)); true
+      case _ => false
+    }
+  }
+  // Shared by SupportsPushDownLimit and SupportsPushDownTopN: PARTIAL on
+  // purpose. The source emits exactly the candidate rows, Spark keeps its
+  // global Limit (and Sort for topN) on top — n rows re-checked, N−n rows
+  // never generated. Full pushdown would additionally require proving
+  // cross-partition output order, for zero data-volume gain.
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = {
+    var l = math.max(lo, 0L)
+    var h = math.max(hi, l)
+    // Span arithmetic for the pushed row-count operators. Generation order
+    // IS id order, so: top-n asc = first n of span, top-n desc = last n;
+    // offset skips from the low end; limit caps from the (possibly
+    // offset) low end. topN and limit/offset never co-occur (different
+    // plan shapes — Spark pushes one or the other).
+    topN.foreach { case (desc, n) =>
+      if (desc) l = math.max(l, h - n) else h = math.min(h, l + n)
+    }
+    offset.foreach { o => l = math.min(h, l + o) }
+    limit.foreach { n => h = math.min(h, l + n) }
+    new GraftRangeScan(l, h, slices, agg.map(_.schema).getOrElse(required), accepted,
+      columnar, agg, partitionByBucket,
+      topN.map { case (d, n) => s"${if (d) "id DESC" else "id ASC"} LIMIT $n" },
+      limit, offset)
+  }
 }
 
 class GraftRangeScan(lo: Long, hi: Long, slices: Int,
                      required: StructType, pushed: Array[Filter],
-                     columnar: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+                     columnar: Boolean = false,
+                     agg: Option[PushedAgg] = None,
+                     partitionByBucket: Boolean = false,
+                     pushedTopN: Option[String] = None,
+                     pushedLimit: Option[Int] = None,
+                     pushedOffset: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+  import GraftRangeTable.BUCKETS
+
+  /** Runtime (DPP) bucket survivors; None = no runtime filter applied.
+    * Mutated by `filter(...)` on the driver before partition planning —
+    * intersected, so a re-executed plan that re-applies stays correct. */
+  private var runtimeBuckets: Option[Set[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
   /** Shown in `.explain()` on the BatchScan node — the plan-audit hook:
     * the narrowed span proves the filters reached the source, ReadSchema
-    * proves the projection did, and mode names the active read path. */
+    * proves the projection did, mode names the active read path, and the
+    * Pushed* segments prove which operators crossed the source boundary. */
   override def description(): String =
     s"GraftRangeScan span=[$lo,$hi) mode=${if (columnar) "columnar" else "row"} " +
+      (if (partitionByBucket) s"partitioning=bucket($BUCKETS) " else "") +
+      agg.map(a => s"PushedAggregation: ${a.funcs.mkString("[", ", ", "]")} " +
+        s"PushedGroupBy: ${a.groupCols.mkString("[", ", ", "]")} ").getOrElse("") +
+      pushedTopN.map(t => s"PushedTopN: [$t] ").getOrElse("") +
+      pushedLimit.map(n => s"PushedLimit: $n ").getOrElse("") +
+      pushedOffset.map(n => s"PushedOffset: $n ").getOrElse("") +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.fieldNames.mkString("struct<", ",", ">")}"
+
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo) * 8L * required.size)
-    override def numRows(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo))
+    // With an aggregate pushed, the scan emits ≤ one row per (partition,
+    // group): cap the estimate at the group-domain size so the optimizer
+    // sees the collapse (bucket→100, tag→5, everything else span-bounded).
+    private def groupDomain: Long = agg.map(_.groupCols.map {
+      case "bucket" => BUCKETS
+      case "tag" => 5L
+      case _ => math.max(0L, hi - lo)
+    }.foldLeft(1L)((a, b) => math.min(a * b, math.max(0L, hi - lo)))).getOrElse(Long.MaxValue)
+    private def rowsOut: Long = math.min(math.max(0L, hi - lo), groupDomain)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(rowsOut * 8L * required.size)
+    override def numRows(): OptionalLong = OptionalLong.of(rowsOut)
   }
+
+  /** Bucket values with ≥1 id in [lo, hi): the partition domain of the
+    * bucket layout. Lazy so outputPartitioning / planInputPartitions /
+    * runtime filtering all agree on one list. */
+  private lazy val spanBuckets: Array[Long] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) Array.empty
+    else (0L until BUCKETS).filter(b => firstIdFor(b) < hi).toArray
+  }
+  /** Smallest id ≥ lo with id % 100 == b. */
+  private def firstIdFor(b: Long): Long = lo + ((b - lo % BUCKETS) + BUCKETS) % BUCKETS
+
+  /** Storage-partitioned-join channel: with the bucket layout (and bucket
+    * surviving pruning), report the key-grouped layout so EnsureRequirements
+    * can elide BOTH exchanges of a bucket-keyed join. Everything else is
+    * honestly unknown. */
+  override def outputPartitioning(): Partitioning =
+    if (partitionByBucket && agg.isEmpty && required.fieldNames.contains("bucket"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("bucket")),
+        runtimeBuckets.map(rb => spanBuckets.count(rb.contains)).getOrElse(spanBuckets.length))
+    else new UnknownPartitioning(if (partitionByBucket) spanBuckets.length else slices)
+
+  /** DPP-for-V2 channel: only the bucket layout advertises a filterable
+    * attribute (dropping a bucket drops a whole partition — the analog of
+    * a partition directory). The contiguous layout would gain nothing, so
+    * it advertises none and the rule never fires. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (partitionByBucket) Array(Expressions.column("bucket")) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // Accept IN/= on bucket with all-literal operands; ignore anything
+    // else (runtime filters are advisory — the join still filters). A
+    // predicate with ANY unparseable operand is skipped whole: pruning on
+    // a partial value list would drop rows the join would have kept.
+    val sets = predicates.flatMap { p =>
+      val kids = p.children()
+      val isIn = (p.name() == "IN" || p.name() == "=") && kids.length >= 2
+      if (!isIn) None
+      else colRef(kids(0)) match {
+        case Some("bucket") =>
+          val vals = kids.drop(1).map {
+            case l: V2Literal[_] => l.value() match {
+              case x: java.lang.Long => Some(x.longValue())
+              case x: java.lang.Integer => Some(x.longValue())
+              case _ => None
+            }
+            case _ => None
+          }
+          if (vals.forall(_.isDefined)) Some(vals.flatten.toSet) else None
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) {
+      val merged = sets.reduce(_ intersect _)
+      runtimeBuckets = Some(runtimeBuckets.fold(merged)(_ intersect merged))
+      GraftRangeSource.lastRuntimePrune =
+        Some((spanBuckets.count(runtimeBuckets.get.contains), spanBuckets.length))
+    }
+  }
+  private def colRef(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     if (n == 0) Array.empty
+    else if (partitionByBucket)
+      spanBuckets.filter(b => runtimeBuckets.forall(_.contains(b)))
+        .map(b => GraftBucketPartition(b, firstIdFor(b), hi)).toArray
     else (0 until slices).flatMap { i =>
       val a = lo + n * i / slices
       val b = lo + n * (i + 1) / slices
@@ -170,30 +425,102 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftRangeReaderFactory(required, columnar)
+    new GraftRangeReaderFactory(required, columnar, agg)
 }
 
 case class GraftRangePartition(start: Long, end: Long) extends InputPartition
 
-class GraftRangeReaderFactory(required: StructType, columnar: Boolean)
+/** One partition per bucket value: ids ≡ bucket (mod 100) in [start, end),
+  * start already aligned to the bucket. HasPartitionKey is what turns the
+  * reported KeyGroupedPartitioning into real co-location — Spark groups
+  * and aligns partitions across join sides by this row. */
+case class GraftBucketPartition(bucket: Long, start: Long, end: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
+}
+
+class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
+                              agg: Option[PushedAgg] = None)
     extends PartitionReaderFactory {
   private def fields = required.fieldNames
 
+  /** (first id, step) for a partition: contiguous spans step 1, bucket
+    * partitions stride the modulus. */
+  private def layout(partition: InputPartition): (Long, Long, Long) = partition match {
+    case GraftRangePartition(s, e) => (s, e, 1L)
+    case GraftBucketPartition(_, s, e) => (s, e, GraftRangeTable.BUCKETS)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftRangePartition]
-    val fs = fields
-    new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow = {
-        val row = new GenericInternalRow(fs.length)
-        var i = 0
-        while (i < fs.length) {
-          row.update(i, GraftRangeTable.fieldValue(fs(i), cur))
-          i += 1
+    agg match {
+      case Some(a) => createAggReader(partition, a)
+      case None =>
+        val (start, end, step) = layout(partition)
+        val fs = fields
+        new PartitionReader[InternalRow] {
+          private var cur = start - step
+          override def next(): Boolean = { cur += step; cur < end }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(fs.length)
+            var i = 0
+            while (i < fs.length) {
+              row.update(i, GraftRangeTable.fieldValue(fs(i), cur))
+              i += 1
+            }
+            row
+          }
+          override def close(): Unit = ()
         }
-        row
+    }
+  }
+
+  /** Pushed-partial-aggregate reader: one hash-aggregate pass over the
+    * partition's id stream, then emit one row per group. State is bounded
+    * by the group domain (≤100 buckets / ≤5 tags), the same bound Spark's
+    * own partial HashAggregate would carry ABOVE the scan — pushed below
+    * it, the scan boundary now carries groups, not rows. */
+  private def createAggReader(partition: InputPartition, a: PushedAgg)
+      : PartitionReader[InternalRow] = {
+    val (start, end, step) = layout(partition)
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[InternalRow] = {
+        val groups = scala.collection.mutable.LinkedHashMap.empty[List[Any], Array[Any]]
+        var id = start
+        while (id < end) {
+          val key = a.groupCols.map(c => GraftRangeTable.fieldValue(c, id)).toList
+          val accs = groups.getOrElseUpdate(key, Array.fill[Any](a.funcs.length)(null))
+          var i = 0
+          while (i < a.funcs.length) {
+            val f = a.funcs(i)
+            f.kind match {
+              case "count_star" | "count" =>
+                accs(i) = if (accs(i) == null) 1L else accs(i).asInstanceOf[Long] + 1L
+              case "sum" =>
+                val v = GraftRangeTable.fieldValue(f.col, id).asInstanceOf[Long]
+                accs(i) = if (accs(i) == null) v else accs(i).asInstanceOf[Long] + v
+              case "min" =>
+                val v = GraftRangeTable.fieldValue(f.col, id)
+                accs(i) = if (accs(i) == null || cmp(v, accs(i)) < 0) v else accs(i)
+              case "max" =>
+                val v = GraftRangeTable.fieldValue(f.col, id)
+                accs(i) = if (accs(i) == null || cmp(v, accs(i)) > 0) v else accs(i)
+            }
+            i += 1
+          }
+          id += step
+        }
+        groups.iterator.map { case (key, accs) =>
+          new GenericInternalRow((key ++ accs).toArray)
+        }
       }
+      private def cmp(x: Any, y: Any): Int = (x, y) match {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+        case _ => 0
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { row = it.next(); true } else false }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }
@@ -205,8 +532,11 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean)
     * operators) instead of the source boxing a GenericInternalRow per row.
     * At a real 100 TB source this is the parquet-vectorized-reader shape:
     * cache-friendly column fills, one object per BATCH (4096 rows), and
-    * whole-stage codegen consuming primitive vectors. */
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+    * whole-stage codegen consuming primitive vectors. Pushed aggregates
+    * and the strided bucket layout stay on the row path — their output is
+    * groups/strides, not dense spans, so there's no vector win to claim. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && agg.isEmpty && partition.isInstanceOf[GraftRangePartition]
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -40,6 +40,214 @@ class Round11Suite extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("scan_dsv2_agg_pushdown: GROUP BY + COUNT/SUM/MIN/MAX run inside the source; merge agg on top") {
+    val df = SparkEntry.queries("scan_dsv2_agg_pushdown")(s, d)
+    val got = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // The pushed aggregate must appear on the scan node, and the scan's
+    // read schema must be the GROUP-BY + partial-agg columns — the raw
+    // id/val rows never cross the source boundary.
+    assert(plan.contains("PushedAggregation: [COUNT(*), SUM(val), MIN(val), MAX(tag)]"),
+      s"aggregation not pushed to the source:\n$plan")
+    assert(plan.contains("PushedGroupBy: [bucket]"), s"group-by not pushed:\n$plan")
+    assert(plan.contains("span=[20000,80000)"), s"filters must still narrow the span:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema: struct<"))
+      .getOrElse(fail(s"no ReadSchema in scan description:\n$plan"))
+    assert(readSchema.contains("struct<bucket,agg_"),
+      s"scan must read partial-agg rows, not raw rows:\n$readSchema")
+    // Independent Spark-side truth from range() — same arithmetic, no
+    // custom source involved (the DuckDB oracle is the cross-engine twin).
+    val want = s.range(20000L, 80000L)
+      .select((col("id") % 100).as("bucket"),
+        ((col("id") * col("id")) % 1000003).as("val"),
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d"), lit("e")),
+          (col("id") % 5 + 1).cast("int")).as("tag"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+        min("val").as("min_val"), max("tag").as("max_tag"))
+      .orderBy("bucket").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq,
+      s"pushed aggregate diverges from range() truth:\n${got.take(3).mkString}\nvs\n${want.take(3).mkString}")
+  }
+
+  test("dsv2 aggregate pushdown: combo sweep vs range() truth (group keys × functions, incl. global agg)") {
+    // Every supported (groupBy, aggs) shape the builder accepts must stay
+    // value-identical to a plain range() recomputation — partial rows per
+    // partition, merged by Spark, can't depend on the slicing.
+    val base = s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", 30000L).option("slices", 7)
+      .load().filter(col("id") >= 3000L && col("id") < 27000L)
+    val truth = s.range(3000L, 27000L)
+      .select(col("id"), (col("id") % 100).as("bucket"),
+        ((col("id") * col("id")) % 1000003).as("val"),
+        element_at(array(lit("a"), lit("b"), lit("c"), lit("d"), lit("e")),
+          (col("id") % 5 + 1).cast("int")).as("tag"))
+    val aggs = Seq(count(lit(1)).as("c"), sum("id").as("si"), sum("val").as("sv"),
+      min("val").as("mnv"), max("val").as("mxv"), min("tag").as("mnt"), max("tag").as("mxt"))
+    for (keys <- Seq(Seq("bucket"), Seq("tag"), Seq("bucket", "tag"), Seq.empty)) {
+      def run(src: org.apache.spark.sql.DataFrame) = {
+        val g = if (keys.isEmpty) src.groupBy() else src.groupBy(keys.map(col): _*)
+        val agged = g.agg(aggs.head, aggs.tail: _*)
+        (if (keys.isEmpty) agged else agged.orderBy(keys.map(col): _*)).collect().map(_.toString).toSeq
+      }
+      val df = if (keys.isEmpty) base.groupBy() else base.groupBy(keys.map(col): _*)
+      val agged = df.agg(aggs.head, aggs.tail: _*)
+      val pushedPlan = agged.queryExecution.executedPlan.toString
+      assert(pushedPlan.contains("PushedAggregation:"),
+        s"combo $keys did not push:\n$pushedPlan")
+      assert(run(base) == run(truth), s"combo $keys diverged from range() truth")
+    }
+  }
+
+  test("scan_dsv2_limit_pushdown: OFFSET/LIMIT narrow the generated span; exact span arithmetic") {
+    val df = SparkEntry.queries("scan_dsv2_limit_pushdown")(s, d)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 5000L && r.getLong(2) == 75000L && r.getLong(3) == 79999L,
+      s"offset/limit page wrong: $r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: 55000"), s"offset not pushed:\n$plan")
+    assert(plan.contains("PushedLimit:"), s"limit not pushed:\n$plan")
+    assert(plan.contains("span=[75000,80000)"),
+      s"span must start past the offset and stop at the filter bound:\n$plan")
+    // Unit-level span arithmetic, decoupled from Spark's pushdown rule:
+    // offset skips from the low end, limit caps after it (SQL order).
+    import scala.jdk.CollectionConverters._
+    def freshBuilder() = new graft.sources.GraftRangeSource()
+      .getTable(null, Array.empty, Map("rows" -> "100000", "slices" -> "4").asJava)
+      .asInstanceOf[graft.sources.GraftRangeTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .asInstanceOf[graft.sources.GraftRangeScanBuilder]
+    val b = freshBuilder()
+    b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 20000L),
+      org.apache.spark.sql.sources.LessThan("id", 80000L)))
+    assert(b.pushOffset(1000) && b.pushLimit(500))
+    val parts = b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftRangePartition])
+    assert(parts.head.start == 21000L && parts.last.end == 21500L,
+      s"span arithmetic wrong: ${parts.toSeq}")
+  }
+
+  test("scan_dsv2_topn_pushdown: ORDER BY id LIMIT n becomes span arithmetic at the source") {
+    val df = SparkEntry.queries("scan_dsv2_topn_pushdown")(s, d)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 79000L && r.getLong(2) == 79999L,
+      s"top-1000-by-id-desc wrong: $r")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [id DESC LIMIT 1000]"), s"topN not pushed:\n$plan")
+    assert(plan.contains("span=[79000,80000)"),
+      s"the last 1000 ids ARE the top 1000 — span must narrow:\n$plan")
+    // Partial pushdown: Spark re-establishes cross-partition order itself.
+    assert(plan.contains("TakeOrderedAndProject"), s"global top-N re-check missing:\n$plan")
+    // Ascending twin at the unit level: first n of the span.
+    import scala.jdk.CollectionConverters._
+    val b = new graft.sources.GraftRangeSource()
+      .getTable(null, Array.empty, Map("rows" -> "100000", "slices" -> "4").asJava)
+      .asInstanceOf[graft.sources.GraftRangeTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .asInstanceOf[graft.sources.GraftRangeScanBuilder]
+    b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 20000L)))
+    assert(b.pushTopN(Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column("id"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)), 250))
+    val parts = b.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftRangePartition])
+    assert(parts.head.start == 20000L && parts.last.end == 20250L,
+      s"ascending top-n must take the first n: ${parts.toSeq}")
+  }
+
+  test("join_spj_storage_partitioned: the join itself plans with ZERO exchanges (source co-location)") {
+    val df = SparkEntry.queries("join_spj_storage_partitioned")(s, d)
+    val got = df.collect()
+    assert(got.length == 5, s"expected one row per dim_tag: ${got.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSec = plan.split("== Initial Plan ==")(0)
+    assert(finalSec.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(finalSec.linesIterator.count(_.contains("partitioning=bucket(100)")) == 2,
+      s"both scans must report the bucket layout:\n$plan")
+    // Everything from the SortMergeJoin line down is its subtree (the
+    // leaves of the printed plan) — co-location means NO exchange there.
+    // Exchanges above the join (the post-join aggregation) are expected.
+    val joinDown = finalSec.linesIterator.dropWhile(!_.contains("SortMergeJoin")).toSeq
+    assert(joinDown.nonEmpty && !joinDown.exists(_.contains("Exchange")),
+      s"storage-partitioned join must not shuffle or broadcast either side:\n$plan")
+  }
+
+  test("scan_dsv2_runtime_filter: DPP-for-V2 drops bucket partitions before any task launches") {
+    graft.sources.GraftRangeSource.lastRuntimePrune = None
+    val df = SparkEntry.queries("scan_dsv2_runtime_filter")(s, d)
+    val got = df.collect()
+    assert(got.length == 20, s"dim filter keeps 20 buckets: ${got.length}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DynamicPruningSubquery was injected on the fact scan:\n$plan")
+    // The driver-side hook records the actual partition drop: 20 of 100
+    // bucket partitions survive the dim's runtime IN-set.
+    assert(graft.sources.GraftRangeSource.lastRuntimePrune.contains((20, 100)),
+      s"runtime filter did not prune partitions: ${graft.sources.GraftRangeSource.lastRuntimePrune}")
+  }
+
+  test("sink_dsv2_write: staged commit protocol — invisible until commit, atomic publish, truncate, abort") {
+    import graft.sources._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val cat = new GraftMemCatalog
+    cat.initialize("t11cat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "proto")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", StringType)))
+    if (cat.tableExists(ident)) cat.dropTable(ident)
+    cat.createTable(ident, schema, Array.empty,
+      java.util.Collections.emptyMap[String, String]())
+    def stored = GraftMemStore.rows("t11cat.proto")
+    assert(stored.isEmpty)
+    // Task-side staging: rows written (and even task-committed) must stay
+    // INVISIBLE until the driver's batch commit.
+    val bw = new GraftMemBatchWrite("t11cat.proto", schema, truncateFirst = false)
+    val w0 = new GraftMemWriterFactory(schema).createWriter(0, 0L)
+    val w1 = new GraftMemWriterFactory(schema).createWriter(1, 1L)
+    w0.write(new GenericInternalRow(Array[Any](1L, UTF8String.fromString("a"))))
+    w1.write(new GenericInternalRow(Array[Any](2L, UTF8String.fromString("b"))))
+    val m1 = w1.commit(); val m0 = w0.commit()
+    assert(stored.isEmpty, "staged rows leaked into the store before batch commit")
+    // Atomic publish, partition order deterministic regardless of message order.
+    bw.commit(Array(m1, m0))
+    assert(stored.map(_.toSeq).toSeq == Seq(Seq(1L, "a"), Seq(2L, "b")))
+    // Abort path publishes nothing.
+    val wA = new GraftMemWriterFactory(schema).createWriter(0, 2L)
+    wA.write(new GenericInternalRow(Array[Any](9L, UTF8String.fromString("z"))))
+    val mA = wA.commit()
+    new GraftMemBatchWrite("t11cat.proto", schema, truncateFirst = false).abort(Array(mA))
+    assert(stored.length == 2, "abort must not publish staged rows")
+    // Truncate (the overwrite/createOrReplace path) replaces, append extends.
+    val bwT = new GraftMemBatchWrite("t11cat.proto", schema, truncateFirst = true)
+    bwT.commit(Array(mA))
+    assert(stored.map(_.toSeq).toSeq == Seq(Seq(9L, "z")))
+    // Unsupported codec types are rejected at createTable, not at runtime.
+    intercept[IllegalArgumentException] {
+      cat.createTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bad"),
+        StructType(Seq(StructField("d", DecimalType(10, 2)))), Array.empty,
+        java.util.Collections.emptyMap[String, String]())
+    }
+    cat.dropTable(ident)
+
+    // End to end through the declared op: catalog write + pruned read-back.
+    val df = SparkEntry.queries("sink_dsv2_write")(s, d)
+    val got = df.collect()
+    assert(got.length == 5, s"one row per region expected: ${got.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMemScan"), s"read-back must go through the V2 scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("GraftMemScan"))
+      .getOrElse(fail(s"no scan line:\n$plan"))
+    assert(!readSchema.contains("n_nationkey"),
+      s"unused column must be pruned from the read-back:\n$readSchema")
+    // createOrReplace is idempotent — a re-run replaces, never duplicates.
+    val again = SparkEntry.queries("sink_dsv2_write")(s, d).collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("RangeJoin: two consumers of one build side share ONE BroadcastExchange in the final plan") {
     // r10 verdict #3: the exec declares BroadcastDistribution, so exchange
     // reuse must actually engage when the same build side feeds two range
