@@ -68,6 +68,31 @@ object Extensions {
     }),
 
     // Scala closure UDF: '1-URGENT' → 5 … '5-LOW' → 1, aggregated per status.
+    // V2 FunctionCatalog (r11) — catalog-RESOLVED functions, the engine
+    // path above session UDFs: the analyzer loads graftmem.graft_tag /
+    // graftmem.sum_sq from the catalog plugin and binds them by input
+    // schema. graft_tag is a ScalarFunction with the MAGIC method —
+    // the plan carries invoke(GraftTagFunction.invoke(id)), a direct
+    // (codegen-inlinable) call, not a row-boxed UDF closure. sum_sq is a
+    // V2 AggregateFunction — the plan shows partial_v2aggregator /
+    // v2aggregator, the SAME partial/final split every built-in agg
+    // gets, so it distributes (map-side combine, merge on the reduce
+    // side) instead of collecting. At 100 TB that split is the
+    // difference between a function and a bottleneck. Both pinned in
+    // Round11Suite (magic-dispatch Invoke in the plan, partial/final agg
+    // split); oracle re-derives both from DuckDB arithmetic.
+    "catalog_v2_function" -> ((s0, _) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 50000L).option("slices", 8).load()
+        .createOrReplaceTempView("graft_rng_fn")
+      s.sql("""SELECT graftmem.graft_tag(id) AS tag2, count(*) AS n,
+                      graftmem.sum_sq(bucket) AS ssq
+               FROM graft_rng_fn WHERE id >= 1000 AND id < 41000
+               GROUP BY 1 ORDER BY 1""")
+    }),
+
     "udf_scalar" -> ((s, d) => {
       val urgency = udf((p: String) => 6 - p.substring(0, 1).toInt)
       orders(s, d)
@@ -138,6 +163,14 @@ object Extensions {
   )
 
   val oracle: Map[String, String] = Map(
+    "catalog_v2_function" ->
+      """WITH t AS (SELECT range AS id, range % 100 AS bucket,
+                           ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] AS tag2
+                    FROM range(50000))
+         SELECT tag2, count(*) AS n, CAST(sum(bucket * bucket) AS BIGINT) AS ssq
+         FROM t WHERE id >= 1000 AND id < 41000
+         GROUP BY tag2 ORDER BY tag2""",
+
     "ds_typed_pipeline" ->
       s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
                  CAST(sum(${moneySql("o_totalprice")}) AS BIGINT) AS total_cents

@@ -151,6 +151,29 @@ object Scans {
         .orderBy("bucket")
     }),
 
+    // Metadata columns (r11): `_slice` is the input-partition ordinal
+    // that generated the row, exposed via SupportsMetadataColumns — the
+    // V2 twin of parquet's _metadata.file provenance columns. Hidden
+    // from SELECT * (asserted in Round11Suite), resolvable by name;
+    // when asked for, Spark adds it to the PRUNED read schema and the
+    // readers emit it like any field — zero cost unless requested. The
+    // slice boundaries are the deterministic lo + n·i/slices splits, so
+    // with a divisible span (60000/5) the oracle re-derives the ordinal
+    // as (id−20000)//12000 — provenance reproduced arithmetically by an
+    // engine that has never seen the partitioning. At 100 TB this is
+    // the lineage channel: skew diagnosis and bad-shard tracing without
+    // a reshuffle or a synthetic key column.
+    "scan_dsv2_metadata_cols" -> ((s, _) =>
+      s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", 100000L).option("slices", 5)
+        .load()
+        .filter(col("id") >= 20000L && col("id") < 80000L)
+        .select(col("_slice"), col("bucket"), col("val"))
+        .groupBy("_slice")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
+        .orderBy("_slice")),
+
     // DSv2 WRITE path (r11) — the write side of the connector ladder:
     // graft.sources.GraftMemCatalog is a TableCatalog plugin (registered
     // per isolated session); writeTo(...).createOrReplace() drives
@@ -883,6 +906,18 @@ object Scans {
                 max(d_val) AS dim_val
          FROM fact JOIN dim ON bucket = d_bucket
          GROUP BY bucket ORDER BY bucket""",
+
+    // The slice ordinal re-derived arithmetically: contiguous slicing of
+    // the filtered span [20000, 80000) into 5 equal 12000-id slices.
+    "scan_dsv2_metadata_cols" ->
+      """WITH t AS (SELECT range AS id, range % 100 AS bucket,
+                           (range * range) % 1000003 AS val
+                    FROM range(100000))
+         SELECT (id - 20000) // 12000 AS _slice, count(*) AS n,
+                CAST(sum(val) AS BIGINT) AS sum_val,
+                min(bucket) AS min_bucket, max(bucket) AS max_bucket
+         FROM t WHERE id >= 20000 AND id < 80000
+         GROUP BY 1 ORDER BY 1""",
 
     // The write/read round trip is lossless, so the oracle is the same
     // aggregate computed straight from the parquet tables.

@@ -463,6 +463,47 @@ object Streaming {
         .orderBy("window_start", "event_type")
     }),
 
+    // A REAL Structured Streaming run through the V2 StreamingWrite
+    // protocol (r11): the events table lands as 4 json shards, a
+    // readStream with maxFilesPerTrigger=2 drives ≥2 micro-batch EPOCHS
+    // through Trigger.AvailableNow into a GraftMemCatalog table
+    // (TableCapability.STREAMING_WRITE → StreamingDataWriterFactory →
+    // per-task staging → one commit(epochId, messages) per batch). The
+    // sink's committed-epoch ledger makes a re-delivered epoch a
+    // whole-batch no-op — the exactly-once contract, V2-protocol twin of
+    // stream_idempotent_sink's foreachBatch marker files, unit-tested
+    // (replayed epoch, abort) in Round11Suite. Fresh checkpoint + DROP
+    // TABLE first make the op a pure function of its inputs; the oracle
+    // aggregates events directly — parity proves no epoch lost, none
+    // duplicated across the batch boundaries.
+    "stream_dsv2_sink" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val tag = Math.abs(d.hashCode).toString
+      val src = tmpDir(d, "dsv2stream_src")
+      val ckpt = tmpDir(d, "dsv2stream_ck")
+      val fs = new Path(ckpt).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(ckpt), true)
+      s.sql(s"DROP TABLE IF EXISTS graftmem.evt_$tag")
+      events(s, d)
+        .select(col("event_id"), col("event_type"), money(col("value")).as("cents"))
+        .repartition(4, col("event_id"))
+        .write.mode("overwrite").json(src)
+      val q = s.readStream
+        .schema("event_id LONG, event_type STRING, cents LONG")
+        .option("maxFilesPerTrigger", "2")
+        .json(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graftmem.evt_$tag")
+      q.awaitTermination()
+      s.table(s"graftmem.evt_$tag")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -639,6 +680,12 @@ object Streaming {
           FROM (SELECT $tsS AS ts_s, event_type, ${moneySql("value")} AS cents
                 FROM events)
           GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // The stream is a pass-through into the sink; the oracle is the same
+    // census straight off events — exactly-once across epochs is the claim.
+    "stream_dsv2_sink" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(${moneySql("value")}) AS BIGINT) AS sum_cents
+          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_stateful_running" ->
       s"""SELECT user_id, event_id, ts_s,
           ${d4Sql("sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_value

@@ -6,12 +6,14 @@ import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCatalog, TableChange, TableCapability}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsRead, SupportsWrite, Table, TableCatalog, TableChange, TableCapability}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,7 +49,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * buffers are reused by Spark between `write(row)` calls — storing the
   * raw row would alias dead memory).
   */
-class GraftMemCatalog extends TableCatalog {
+class GraftMemCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
@@ -81,6 +83,84 @@ class GraftMemCatalog extends TableCatalog {
     throw new UnsupportedOperationException("graft mem catalog tables are write-replace only")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft mem catalog tables are write-replace only")
+
+  // -------------------------------------------------- FunctionCatalog
+  // The V2 function surface (r11): catalog-resolved functions the
+  // ANALYZER binds by input schema — no UDF registry, no session
+  // mutation, and the scalar path compiles to a direct method call.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.NAMES.map(n => Identifier.of(namespace, n))
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.NAMES.contains(ident.name())
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftFunctions.load(ident.name())
+      .getOrElse(throw new NoSuchFunctionException(ident))
+}
+
+/** V2 catalog functions. `graft_tag` is the range relation's tag
+  * arithmetic exposed as a SCALAR function with the MAGIC method:
+  * Spark's analyzer finds `invoke(long)` reflectively and plans a direct
+  * (codegen-inlinable) call — the InternalRow `produceResult` stays as
+  * the documented fallback, so both dispatch paths share one arithmetic.
+  * `sum_sq` is a V2 AGGREGATE function (exact BIGINT sum of squares):
+  * Spark runs newAggregationState/update per partition and merge across
+  * partitions — the same partial/final split every built-in agg gets, so
+  * the catalog function distributes like a native one rather than like a
+  * collect-and-fold UDF. */
+object GraftFunctions {
+  val NAMES: Array[String] = Array("graft_tag", "sum_sq")
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "graft_tag" => Some(new UnboundFunction {
+      override def name(): String = "graft_tag"
+      override def description(): String =
+        "graft_tag(id BIGINT) -> STRING: the graft_range tag arithmetic"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.length == 1 && inputType.head.dataType == LongType,
+          s"graft_tag expects (BIGINT), got ${inputType.simpleString}")
+        new GraftTagFunction
+      }
+    })
+    case "sum_sq" => Some(new UnboundFunction {
+      override def name(): String = "sum_sq"
+      override def description(): String =
+        "sum_sq(x BIGINT) -> BIGINT: exact sum of squares"
+      override def bind(inputType: StructType): BoundFunction = {
+        require(inputType.length == 1 && inputType.head.dataType == LongType,
+          s"sum_sq expects (BIGINT), got ${inputType.simpleString}")
+        new GraftSumSqFunction
+      }
+    })
+    case _ => None
+  }
+}
+
+class GraftTagFunction extends ScalarFunction[UTF8String] {
+  private val tags = Array("a", "b", "c", "d", "e").map(UTF8String.fromString)
+  override def name(): String = "graft_tag"
+  override def canonicalName(): String = "graft.graft_tag"
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = StringType
+  override def isResultNullable: Boolean = false
+  /** The magic method — resolved reflectively by exact erased signature;
+    * renaming it or changing the parameter type silently demotes every
+    * call site to the row-boxed produceResult path. */
+  def invoke(id: Long): UTF8String = tags(((id % 5 + 5) % 5).toInt)
+  override def produceResult(input: InternalRow): UTF8String = invoke(input.getLong(0))
+}
+
+class GraftSumSqFunction extends AggregateFunction[java.lang.Long, java.lang.Long] {
+  override def name(): String = "sum_sq"
+  override def canonicalName(): String = "graft.sum_sq"
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def newAggregationState(): java.lang.Long = 0L
+  override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) state else {
+      val v = input.getLong(0)
+      state + v * v
+    }
+  override def merge(s1: java.lang.Long, s2: java.lang.Long): java.lang.Long = s1 + s2
+  override def produceResult(state: java.lang.Long): java.lang.Long = state
 }
 
 /** JVM-singleton backing store: table key → (schema, committed rows).
@@ -97,7 +177,7 @@ object GraftMemStore {
   def create(key: String, schema: StructType): Unit =
     tables.put(key, State(schema, Array.empty))
   def exists(key: String): Boolean = tables.containsKey(key)
-  def drop(key: String): Boolean = tables.remove(key) != null
+  def drop(key: String): Boolean = { epochs.remove(key); tables.remove(key) != null }
   def names(catalog: String): Array[String] =
     tables.keySet().asScala.filter(_.startsWith(catalog + "."))
       .map(_.stripPrefix(catalog + ".")).toArray.sorted
@@ -109,6 +189,15 @@ object GraftMemStore {
       val base = if (truncate || prev == null) Array.empty[Array[Any]] else prev.rows
       State(schema, base ++ rows)
     })
+
+  /** Streaming-epoch ledger: returns true exactly once per (table, epoch)
+    * — the idempotence gate a re-delivered micro-batch hits. Dropped with
+    * the table, so a replaced table starts a fresh epoch history. */
+  private val epochs = new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
+  def beginEpoch(key: String, epochId: Long): Boolean =
+    epochs.computeIfAbsent(key, _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
+      .add(epochId)
+  def clearEpochs(key: String): Unit = epochs.remove(key)
 }
 
 class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWrite {
@@ -116,7 +205,7 @@ class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWr
   override def schema(): StructType = GraftMemStore.schema(key)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(key)
@@ -134,6 +223,7 @@ class GraftMemWriteBuilder(key: String, schema: StructType)
     override def description(): String =
       s"GraftMemWrite $key truncate=$truncateFirst"
     override def toBatch: BatchWrite = new GraftMemBatchWrite(key, schema, truncateFirst)
+    override def toStreaming: StreamingWrite = new GraftMemStreamingWrite(key, schema)
   }
 }
 
@@ -158,6 +248,32 @@ class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean
   /** Nothing was published, so aborting is free — the staged rows die
     * with the messages. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** The STREAMING side of the protocol: one commit per micro-batch EPOCH.
+  * The engine's checkpoint can re-deliver an epoch whose data ran but
+  * whose checkpoint commit was lost with a crash — `commit(epochId, …)`
+  * consults the per-table committed-epoch set and makes the replay a
+  * whole-batch no-op, which is the exactly-once contract every
+  * idempotent streaming sink implements (the V2-protocol twin of
+  * `stream_idempotent_sink`'s foreachBatch marker files). Task-level
+  * staging and atomicity are identical to the batch path. */
+class GraftMemStreamingWrite(key: String, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val batchFactory = new GraftMemWriterFactory(schema)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+          : DataWriter[InternalRow] = batchFactory.createWriter(partitionId, taskId)
+    }
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (GraftMemStore.beginEpoch(key, epochId)) {
+      val rows = messages.collect { case m: GraftMemTaskCommit => m }
+        .sortBy(_.partitionId).flatMap(_.rows)
+      GraftMemStore.publish(key, schema, rows, truncate = false)
+    }
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {

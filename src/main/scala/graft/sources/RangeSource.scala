@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -164,11 +164,24 @@ private[sources] case class PushedAgg(groupCols: Seq[String], funcs: Seq[PushedA
 }
 
 class GraftRangeTable(rows: Long, slices: Int, partitionByBucket: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = GraftRangeTable.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
+  /** Metadata column (r11): `_slice` is the input-partition ordinal that
+    * generated the row (the bucket value under partitionBy=bucket) — the
+    * V2 twin of parquet's _metadata.file provenance columns. Hidden from
+    * SELECT * / schema(); resolvable by name, at which point Spark adds
+    * it to the pruned read schema and the readers emit it like any other
+    * field. Costs nothing unless asked for. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(new MetadataColumn {
+    override def name(): String = "_slice"
+    override def dataType(): org.apache.spark.sql.types.DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "ordinal of the input partition (bucket value under partitionBy=bucket) that generated the row"
+  })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // columnar=true opts into the vectorized ColumnarBatch read path (r10
     // verdict #2); row-oriented InternalRows remain the default.
@@ -421,14 +434,15 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
     else (0 until slices).flatMap { i =>
       val a = lo + n * i / slices
       val b = lo + n * (i + 1) / slices
-      if (b > a) Some(GraftRangePartition(a, b)) else None
+      if (b > a) Some(GraftRangePartition(a, b, i)) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftRangeReaderFactory(required, columnar, agg)
 }
 
-case class GraftRangePartition(start: Long, end: Long) extends InputPartition
+case class GraftRangePartition(start: Long, end: Long, slice: Int = 0)
+    extends InputPartition
 
 /** One partition per bucket value: ids ≡ bucket (mod 100) in [start, end),
   * start already aligned to the bucket. HasPartitionKey is what turns the
@@ -444,18 +458,19 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
     extends PartitionReaderFactory {
   private def fields = required.fieldNames
 
-  /** (first id, step) for a partition: contiguous spans step 1, bucket
-    * partitions stride the modulus. */
-  private def layout(partition: InputPartition): (Long, Long, Long) = partition match {
-    case GraftRangePartition(s, e) => (s, e, 1L)
-    case GraftBucketPartition(_, s, e) => (s, e, GraftRangeTable.BUCKETS)
+  /** (first id, end, step, slice ordinal) for a partition: contiguous
+    * spans step 1 and number their slices; bucket partitions stride the
+    * modulus and their ordinal IS the bucket value. */
+  private def layout(partition: InputPartition): (Long, Long, Long, Long) = partition match {
+    case GraftRangePartition(s, e, i) => (s, e, 1L, i.toLong)
+    case GraftBucketPartition(b, s, e) => (s, e, GraftRangeTable.BUCKETS, b)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     agg match {
       case Some(a) => createAggReader(partition, a)
       case None =>
-        val (start, end, step) = layout(partition)
+        val (start, end, step, slice) = layout(partition)
         val fs = fields
         new PartitionReader[InternalRow] {
           private var cur = start - step
@@ -464,7 +479,10 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
             val row = new GenericInternalRow(fs.length)
             var i = 0
             while (i < fs.length) {
-              row.update(i, GraftRangeTable.fieldValue(fs(i), cur))
+              // _slice is the partition's provenance, not id arithmetic —
+              // the one field fieldValue can't know.
+              row.update(i,
+                if (fs(i) == "_slice") slice else GraftRangeTable.fieldValue(fs(i), cur))
               i += 1
             }
             row
@@ -481,7 +499,7 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
     * it, the scan boundary now carries groups, not rows. */
   private def createAggReader(partition: InputPartition, a: PushedAgg)
       : PartitionReader[InternalRow] = {
-    val (start, end, step) = layout(partition)
+    val (start, end, step, _) = layout(partition)
     new PartitionReader[InternalRow] {
       private val it: Iterator[InternalRow] = {
         val groups = scala.collection.mutable.LinkedHashMap.empty[List[Any], Array[Any]]
@@ -555,6 +573,7 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
         required.fieldNames.zipWithIndex.map { case (name, c) =>
           val v = vectors(c)
           name match {
+            case "_slice" => (i: Int, _: Long) => v.putLong(i, p.slice.toLong)
             case "id"     => (i: Int, id: Long) => v.putLong(i, id)
             case "bucket" => (i: Int, id: Long) => v.putLong(i, id % 100)
             case "val"    => (i: Int, id: Long) => v.putLong(i, (id * id) % 1000003)

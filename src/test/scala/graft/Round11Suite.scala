@@ -248,6 +248,95 @@ class Round11Suite extends AnyFunSuite {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("catalog_v2_function: scalar dispatches via the MAGIC method; aggregate gets the partial/final split") {
+    val df = SparkEntry.queries("catalog_v2_function")(s, d)
+    val got = df.collect()
+    assert(got.length == 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // Magic-method dispatch: the plan carries a direct Invoke on the
+    // function instance, not a row-boxed produceResult/UDF closure.
+    assert(plan.contains("invoke(") && plan.contains("GraftTagFunction"),
+      s"scalar function not on the magic Invoke path:\n$plan")
+    // The V2 aggregate must distribute like a built-in: partial update
+    // per partition, merge on the final side.
+    assert(plan.contains("partial_v2aggregator"),
+      s"V2 aggregate lost its partial (map-side) phase:\n$plan")
+    assert(plan.split("partial_v2aggregator").head.contains("v2aggregator"),
+      s"no final merge aggregate above the partial:\n$plan")
+    // Independent truth: same arithmetic from range().
+    val want = s.range(1000L, 41000L)
+      .select(element_at(array(lit("a"), lit("b"), lit("c"), lit("d"), lit("e")),
+        (col("id") % 5 + 1).cast("int")).as("tag2"),
+        (col("id") % 100).as("bucket"))
+      .groupBy("tag2")
+      .agg(count(lit(1)).as("n"), sum(col("bucket") * col("bucket")).as("ssq"))
+      .orderBy("tag2").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
+  test("scan_dsv2_metadata_cols: _slice hidden from star, joins the pruned read schema, equals bucket under the bucket layout") {
+    val df = SparkEntry.queries("scan_dsv2_metadata_cols")(s, d)
+    val got = df.collect()
+    assert(got.length == 5 && got.forall(_.getLong(1) == 12000L),
+      s"five 12000-id slices expected: ${got.toSeq}")
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema: struct<"))
+      .getOrElse(fail(s"no ReadSchema in scan description:\n$plan"))
+    assert(readSchema.contains("_slice"),
+      s"requested metadata column must join the pruned read schema:\n$readSchema")
+    // Hidden until asked for: SELECT * sees only the declared schema.
+    val star = s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", 100L).load()
+    assert(star.columns.toSeq == Seq("id", "bucket", "val", "tag"),
+      s"metadata column leaked into the base schema: ${star.columns.toSeq}")
+    // Under partitionBy=bucket the partition ordinal IS the bucket value.
+    val mism = s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", 1000L).option("partitionBy", "bucket").load()
+      .select(col("_slice"), col("bucket"))
+      .filter(col("_slice") =!= col("bucket")).count()
+    assert(mism == 0L, s"bucket-layout _slice diverged from bucket on $mism rows")
+  }
+
+  test("stream_dsv2_sink: epoch commits are exactly-once — a re-delivered epoch is a whole-batch no-op") {
+    import graft.sources._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val key = "t11cat.epochs"
+    GraftMemStore.drop(key)
+    GraftMemStore.create(key, schema)
+    val sw = new GraftMemStreamingWrite(key, schema)
+    def msg(v: Long) = {
+      val w = new GraftMemWriterFactory(schema).createWriter(0, 0L)
+      w.write(new GenericInternalRow(Array[Any](v)))
+      w.commit()
+    }
+    sw.commit(0L, Array(msg(10L)))
+    sw.commit(1L, Array(msg(20L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L))
+    // Crash-replay of epoch 1 (same id, possibly different task output):
+    // the committed-epoch ledger must swallow it whole.
+    sw.commit(1L, Array(msg(999L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L),
+      "re-delivered epoch was applied twice")
+    // Abort publishes nothing and does not burn the epoch id.
+    sw.abort(2L, Array(msg(30L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L))
+    sw.commit(2L, Array(msg(30L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L, 30L),
+      "an aborted epoch id must remain committable")
+    GraftMemStore.drop(key)
+
+    // End to end: the declared op's multi-epoch stream must equal the
+    // direct batch census (no epoch lost, none duplicated).
+    val got = SparkEntry.queries("stream_dsv2_sink")(s, d).collect()
+    val want = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(Norm.money(col("value"))).as("sum_cents"))
+      .orderBy("event_type").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
   test("RangeJoin: two consumers of one build side share ONE BroadcastExchange in the final plan") {
     // r10 verdict #3: the exec declares BroadcastDistribution, so exchange
     // reuse must actually engage when the same build side feeds two range
