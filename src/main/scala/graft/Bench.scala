@@ -117,9 +117,23 @@ object Bench {
       if (unstable.isEmpty) Nil
       else {
         System.err.println(s"[bench] adaptive re-time of ${unstable.size} op(s) with >${(spreadCut * 100).toInt}% pass spread: ${unstable.map(_._1).mkString(",")}")
+        val errsBefore = errors.keySet.toSet
         val rs = runPass(new scala.util.Random(7919L).shuffle(unstable))
-        println(s"""{"pass":"retime","queries":${qJson(rs)},"sf":"$sfDir"}""")
-        rs
+        // A failure DURING the re-time must not corrupt the artifact: the
+        // op already holds two clean timed samples, so the crash sample
+        // (milliseconds of throw time) is dropped from the min and the
+        // error is cleared — it was a transient, not a bench failure of
+        // the timed passes. (Same class as the warmup-failure clearing
+        // above; without this, min(2.0, 2.8, 0.06-crash) = 0.06 would
+        // feed scale accounting a bogus ratio AND flag the op failed.)
+        val failedInRetime = errors.keySet.toSet -- errsBefore
+        failedInRetime.foreach { n =>
+          errors.remove(n)
+          System.err.println(s"[bench] re-time failure on $n cleared — keeping the two timed-pass samples")
+        }
+        val kept = rs.filterNot { case (n, _) => failedInRetime(n) }
+        println(s"""{"pass":"retime","queries":${qJson(kept)},"sf":"$sfDir"}""")
+        kept
       }
     val retimedMap = retimed.toMap
     val best = selected.map { case (name, _) =>

@@ -174,8 +174,13 @@ object GraftMemStore {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false
   }
-  def create(key: String, schema: StructType): Unit =
+  def create(key: String, schema: StructType): Unit = {
+    // A (re)created table starts a fresh epoch history — the ledger
+    // guards replays WITHIN a query's lifetime, not across table
+    // generations.
+    epochs.remove(key)
     tables.put(key, State(schema, Array.empty))
+  }
   def exists(key: String): Boolean = tables.containsKey(key)
   def drop(key: String): Boolean = { epochs.remove(key); tables.remove(key) != null }
   def names(catalog: String): Array[String] =
@@ -190,13 +195,17 @@ object GraftMemStore {
       State(schema, base ++ rows)
     })
 
-  /** Streaming-epoch ledger: returns true exactly once per (table, epoch)
-    * — the idempotence gate a re-delivered micro-batch hits. Dropped with
-    * the table, so a replaced table starts a fresh epoch history. */
-  private val epochs = new ConcurrentHashMap[String, java.util.Set[java.lang.Long]]()
-  def beginEpoch(key: String, epochId: Long): Boolean =
-    epochs.computeIfAbsent(key, _ => ConcurrentHashMap.newKeySet[java.lang.Long]())
-      .add(epochId)
+  /** Streaming-epoch ledger: returns true exactly once per (table,
+    * query, epoch) — the idempotence gate a re-delivered micro-batch
+    * hits. Tokens carry the QUERY id, not just the epoch: epoch ids
+    * restart at 0 for every new streaming query, so a table-only ledger
+    * would silently swallow a SECOND query's first batches as "replays"
+    * of the first query's (r11 review finding). Dropped with the table,
+    * so a replaced table starts a fresh history. */
+  private val epochs = new ConcurrentHashMap[String, java.util.Set[String]]()
+  def beginEpoch(key: String, epochToken: String): Boolean =
+    epochs.computeIfAbsent(key, _ => ConcurrentHashMap.newKeySet[String]())
+      .add(epochToken)
   def clearEpochs(key: String): Unit = epochs.remove(key)
 }
 
@@ -210,12 +219,12 @@ class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWr
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(key)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftMemWriteBuilder(key, info.schema())
+    new GraftMemWriteBuilder(key, info.schema(), info.queryId())
 }
 
 // ---------------------------------------------------------------- write
 
-class GraftMemWriteBuilder(key: String, schema: StructType)
+class GraftMemWriteBuilder(key: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -223,7 +232,12 @@ class GraftMemWriteBuilder(key: String, schema: StructType)
     override def description(): String =
       s"GraftMemWrite $key truncate=$truncateFirst"
     override def toBatch: BatchWrite = new GraftMemBatchWrite(key, schema, truncateFirst)
-    override def toStreaming: StreamingWrite = new GraftMemStreamingWrite(key, schema)
+    // truncate flows through (r11 review finding): a Complete-output-mode
+    // stream calls truncate() before toStreaming, and each epoch must
+    // REPLACE the table's contents, not append full state on top of the
+    // previous epoch's.
+    override def toStreaming: StreamingWrite =
+      new GraftMemStreamingWrite(key, schema, queryId, truncateFirst)
   }
 }
 
@@ -258,7 +272,9 @@ class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean
   * idempotent streaming sink implements (the V2-protocol twin of
   * `stream_idempotent_sink`'s foreachBatch marker files). Task-level
   * staging and atomicity are identical to the batch path. */
-class GraftMemStreamingWrite(key: String, schema: StructType) extends StreamingWrite {
+class GraftMemStreamingWrite(key: String, schema: StructType,
+                             queryId: String, truncateEachEpoch: Boolean = false)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val batchFactory = new GraftMemWriterFactory(schema)
     new StreamingDataWriterFactory {
@@ -267,10 +283,14 @@ class GraftMemStreamingWrite(key: String, schema: StructType) extends StreamingW
     }
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    if (GraftMemStore.beginEpoch(key, epochId)) {
+    // Ledger token = (query, epoch): epoch ids restart per query, so the
+    // query id is what separates "this batch already ran" (a replay —
+    // swallow) from "a NEW query's batch 0 against the same table"
+    // (legitimate — apply).
+    if (GraftMemStore.beginEpoch(key, s"$queryId#$epochId")) {
       val rows = messages.collect { case m: GraftMemTaskCommit => m }
         .sortBy(_.partitionId).flatMap(_.rows)
-      GraftMemStore.publish(key, schema, rows, truncate = false)
+      GraftMemStore.publish(key, schema, rows, truncate = truncateEachEpoch)
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

@@ -137,6 +137,19 @@ object GraftRangeTable {
     case "val" => (id * id) % 1000003
     case "tag" => TAGS((id % 5).toInt)
   }
+
+  /** A single-name reference to a DECLARED schema column, or None. The
+    * one resolver every pushdown surface (agg/topN in the builder,
+    * runtime predicates in the scan) shares — unsupported or unknown
+    * shapes fall back to Spark's own operators, which is always correct,
+    * merely less pushed. The schema-membership guard is load-bearing:
+    * without it a metadata or synthetic reference could be consumed by
+    * span/partition arithmetic that only knows the four data columns. */
+  private[sources] def colRef(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 &&
+      SCHEMA.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
+    case _ => None
+  }
 }
 
 /** One pushed aggregate call: `kind` ∈ count_star|count|sum|min|max,
@@ -237,15 +250,7 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** A single-name column reference into the generated schema, or None —
-    * every pushdown below refuses anything it can't resolve this way, so
-    * unsupported shapes fall back to Spark's own operators (always
-    * correct, merely less pushed). */
-  private def colRef(e: V2Expression): Option[String] = e match {
-    case r: NamedReference if r.fieldNames.length == 1 &&
-      GraftRangeTable.SCHEMA.fieldNames.contains(r.fieldNames.head) => Some(r.fieldNames.head)
-    case _ => None
-  }
+  private def colRef(e: V2Expression): Option[String] = GraftRangeTable.colRef(e)
 
   /** Partial aggregate pushdown. Spark only calls this when ALL filters
     * were consumed (zero residuals) and the plan is Aggregate directly
@@ -420,10 +425,7 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
         Some((spanBuckets.count(runtimeBuckets.get.contains), spanBuckets.length))
     }
   }
-  private def colRef(e: V2Expression): Option[String] = e match {
-    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
-    case _ => None
-  }
+  private def colRef(e: V2Expression): Option[String] = GraftRangeTable.colRef(e)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)

@@ -241,6 +241,48 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("GraftRangeSource: random OFFSET/LIMIT/TopN pages obey the range() reference (r11 pushdown)") {
+    // The pushed row-count operators are span arithmetic; their contract:
+    //  - OFFSET is fully consumed (Spark drops the node), so an
+    //    offset-only read is EXACTLY the ids ≥ lo+o.
+    //  - LIMIT is partial: Spark keeps GlobalLimit, so the count is
+    //    exactly min(l, remaining) and every id is from the filtered span
+    //    past the offset (which n ids is LIMIT's freedom, not a bug).
+    //  - TopN is the exact k extreme ids (id is tie-free).
+    val rows = 400L
+    val bounds = for {
+      lo <- Gen.chooseNum(0L, 410L); span <- Gen.chooseNum(0L, 410L)
+    } yield (lo, math.min(rows, lo + span))
+    for ((lo, hi) <- samples(bounds, 8)) {
+      val span = math.max(0L, hi - lo)
+      def base = s.read.format("graft.sources.GraftRangeSource")
+        .option("rows", rows).option("slices", 3).load()
+        .filter(col("id") >= lo && col("id") < hi)
+      for (o <- Seq(0, 7, 1000); l <- Seq(0, 13, 1000)) {
+        val avail = math.max(0L, span - o)
+        // offset-only: exact suffix of the span
+        val offIds = base.offset(o).collect().map(_.getLong(0)).sorted.toSeq
+        assert(offIds == (lo + o).min(hi).until(hi),
+          s"[$lo,$hi) offset $o: got ${offIds.take(5)}…")
+        // offset+limit: exact count, ids inside the suffix, no duplicates
+        val page = base.offset(o).limit(l).collect().map(_.getLong(0)).toSeq
+        assert(page.length == math.min(l.toLong, avail),
+          s"[$lo,$hi) offset $o limit $l: ${page.length} rows")
+        assert(page.distinct.length == page.length &&
+          page.forall(id => id >= lo + o && id < hi))
+        // topN both directions: the exact extreme set, in order
+        val top = base.orderBy(col("id").desc).limit(l)
+          .collect().map(_.getLong(0)).toSeq
+        assert(top == (math.max(lo, hi - l) until hi).reverse.map(identity),
+          s"[$lo,$hi) top $l desc: got ${top.take(5)}…")
+        val bot = base.orderBy(col("id")).limit(l)
+          .collect().map(_.getLong(0)).toSeq
+        assert(bot == (lo until math.min(hi, lo + l)),
+          s"[$lo,$hi) top $l asc: got ${bot.take(5)}…")
+      }
+    }
+  }
+
   test("SimHash: shared-token documents get closer signatures than disjoint ones") {
     // Run the declared simhash construction over a synthetic corpus: doc 0/1
     // share 9 of 10 tokens, doc 2 is disjoint; hamming(0,1) < hamming(0,2).

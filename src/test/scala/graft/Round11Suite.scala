@@ -82,8 +82,12 @@ class Round11Suite extends AnyFunSuite {
         ((col("id") * col("id")) % 1000003).as("val"),
         element_at(array(lit("a"), lit("b"), lit("c"), lit("d"), lit("e")),
           (col("id") % 5 + 1).cast("int")).as("tag"))
+    // avg is the rewrite case: with partial pushdown Spark decomposes it
+    // to Sum+Count BEFORE translating, so the source only ever sees the
+    // shapes it supports — and the final divide happens Spark-side.
     val aggs = Seq(count(lit(1)).as("c"), sum("id").as("si"), sum("val").as("sv"),
-      min("val").as("mnv"), max("val").as("mxv"), min("tag").as("mnt"), max("tag").as("mxt"))
+      min("val").as("mnv"), max("val").as("mxv"), min("tag").as("mnt"), max("tag").as("mxt"),
+      avg("val").as("av"))
     for (keys <- Seq(Seq("bucket"), Seq("tag"), Seq("bucket", "tag"), Seq.empty)) {
       def run(src: org.apache.spark.sql.DataFrame) = {
         val g = if (keys.isEmpty) src.groupBy() else src.groupBy(keys.map(col): _*)
@@ -305,7 +309,7 @@ class Round11Suite extends AnyFunSuite {
     val key = "t11cat.epochs"
     GraftMemStore.drop(key)
     GraftMemStore.create(key, schema)
-    val sw = new GraftMemStreamingWrite(key, schema)
+    val sw = new GraftMemStreamingWrite(key, schema, queryId = "q1")
     def msg(v: Long) = {
       val w = new GraftMemWriterFactory(schema).createWriter(0, 0L)
       w.write(new GenericInternalRow(Array[Any](v)))
@@ -325,6 +329,22 @@ class Round11Suite extends AnyFunSuite {
     sw.commit(2L, Array(msg(30L)))
     assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L, 30L),
       "an aborted epoch id must remain committable")
+    // A SECOND query appending to the same table restarts epoch ids at 0;
+    // the ledger is (query, epoch)-scoped, so its batches must APPLY, not
+    // be swallowed as replays of q1's epochs (r11 review finding).
+    val sw2 = new GraftMemStreamingWrite(key, schema, queryId = "q2")
+    sw2.commit(0L, Array(msg(40L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(10L, 20L, 30L, 40L),
+      "a new query's epoch 0 was mistaken for the old query's replay")
+    // Complete-output-mode shape: truncate-per-epoch REPLACES contents
+    // each epoch (full-state semantics), replay still swallowed.
+    val swC = new GraftMemStreamingWrite(key, schema, queryId = "q3",
+      truncateEachEpoch = true)
+    swC.commit(0L, Array(msg(100L)))
+    swC.commit(1L, Array(msg(200L)))
+    swC.commit(1L, Array(msg(999L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(200L),
+      "complete-mode epoch must replace, and its replay must be a no-op")
     GraftMemStore.drop(key)
 
     // End to end: the declared op's multi-epoch stream must equal the

@@ -26,10 +26,16 @@ sf1_path, sf10_path = sys.argv[1], sys.argv[2]
 inflate = float(sys.argv[3]) if len(sys.argv) > 3 else 32 / 24
 floor = 0.5
 
-q1 = json.load(open(sf1_path))["queries"]
-q10 = json.load(open(sf10_path))["queries"]
-common = sorted(set(q1) & set(q10))
-missing = sorted(set(q1) - set(q10))
+d1 = json.load(open(sf1_path))
+d10 = json.load(open(sf10_path))
+q1, q10 = d1["queries"], d10["queries"]
+# A crashed op's map entry is its throw time, not a query time — Bench
+# reports the failure in "errors". Classifying a crash's milliseconds
+# would file a hard scale FAILURE under 'sub-linear', the exact opposite
+# of this tool's purpose: surface them as their own adjudication bucket.
+crashed = sorted((set(d1.get("errors", {})) | set(d10.get("errors", {}))) & (set(q1) | set(q10)))
+common = sorted((set(q1) & set(q10)) - set(crashed))
+missing = sorted(set(q1) - set(q10) - set(crashed))
 
 lin = 10 * inflate
 buckets = {"overhead": [], "sub": [], "linear": [], "loglin": [], "over": []}
@@ -50,6 +56,8 @@ for k in common:
         buckets["over"].append((k, a, b, r))
 
 print(f"ops compared: {len(common)}  (sf1-only, excluded from sf10 leg: {len(missing)}: {','.join(missing)})")
+if crashed:
+    print(f"CRASHED in a leg -- adjudicate first, not classified: {len(crashed)}: {','.join(crashed)}")
 print(f"linear line: 10x data x {inflate:.3f} core inflation = {lin:.1f}x\n")
 for name, label in [("overhead", "fixed-cost (<0.5 s both scales)"),
                     ("sub", "sub-linear (<=3x)"),
