@@ -357,6 +357,42 @@ class Round11Suite extends AnyFunSuite {
     assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
   }
 
+  test("streaming Complete mode through the V2 sink: each epoch REPLACES the table (truncate reaches StreamingWrite)") {
+    // The real-engine twin of the unit-level truncate-per-epoch check: a
+    // Complete-output-mode aggregation calls WriteBuilder.truncate()
+    // before toStreaming, and every epoch must publish the FULL current
+    // state in place of the previous epoch's — append here would
+    // duplicate each group once per micro-batch (the r11 review finding).
+    val sp = s.newSession(); import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    sp.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+    sp.sql("DROP TABLE IF EXISTS graftmem.cmp_mode")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_cmp_mode_ck"
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("v", "g")
+      .groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .toTable("graftmem.cmp_mode")
+    try {
+      mem.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      val e1 = sp.table("graftmem.cmp_mode").orderBy("g").collect().map(_.toString).toSeq
+      assert(e1 == Seq("[a,2,3]", "[b,1,3]"), s"epoch 1 state wrong: $e1")
+      mem.addData((4L, "b"), (5L, "c"))
+      q.processAllAvailable()
+      // Replaced, not appended: one row per group with TOTAL counts.
+      val e2 = sp.table("graftmem.cmp_mode").orderBy("g").collect().map(_.toString).toSeq
+      assert(e2 == Seq("[a,2,3]", "[b,2,7]", "[c,1,5]"),
+        s"epoch 2 must replace epoch 1's full state, got: $e2")
+    } finally q.stop()
+    sp.sql("DROP TABLE IF EXISTS graftmem.cmp_mode")
+  }
+
   test("RangeJoin: two consumers of one build side share ONE BroadcastExchange in the final plan") {
     // r10 verdict #3: the exec declares BroadcastDistribution, so exchange
     // reuse must actually engage when the same build side feeds two range
