@@ -184,10 +184,12 @@ object Scans {
     // WriterCommitMessage → ONE driver-side commit publishing all
     // partitions atomically (abort publishes nothing) — the
     // staged-then-manifest shape every transactional 100 TB sink
-    // follows. The written table is the 25-row nation dim (fixed
-    // cardinality at EVERY scale factor — the in-memory fixture's
-    // payload-in-message transport is only honest for bounded dims; a
-    // durable sink stages to storage and ships manifests). Read-back
+    // follows. Since r12 the staging is literal: each task STREAMS its
+    // rows to a file on the shared filesystem and the commit message is
+    // an O(1) manifest (partition, path, count) — honest at any row
+    // count (Round12Suite pushes a corpus-sized frame through and
+    // bounds the message bytes). The declared op writes the 25-row
+    // nation dim (fixed cardinality at every SF). Read-back
     // goes through the catalog's loadTable + a pruning scan, so the
     // round trip exercises both protocol directions; the oracle computes
     // the same aggregate straight from the parquet tables — parity
@@ -205,6 +207,49 @@ object Scans {
         .agg(count(lit(1)).as("n"), min("n_name").as("first_nation"),
           max("n_name").as("last_nation"))
         .orderBy("r_name")
+    }),
+
+    // Row-level operations through the V2 catalog (r12): MERGE INTO
+    // against a GraftMemCatalog table, planned by Spark as a GROUP-BASED
+    // ReplaceData rewrite (SupportsRowLevelOperations →
+    // GraftMemRowLevelOperation: scan the affected group, compute
+    // survivors + updates + inserts, replace the group in one atomic
+    // commit) — the planned-V2 answer to sink_upsert's full-outer-join
+    // emulation. The changelog derives from customer with ONE source row
+    // per key (the MERGE cardinality contract): DELETE keys ≡0 (mod 13),
+    // UPDATE +100.00 for the remaining ≡0 (mod 10), INSERT fresh
+    // NEGATIVE keys (−k−1, disjoint at every SF) for ≡0 (mod 100).
+    // Census reads OFF the post-MERGE table, so parity proves the
+    // planned rewrite's semantics equal the declarative emulation's.
+    // Plan shape (ReplaceData + one group-scan) is pinned in
+    // Round12Suite together with DELETE and UPDATE through the same
+    // machinery. Scale: the rewrite shuffles once on the join key; group
+    // replacement is the copy-on-write shape a partitioned durable table
+    // bounds per partition (class doc in MemSink.scala).
+    "sink_v2_merge" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val t = s"merge_tgt_${Math.abs(d.hashCode)}"
+      customer(s, d)
+        .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("bal"))
+        .writeTo(s"graftmem.$t").createOrReplace()
+      customer(s, d)
+        .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (money(col("c_acctbal")) + 10000L).as("bal"))
+        .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
+          .select((-col("c_custkey") - 1L).as("k"), lit("I").as("op"),
+            lit(0L).as("bal")))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(s"""MERGE INTO graftmem.$t t USING graft_merge_src s ON t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET bal = s.bal
+                WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
+      s.table(s"graftmem.$t")
+        .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents_sum"),
+          sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
+          min("k").as("min_k"), max("k").as("max_k"))
     }),
 
     // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
@@ -1034,6 +1079,20 @@ object Scans {
                  CAST(sum(CASE WHEN bal_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
                  CAST(sum(COALESCE(bal_cents, 0)) AS BIGINT) AS bal_cents_sum
           FROM m GROUP BY 1 ORDER BY 1""",
+    // The MERGE emulated declaratively: survivors (non-deleted) with the
+    // update applied, plus the inserted negative keys — parity against
+    // the post-MERGE table census proves the planned ReplaceData rewrite.
+    "sink_v2_merge" ->
+      s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
+               merged AS (
+                 SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
+                 FROM base WHERE k % 13 <> 0
+                 UNION ALL
+                 SELECT -k - 1 AS k, 0 AS bal FROM base WHERE k % 100 = 0)
+          SELECT count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents_sum,
+                 CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                 min(k) AS min_k, max(k) AS max_k
+          FROM merged""",
     "sink_upsert" ->
       s"""WITH base AS (SELECT c_custkey AS b_k, ${moneySql("c_acctbal")} AS b_bal FROM customer),
                upd AS (SELECT c_custkey AS u_k, ${moneySql("c_acctbal")} + 10000 AS u_bal

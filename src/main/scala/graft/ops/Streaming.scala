@@ -504,6 +504,42 @@ object Streaming {
         .orderBy("event_type")
     }),
 
+    // The custom V2 streaming SOURCE (r12, the read-side twin of
+    // stream_dsv2_sink and the last DSv2 rung): GraftRangeSource's
+    // MicroBatchStream admits the 60k-row generated relation in
+    // batchRows=20000 offset spans — Trigger.AvailableNow pins the drain
+    // target (SupportsTriggerAvailableNow), admission control caps each
+    // epoch (ReadLimit.maxRows), and ≥3 epochs flow through the V2
+    // streaming WRITE into a GraftMemCatalog table. Offsets checkpoint as
+    // plain high-water ids; a replanned (start, end] span regenerates
+    // identical rows by id arithmetic — the restart-recovery contract,
+    // kill/replay-tested in StreamingSuite (Round12). The oracle
+    // re-derives the census from DuckDB range(): parity proves no offset
+    // span lost, none double-admitted across the epoch boundaries.
+    "stream_dsv2_source" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val tag = Math.abs(d.hashCode).toString
+      val ckpt = tmpDir(d, "dsv2src_ck")
+      val fs = new Path(ckpt).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(ckpt), true)
+      s.sql(s"DROP TABLE IF EXISTS graftmem.rng_$tag")
+      val q = s.readStream.format("graft.sources.GraftRangeSource")
+        .option("rows", "60000").option("slices", "6")
+        .option("batchRows", "20000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graftmem.rng_$tag")
+      q.awaitTermination()
+      s.table(s"graftmem.rng_$tag")
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("tag")
+    }),
+
     // What mapGroupsWithState accumulates per user: running sum of `value`
     // in event-time order.
     "stream_stateful_running" -> ((s, d) => {
@@ -680,6 +716,17 @@ object Streaming {
           FROM (SELECT $tsS AS ts_s, event_type, ${moneySql("value")} AS cents
                 FROM events)
           GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // The generated relation re-derived from DuckDB range() (the
+    // scan_dsv2_* convention): parity across the epoch boundaries is the
+    // exactly-once claim for the streaming SOURCE.
+    "stream_dsv2_source" ->
+      """WITH t AS (SELECT range AS id,
+                           (range * range) % 1000003 AS val,
+                           ['a','b','c','d','e'][CAST(range % 5 AS INT) + 1] AS tag
+                    FROM range(60000))
+         SELECT tag, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
+                min(id) AS min_id, max(id) AS max_id
+         FROM t GROUP BY tag ORDER BY tag""",
     // The stream is a pass-through into the sink; the oracle is the same
     // census straight off events — exactly-once across epochs is the claim.
     "stream_dsv2_sink" ->

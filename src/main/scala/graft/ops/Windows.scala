@@ -215,40 +215,48 @@ object Windows {
     }),
 
     // Global percent_rank/cume_dist WITHOUT a single-partition global
-    // window: the two-pass bucketed rank. Values are bucketed by a
-    // deterministic function of the value (width_bucket over the broadcast
-    // min/max), per-bucket value-counts aggregate in parallel, bucket
-    // offsets (one number per bucket — metadata-sized) merge on the driver,
-    // and each bucket's groupSorted cumsum runs distributed. percent_rank =
-    // count_lt/(N−1) and cume_dist = count_le/N — the same double divisions
-    // the engines' native window functions perform, so results are
-    // bit-identical to the declarative form at any partition count.
+    // window: the two-pass bucketed rank. Values convert to exact integer
+    // cents (money is monotone and injective on the 2-decimal price
+    // domain, so cent-ranks ARE price-ranks), buckets are `cents div
+    // 100000` ($1000 ranges — the Shared.bucketedPdisc convention), so a
+    // bucket holds AT MOST 100,000 distinct values BY CONSTRUCTION (r11
+    // verdict #6: the old 64 equi-width buckets bounded per-task state
+    // only by the price distribution; a hot bucket on a bell curve
+    // concentrated). Per-bucket value-counts aggregate in parallel,
+    // bucket offsets (one number per bucket — the bucket count is bounded
+    // by the value DOMAIN, ~550 for the TPC-H price range, not by the
+    // corpus) merge on the driver, and each bucket's sorted cumsum runs
+    // distributed over structurally bounded arrays. percent_rank =
+    // count_lt/(N−1) and cume_dist = count_le/N — the same double
+    // divisions the engines' native window functions perform, so results
+    // are bit-identical to the declarative form at any partition count.
     "win_percent" -> ((s, d) => {
       val sp = s; import sp.implicits._
       val o = orders(s, d)
-      val nBkt = 64
-      val stats = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
-        count(lit(1)).as("n_tot"))
-      // pass 1: per-(bucket, value) counts — one partial-aggregated shuffle.
-      val bv = o.crossJoin(broadcast(stats))
-        .select(expr(s"width_bucket(o_totalprice, lo, hi + 1.0, $nBkt)").as("bkt"),
-          col("o_totalprice").as("v"))
-        .groupBy("bkt", "v").agg(count(lit(1)).as("c"))
-      // bucket totals: nBkt numbers to the driver (metadata, not data).
+      val stats = o.agg(count(lit(1)).as("n_tot"))
+      // pass 1: per-(bucket, cents) counts — one partial-aggregated shuffle.
+      val bv = o.select(money(col("o_totalprice")).as("cents"))
+        .withColumn("bkt", expr("cents div 100000"))
+        .groupBy("bkt", "cents").agg(count(lit(1)).as("c"))
+      // bucket totals: value-domain-bounded numbers to the driver
+      // (metadata, not data — within PlanAuditSuite's collect budget).
       val totals = bv.groupBy("bkt").agg(sum("c").as("t")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val offsets = (1L to nBkt).map(b => b -> (1L until b).map(totals.getOrElse(_, 0L)).sum).toMap
+      val sortedBkts = totals.keys.toSeq.sorted
+      val offsets = sortedBkts.zip(sortedBkts.scanLeft(0L)((acc, b) => acc + totals(b))).toMap
       val bcOff = s.sparkContext.broadcast(offsets)
-      // pass 2: per-bucket in-memory value sort + running offset (bucket
-      // sizes are bounded by the value-range split, independent of N's
-      // partitioning; bv is deterministic so its recompute here is safe).
-      val ranks = bv.as[(Long, Double, Long)].groupByKey(_._1)
+      // pass 2: per-bucket in-memory value sort + running offset (≤100k
+      // (cents, count) entries per task by the div-100000 split; bv is
+      // deterministic so its recompute here is safe).
+      val ranks = bv.as[(Long, Long, Long)].groupByKey(_._1)
         .flatMapGroups { (b, it) =>
           val arr = it.toArray.sortBy(_._2)
           var lt = bcOff.value(b)
           arr.iterator.map { case (_, v, c) => val r = (v, lt, lt + c); lt += c; r }
-        }.toDF("v", "lt", "le")
-      o.join(ranks, col("o_totalprice") === col("v")).crossJoin(broadcast(stats))
+        }.toDF("cents", "lt", "le")
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          money(col("o_totalprice")).as("cents"))
+        .join(ranks, "cents").crossJoin(broadcast(stats))
         .select(col("o_orderkey"), col("o_totalprice"),
           d4(col("lt").cast("double") / (col("n_tot") - 1).cast("double")).as("pct_rank"),
           d4(col("le").cast("double") / col("n_tot").cast("double")).as("cdist"))

@@ -2,17 +2,16 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsRead, SupportsWrite, Table, TableCatalog, TableChange, TableCapability}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCatalog, TableChange, TableCapability}
 import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,18 +32,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * `writeTo` + catalog can, through createTable).
   *
   * The commit protocol is the part that matters at 100 TB: each task
-  * STAGES its rows privately and returns them inside its
-  * WriterCommitMessage; nothing becomes visible until the driver's
-  * single `commit(messages)` publishes all partitions atomically
-  * (task retries/speculation are already de-duplicated upstream by
-  * Spark's commit coordinator — `useCommitCoordinator` stays true).
-  * A failed job calls `abort` and the store never sees a row — the
+  * STREAMS its rows to a private staging file on the shared filesystem
+  * (r12 — java.io.tmpdir standing in for the HDFS/S3 staging prefix)
+  * and returns only an O(1) MANIFEST (partition, path, row count) in
+  * its WriterCommitMessage; nothing becomes visible until the driver's
+  * single `commit(messages)` reads the manifests and publishes all
+  * partitions atomically (task retries/speculation are already
+  * de-duplicated upstream by Spark's commit coordinator —
+  * `useCommitCoordinator` stays true). A failed job calls `abort`,
+  * which deletes the staged files and the store never sees a row — the
   * staged-then-manifest shape every transactional sink (Iceberg-style
-  * table formats, two-phase file sinks) follows. In this in-memory
-  * fixture the staged payload rides the commit message itself, which is
-  * only honest for BOUNDED tables (the declared op writes the 25-row
-  * nation dim — fixed cardinality at every SF); a durable sink would
-  * stage rows to storage per task and send back only the manifest.
+  * table formats, two-phase file sinks) follows, now honest at any
+  * row count: task memory is O(1) (rows stream to disk as written) and
+  * commit-message size is O(1) (Round12Suite writes a corpus-sized
+  * frame through the staged path and asserts both).
   * Values are deep-copied to JVM-native types at write time (UTF8String
   * buffers are reused by Spark between `write(row)` calls — storing the
   * raw row would alias dead memory).
@@ -188,6 +189,17 @@ object GraftMemStore {
       .map(_.stripPrefix(catalog + ".")).toArray.sorted
   def schema(key: String): StructType = tables.get(key).schema
   def rows(key: String): Array[Array[Any]] = tables.get(key).rows
+  /** ONE atomic (schema, rows) snapshot (r11 advice): scan planning must
+    * not read schema and rows through two separate map lookups — a
+    * concurrent createOrReplace between them could pair the new schema
+    * with the old rows (mis-mapped fieldIndex) or NPE on a dropped table.
+    * State is immutable, so the single get IS the snapshot. */
+  def snapshot(key: String): (StructType, Array[Array[Any]]) = {
+    val st = tables.get(key)
+    if (st == null)
+      throw new NoSuchTableException(Identifier.of(Array.empty, key))
+    (st.schema, st.rows)
+  }
   def publish(key: String, schema: StructType, rows: Array[Array[Any]],
               truncate: Boolean): Unit =
     tables.compute(key, (_, prev) => {
@@ -209,17 +221,94 @@ object GraftMemStore {
   def clearEpochs(key: String): Unit = epochs.remove(key)
 }
 
-class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWrite {
+class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   override def name(): String = key
   override def schema(): StructType = GraftMemStore.schema(key)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
+  /** `_group` = the replacement-group ordinal of the row — the provenance
+    * column group-based row-level operations carry from scan to write
+    * (the role `_file`/`_partition` plays for a file-backed table). This
+    * single-snapshot store is one group, so the value is constantly 0;
+    * what matters is the PROTOCOL: declaring it as the operation's
+    * required metadata makes Spark thread a metadata projection through
+    * the MERGE rewrite, and the per-row write then receives (metadata,
+    * data) with the data row projected to the table schema. Hidden from
+    * SELECT *; costs nothing unless resolved by name. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(new MetadataColumn {
+    override def name(): String = "_group"
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "replacement-group ordinal (always 0: the whole table is one atomic group)"
+  })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(key)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMemWriteBuilder(key, info.schema(), info.queryId())
+  /** Row-level operations (r12): DELETE / UPDATE / MERGE INTO planned as
+    * V2 operations instead of DataFrame emulations. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftMemRowLevelOperation(key, info.command())
+    }
+}
+
+/** GROUP-BASED row-level operation (r12 — Spark 4's
+  * `SupportsRowLevelOperations`, the planned-MERGE answer to the
+  * DataFrame-level emulations `sink_upsert`/`sink_cdc_apply`): the
+  * analyzer rewrites DELETE/UPDATE/MERGE INTO against this table into a
+  * ReplaceData plan — scan the affected groups through THIS operation's
+  * scan, compute the surviving + updated + inserted rows, and hand them
+  * to THIS operation's write, which replaces those groups atomically.
+  *
+  * Group granularity is the operation's one real design decision. This
+  * store is a single atomic snapshot, so the whole table is ONE group:
+  * `requiredMetadataAttributes` is empty (no per-row group id needed),
+  * the scan reads everything, and the write publishes with
+  * truncate=true — the rewritten content REPLACES the table in one
+  * commit-swap, the same all-or-nothing visibility the batch write path
+  * already guarantees. A partitioned durable table would instead expose
+  * its partition value as a metadata column and replace only the
+  * partitions the scan touched (the Iceberg copy-on-write shape); the
+  * protocol seam is identical, only the group domain changes. Runtime
+  * group filtering (Spark's candidate-group subquery) composes with
+  * either — with one group it is a no-op by construction.
+  *
+  * The MERGE cardinality check (one source row per target row) and the
+  * rewrite plan itself stay Spark's job — the connector only declares
+  * scan+write, which is exactly the division of labor that keeps the
+  * operation correct under AQE, speculation, and task retry. */
+class GraftMemRowLevelOperation(key: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftMemRowLevelOperation[$cmd] $key"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMemScanBuilder(key)
+  /** The group id must ride from scan to write (the Iceberg `_file`
+    * shape). This is ALSO what makes Spark apply its row projection
+    * before the write: ReplaceDataExec only wraps rows through
+    * DataAndMetadataWritingSparkTask (which strips the internal
+    * __row_operation column and splits (metadata, data)) when the
+    * operation declares metadata attributes — without one, the raw
+    * MergeRows output (operation column included) would reach the
+    * DataWriter unprojected. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new Write {
+      override def description(): String = s"GraftMemReplaceData[$cmd] $key"
+      // truncate=true IS the group replacement for a one-group table:
+      // the commit atomically swaps the old content for the rewrite.
+      override def toBatch: BatchWrite =
+        new GraftMemBatchWrite(key, info.schema(), truncateFirst = true)
+    }
+  }
 }
 
 // ---------------------------------------------------------------- write
@@ -241,27 +330,67 @@ class GraftMemWriteBuilder(key: String, schema: StructType, queryId: String)
   }
 }
 
-/** One task's staged rows. partitionId keeps the published order
+/** One task's commit MANIFEST (r12 — file-backed staging, r11 verdict
+  * #8): the staged rows live in `path` on the shared filesystem; the
+  * message carries only (partition, path, row count) — O(1) regardless
+  * of how many rows the task wrote, which is what makes the protocol
+  * honest at corpus scale (the r11 payload-in-message transport was
+  * documented bounded-dim-only). partitionId keeps the published order
   * deterministic across commit-message arrival order. */
-case class GraftMemTaskCommit(partitionId: Int, rows: Array[Array[Any]])
+case class GraftMemStagedCommit(partitionId: Int, path: String, nRows: Long)
     extends WriterCommitMessage
+
+/** Staging-file codec: each task streams its deep-copied rows to one
+  * file under the staging root (java.io.tmpdir — the local stand-in for
+  * the HDFS/S3 staging prefix a durable sink would use; in local mode
+  * tasks and driver genuinely share it, which is the same visibility
+  * contract). Task memory stays O(1): rows append to the stream as they
+  * arrive, never buffered whole. Speculative twins write DIFFERENT
+  * files (uuid-named); only the attempt Spark's commit coordinator
+  * admits reaches the driver commit — the loser's abort deletes its
+  * own file. */
+private[graft] object GraftMemStaging {
+  private val root = {
+    val r = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_memsink_stage")
+    java.nio.file.Files.createDirectories(r)
+    r
+  }
+  def newPath(): String =
+    root.resolve(java.util.UUID.randomUUID().toString + ".bin").toString
+  def read(path: String, nRows: Long): Array[Array[Any]] = {
+    // a zero-row task stages no file at all — its manifest is pure form
+    if (nRows == 0L) return Array.empty
+    val in = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try Array.fill(nRows.toInt)(in.readObject().asInstanceOf[Array[Any]])
+    finally in.close()
+  }
+  def delete(path: String): Unit = {
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path)); ()
+  }
+}
 
 class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftMemWriterFactory(schema)
   /** The atomic publish: until this runs, no reader can see any staged
-    * row; after it, every partition is visible. Sorting by partitionId
-    * makes the stored order a pure function of the input, not of which
-    * task's message arrived first. */
+    * row; after it, every partition is visible. The driver reads each
+    * manifest's staged file in partitionId order (the stored order is a
+    * pure function of the input, not of message arrival), swaps the
+    * table in one reference write, then deletes the staging files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.collect { case m: GraftMemTaskCommit => m }
-      .sortBy(_.partitionId).flatMap(_.rows)
+    val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
+    val rows = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
     GraftMemStore.publish(key, schema, rows, truncateFirst)
+    ms.foreach(m => GraftMemStaging.delete(m.path))
   }
-  /** Nothing was published, so aborting is free — the staged rows die
-    * with the messages. */
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Nothing was published; aborting deletes the staged files so a
+    * failed job leaves no garbage behind. */
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftMemStagedCommit => m }
+      .foreach(m => GraftMemStaging.delete(m.path))
 }
 
 /** The STREAMING side of the protocol: one commit per micro-batch EPOCH.
@@ -286,29 +415,49 @@ class GraftMemStreamingWrite(key: String, schema: StructType,
     // Ledger token = (query, epoch): epoch ids restart per query, so the
     // query id is what separates "this batch already ran" (a replay —
     // swallow) from "a NEW query's batch 0 against the same table"
-    // (legitimate — apply).
+    // (legitimate — apply). Checkpoint-stability of the query id across
+    // restarts is pinned by Round12Suite's restart test. A swallowed
+    // replay still deletes its staged files — the replay's tasks wrote
+    // fresh staging data that must not leak.
+    val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
     if (GraftMemStore.beginEpoch(key, s"$queryId#$epochId")) {
-      val rows = messages.collect { case m: GraftMemTaskCommit => m }
-        .sortBy(_.partitionId).flatMap(_.rows)
+      val rows = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
       GraftMemStore.publish(key, schema, rows, truncate = truncateEachEpoch)
     }
+    ms.foreach(m => GraftMemStaging.delete(m.path))
   }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftMemStagedCommit => m }
+      .foreach(m => GraftMemStaging.delete(m.path))
 }
 
 class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val types = schema.fields.map(_.dataType)
     new DataWriter[InternalRow] {
-      private val buf = ArrayBuffer.empty[Array[Any]]
+      // File-backed staging (r12): rows STREAM to the task's staging file
+      // as they arrive — task memory is O(1), the commit message is the
+      // O(1) manifest, and abort deletes the file. Stream opened lazily
+      // so a task that writes nothing stages nothing.
+      private var path: String = _
+      private var out: java.io.ObjectOutputStream = _
+      private var n = 0L
+      private def stream(): java.io.ObjectOutputStream = {
+        if (out == null) {
+          path = GraftMemStaging.newPath()
+          out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(path)))
+        }
+        out
+      }
       override def write(row: InternalRow): Unit = {
-        val out = new Array[Any](types.length)
+        val vals = new Array[Any](types.length)
         var i = 0
         while (i < types.length) {
           // Deep copy to JVM-native values: InternalRow (and its
           // UTF8String fields) may be a reused buffer owned by the
           // upstream operator.
-          out(i) = if (row.isNullAt(i)) null else types(i) match {
+          vals(i) = if (row.isNullAt(i)) null else types(i) match {
             case LongType => row.getLong(i)
             case IntegerType => row.getInt(i)
             case DoubleType => row.getDouble(i)
@@ -318,11 +467,20 @@ class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
           }
           i += 1
         }
-        buf += out
+        val s = stream()
+        s.writeObject(vals)
+        // keep the stream's back-reference table from pinning every row
+        s.reset()
+        n += 1
       }
-      override def commit(): WriterCommitMessage =
-        GraftMemTaskCommit(partitionId, buf.toArray)
-      override def abort(): Unit = buf.clear()
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        GraftMemStagedCommit(partitionId,
+          if (path == null) GraftMemStaging.newPath() else path, n)
+      }
+      override def abort(): Unit = {
+        if (out != null) { out.close(); GraftMemStaging.delete(path) }
+      }
       override def close(): Unit = ()
     }
   }
@@ -350,9 +508,13 @@ class GraftMemScan(key: String, required: StructType) extends Scan with Batch {
     * the reader, so a 1-column read of a 5-column table materializes one
     * value per row. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val schema = GraftMemStore.schema(key)
-    val idx = required.fieldNames.map(schema.fieldIndex)
-    val rows = GraftMemStore.rows(key)
+    // One atomic snapshot for BOTH schema and rows (r11 advice): the
+    // fieldIndex mapping below must be computed against the exact
+    // generation of the table the row chunks come from. `_group` is the
+    // metadata column (index sentinel -1): not stored per row — the
+    // reader synthesizes the group ordinal (0, one-group table).
+    val (schema, rows) = GraftMemStore.snapshot(key)
+    val idx = required.fieldNames.map(n => if (n == "_group") -1 else schema.fieldIndex(n))
     val slices = math.min(4, math.max(1, rows.length))
     (0 until slices).flatMap { i =>
       val a = rows.length * i / slices
@@ -379,7 +541,9 @@ class GraftMemReaderFactory(required: StructType) extends PartitionReaderFactory
         val out = new GenericInternalRow(p.columns.length)
         var c = 0
         while (c < p.columns.length) {
-          val v = src(p.columns(c))
+          // -1 = the _group metadata column (not stored): ordinal 0, the
+          // single replacement group this snapshot store forms.
+          val v = if (p.columns(c) == -1) 0L else src(p.columns(c))
           out.update(c, types(c) match {
             case StringType if v != null => UTF8String.fromString(v.asInstanceOf[String])
             case _ => v

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,10 +101,12 @@ class GraftRangeSource extends TableProvider {
     val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
     val partBy = Option(properties.get("partitionBy")).map(_.toLowerCase)
+    val batchRows = Option(properties.get("batchRows")).map(_.toLong).getOrElse(0L)
     require(rows >= 0 && rows < 3000000000L, s"rows=$rows outside [0, 3e9) — val math must stay BIGINT-exact")
     require(slices > 0, s"slices=$slices must be positive")
     require(partBy.forall(_ == "bucket"), s"partitionBy=${partBy.get} unsupported — only 'bucket'")
-    new GraftRangeTable(rows, slices, partBy.contains("bucket"))
+    require(batchRows >= 0, s"batchRows=$batchRows must be non-negative (0 = all available per batch)")
+    new GraftRangeTable(rows, slices, partBy.contains("bucket"), batchRows)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -176,12 +179,13 @@ private[sources] case class PushedAgg(groupCols: Seq[String], funcs: Seq[PushedA
       })
 }
 
-class GraftRangeTable(rows: Long, slices: Int, partitionByBucket: Boolean = false)
+class GraftRangeTable(rows: Long, slices: Int, partitionByBucket: Boolean = false,
+                      batchRows: Long = 0L)
     extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft_range($rows)"
   override def schema(): StructType = GraftRangeTable.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   /** Metadata column (r11): `_slice` is the input-partition ordinal that
     * generated the row (the bucket value under partitionBy=bucket) — the
     * V2 twin of parquet's _metadata.file provenance columns. Hidden from
@@ -199,11 +203,11 @@ class GraftRangeTable(rows: Long, slices: Int, partitionByBucket: Boolean = fals
     // columnar=true opts into the vectorized ColumnarBatch read path (r10
     // verdict #2); row-oriented InternalRows remain the default.
     new GraftRangeScanBuilder(rows, slices, options.getBoolean("columnar", false),
-      partitionByBucket)
+      partitionByBucket, batchRows)
 }
 
 class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
-                            partitionByBucket: Boolean = false)
+                            partitionByBucket: Boolean = false, batchRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownOffset {
@@ -279,12 +283,20 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
   // are exact no matter how the span splits into partitions.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
 
+  // topN vs limit/offset mutual exclusion (r11 advice): Spark's current
+  // pushdown rule never offers both, but the span arithmetic in build()
+  // composes them in a fixed topN→offset→limit order — if a future rule
+  // DID push OFFSET together with a DESC topN, the offset would skip from
+  // the low end of the topN span while being reported consumed: silently
+  // wrong rows. Refusing the second pushdown keeps the unsupported combo
+  // on Spark's own operators, which is always correct.
   override def pushLimit(l: Int): Boolean =
-    if (agg.isDefined) false else { limit = Some(l); true }
+    if (agg.isDefined || topN.isDefined) false else { limit = Some(l); true }
   override def pushOffset(o: Int): Boolean =
-    if (agg.isDefined) false else { offset = Some(o); true }
+    if (agg.isDefined || topN.isDefined) false else { offset = Some(o); true }
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
-    if (agg.isDefined || orders.length != 1) return false
+    if (agg.isDefined || limit.isDefined || offset.isDefined || orders.length != 1)
+      return false
     colRef(orders(0).expression()) match {
       case Some("id") =>
         topN = Some((orders(0).direction == SortDirection.DESCENDING, n)); true
@@ -304,8 +316,8 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
     // Span arithmetic for the pushed row-count operators. Generation order
     // IS id order, so: top-n asc = first n of span, top-n desc = last n;
     // offset skips from the low end; limit caps from the (possibly
-    // offset) low end. topN and limit/offset never co-occur (different
-    // plan shapes — Spark pushes one or the other).
+    // offset) low end. topN and limit/offset cannot co-occur — the push
+    // methods above refuse the second one (guarded, not assumed).
     topN.foreach { case (desc, n) =>
       if (desc) l = math.max(l, h - n) else h = math.min(h, l + n)
     }
@@ -314,7 +326,7 @@ class GraftRangeScanBuilder(rows: Long, slices: Int, columnar: Boolean = false,
     new GraftRangeScan(l, h, slices, agg.map(_.schema).getOrElse(required), accepted,
       columnar, agg, partitionByBucket,
       topN.map { case (d, n) => s"${if (d) "id DESC" else "id ASC"} LIMIT $n" },
-      limit, offset)
+      limit, offset, batchRows)
   }
 }
 
@@ -325,7 +337,8 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
                      partitionByBucket: Boolean = false,
                      pushedTopN: Option[String] = None,
                      pushedLimit: Option[Int] = None,
-                     pushedOffset: Option[Int] = None)
+                     pushedOffset: Option[Int] = None,
+                     batchRows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   import GraftRangeTable.BUCKETS
@@ -337,6 +350,13 @@ class GraftRangeScan(lo: Long, hi: Long, slices: Int,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** The READ side of the streaming DSv2 ladder (r12 — the write side is
+    * GraftMemStreamingWrite): the same generated relation exposed as a
+    * micro-batch stream. The span the batch pushdown narrowed is exactly
+    * the span the stream admits incrementally — filters/column pruning
+    * compose with streaming for free. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftRangeMicroBatchStream(lo, hi, slices, batchRows, required)
 
   /** Shown in `.explain()` on the BatchScan node — the plan-audit hook:
     * the narrowed span proves the filters reached the source, ReadSchema
@@ -604,4 +624,113 @@ class GraftRangeReaderFactory(required: StructType, columnar: Boolean,
       override def close(): Unit = batch.close()
     }
   }
+}
+
+/** Streaming offset for the range stream: the HIGH-WATER id — every id in
+  * [span lo, id) has been admitted to some micro-batch. The JSON codec is
+  * the decimal id itself, so a checkpoint written by one run restores
+  * byte-identically in the next (restart recovery is offset arithmetic,
+  * nothing else). */
+case class GraftRangeOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+object GraftRangeMicroBatchStream {
+  /** Driver-side test observability (the lastRuntimePrune convention):
+    * every planned epoch's [start, end) span and every committed offset,
+    * appended under a lock on the DRIVER (MicroBatchStream methods are
+    * driver-only by contract). Never read by operator code; tests assert
+    * epoch counts, replay determinism, and commit monotonicity. */
+  private val lock = new Object
+  private var planned0: List[(Long, Long)] = Nil
+  private var committed0: List[Long] = Nil
+  def recordPlan(span: (Long, Long)): Unit = lock.synchronized { planned0 ::= span }
+  def recordCommit(id: Long): Unit = lock.synchronized { committed0 ::= id }
+  def planned: List[(Long, Long)] = lock.synchronized(planned0.reverse)
+  def committed: List[Long] = lock.synchronized(committed0.reverse)
+  def reset(): Unit = lock.synchronized { planned0 = Nil; committed0 = Nil }
+}
+
+/** SURVEY.md §2.I `stream_dsv2_source` — the custom V2 streaming SOURCE
+  * (r11 verdict #1, the one missing DSv2 rung): the generated range
+  * relation admitted to Structured Streaming one offset span at a time.
+  *
+  * Protocol mapping, each piece the driver's streaming engine calls:
+  *  - Offset = [[GraftRangeOffset]] (high-water id). `initialOffset` = the
+  *    pushdown-narrowed span's lo; `deserializeOffset` restores a
+  *    checkpointed high-water on restart — the recovery contract: a batch
+  *    whose offsets were logged but whose commit was lost is REPLANNED
+  *    from the same (start, end] pair and must produce identical rows,
+  *    which the deterministic id arithmetic guarantees by construction.
+  *  - [[SupportsAdmissionControl]]: `batchRows` (option) caps rows per
+  *    micro-batch via ReadLimit.maxRows — maxRowsPerTrigger for this
+  *    source; 0 = drain everything in one batch. latestOffset advances
+  *    min(cap, start + maxRows) and MUST be repeatable between epochs —
+  *    it reads only immutable span state.
+  *  - [[SupportsTriggerAvailableNow]]: prepareForTriggerAvailableNow
+  *    pins the drain target at the CURRENT high end (for this static
+  *    relation, hi) — AvailableNow then runs ≥⌈span/batchRows⌉ epochs
+  *    and terminates exactly when the pinned target is reached.
+  *  - planInputPartitions(start, end) slices the epoch's span into the
+  *    same contiguous GraftRangePartitions the batch path plans, and
+  *    createReaderFactory reuses the batch row reader VERBATIM — one
+  *    reader implementation serves both execution modes, the property
+  *    that keeps batch/stream parity trivially true at any scale.
+  *  - commit(end) is the engine's "epoch end is durable" callback —
+  *    recorded for test observability; a real source would trim its
+  *    upstream retention (e.g. acknowledge a log) here.
+  *
+  * Scale: state is TWO longs (high-water + drain target); each epoch's
+  * work is proportional to its admitted span; partition-parallel within
+  * the epoch via the same slicing as batch. No driver materialization.
+  */
+class GraftRangeMicroBatchStream(lo: Long, hi: Long, slices: Int, batchRows: Long,
+                                 required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  /** AvailableNow drain target, pinned before the run starts; for the
+    * static range relation the latest available id is always hi. */
+  @volatile private var drainTarget: Long = hi
+
+  override def initialOffset(): Offset = GraftRangeOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    GraftRangeOffset(json.trim.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    if (batchRows > 0) ReadLimit.maxRows(batchRows) else ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit = drainTarget = hi
+
+  // With SupportsAdmissionControl the engine calls the 2-arg form; the
+  // 0-arg form existing in parallel is a trap the interface documents.
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the live path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftRangeOffset].id
+    val cap = drainTarget
+    val next = limit match {
+      case r: ReadMaxRows => math.min(cap, s + r.maxRows())
+      // allAvailable / minRows / composite: drain to the pinned target —
+      // correctness never depends on the admission granularity.
+      case _ => cap
+    }
+    GraftRangeOffset(math.max(s, next))
+  }
+  override def reportLatestOffset(): Offset = GraftRangeOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftRangeOffset].id
+    val b = end.asInstanceOf[GraftRangeOffset].id
+    GraftRangeMicroBatchStream.recordPlan((a, b))
+    val n = math.max(0L, b - a)
+    if (n == 0) Array.empty
+    else (0 until slices).flatMap { i =>
+      val x = a + n * i / slices
+      val y = a + n * (i + 1) / slices
+      if (y > x) Some(GraftRangePartition(x, y, i)) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftRangeReaderFactory(required, columnar = false)
+  override def commit(end: Offset): Unit =
+    GraftRangeMicroBatchStream.recordCommit(end.asInstanceOf[GraftRangeOffset].id)
+  override def stop(): Unit = ()
 }

@@ -219,15 +219,21 @@ class Round11Suite extends AnyFunSuite {
     // Atomic publish, partition order deterministic regardless of message order.
     bw.commit(Array(m1, m0))
     assert(stored.map(_.toSeq).toSeq == Seq(Seq(1L, "a"), Seq(2L, "b")))
-    // Abort path publishes nothing.
+    // Abort path publishes nothing — and destroys the staged file, so an
+    // aborted message can never be replayed into a later commit (r12
+    // file-backed staging: abort is destructive by design).
     val wA = new GraftMemWriterFactory(schema).createWriter(0, 2L)
     wA.write(new GenericInternalRow(Array[Any](9L, UTF8String.fromString("z"))))
-    val mA = wA.commit()
+    val mA = wA.commit().asInstanceOf[GraftMemStagedCommit]
     new GraftMemBatchWrite("t11cat.proto", schema, truncateFirst = false).abort(Array(mA))
     assert(stored.length == 2, "abort must not publish staged rows")
+    assert(!new java.io.File(mA.path).exists(), "abort must delete the staged file")
     // Truncate (the overwrite/createOrReplace path) replaces, append extends.
+    val wT = new GraftMemWriterFactory(schema).createWriter(0, 3L)
+    wT.write(new GenericInternalRow(Array[Any](9L, UTF8String.fromString("z"))))
+    val mT = wT.commit()
     val bwT = new GraftMemBatchWrite("t11cat.proto", schema, truncateFirst = true)
-    bwT.commit(Array(mA))
+    bwT.commit(Array(mT))
     assert(stored.map(_.toSeq).toSeq == Seq(Seq(9L, "z")))
     // Unsupported codec types are rejected at createTable, not at runtime.
     intercept[IllegalArgumentException] {
