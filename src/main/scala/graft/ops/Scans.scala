@@ -252,6 +252,42 @@ object Scans {
           min("k").as("min_k"), max("k").as("max_k"))
     }),
 
+    // The DELTA-BASED half of row-level operations (r12): the same MERGE
+    // against a `rowlevel=delta` table plans as WriteDelta — the write
+    // receives a per-row changelog (delete/update/insert keyed by the
+    // `_rowpos` snapshot row id) instead of a whole-group rewrite. This
+    // is the merge-on-read shape (positional deletes + data appends):
+    // only CHANGED rows cross the write boundary, the right trade at
+    // 100 TB when the touched fraction is small, where group replacement
+    // pays for every row the group holds. Identical changelog and census
+    // as sink_v2_merge, so the two strategies' parity against one oracle
+    // is itself the cross-check that ReplaceData and WriteDelta agree.
+    "sink_v2_merge_delta" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val t = s"merge_delta_tgt_${Math.abs(d.hashCode)}"
+      customer(s, d)
+        .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("bal"))
+        .writeTo(s"graftmem.$t").tableProperty("rowlevel", "delta").createOrReplace()
+      customer(s, d)
+        .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (money(col("c_acctbal")) + 10000L).as("bal"))
+        .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
+          .select((-col("c_custkey") - 1L).as("k"), lit("I").as("op"),
+            lit(0L).as("bal")))
+        .createOrReplaceTempView("graft_merge_delta_src")
+      s.sql(s"""MERGE INTO graftmem.$t t USING graft_merge_delta_src s ON t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET bal = s.bal
+                WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
+      s.table(s"graftmem.$t")
+        .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents_sum"),
+          sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
     // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
     // stats are fed to the optimizer through the supported channel — a
     // managed catalog copy + ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS —
@@ -1083,6 +1119,19 @@ object Scans {
     // update applied, plus the inserted negative keys — parity against
     // the post-MERGE table census proves the planned ReplaceData rewrite.
     "sink_v2_merge" ->
+      s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
+               merged AS (
+                 SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
+                 FROM base WHERE k % 13 <> 0
+                 UNION ALL
+                 SELECT -k - 1 AS k, 0 AS bal FROM base WHERE k % 100 = 0)
+          SELECT count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents_sum,
+                 CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                 min(k) AS min_k, max(k) AS max_k
+          FROM merged""",
+    // Same emulation as sink_v2_merge: the WriteDelta strategy must land
+    // on the identical final state as the ReplaceData strategy.
+    "sink_v2_merge_delta" ->
       s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
                merged AS (
                  SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal

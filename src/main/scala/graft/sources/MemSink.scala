@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Meta
 import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,7 +76,7 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
     schema.fields.foreach(f => require(GraftMemStore.supported(f.dataType),
       s"${f.name}: ${f.dataType.simpleString} outside the supported codec " +
         "(long/int/double/string/boolean) — widen GraftMemStore.supported + the copyIn/copyOut arms together"))
-    GraftMemStore.create(key(ident), schema)
+    GraftMemStore.create(key(ident), schema, properties.asScala.toMap)
     new GraftMemTable(key(ident))
   }
   override def dropTable(ident: Identifier): Boolean = GraftMemStore.drop(key(ident))
@@ -168,20 +168,24 @@ class GraftSumSqFunction extends AggregateFunction[java.lang.Long, java.lang.Lon
   * Rows are immutable snapshots; `publish` swaps the whole array in one
   * reference write, so readers never observe a half-committed table. */
 object GraftMemStore {
-  private case class State(schema: StructType, rows: Array[Array[Any]])
+  private case class State(schema: StructType, rows: Array[Array[Any]],
+                           props: Map[String, String] = Map.empty)
   private val tables = new ConcurrentHashMap[String, State]()
 
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType => true
     case _ => false
   }
-  def create(key: String, schema: StructType): Unit = {
+  def create(key: String, schema: StructType,
+             props: Map[String, String] = Map.empty): Unit = {
     // A (re)created table starts a fresh epoch history — the ledger
     // guards replays WITHIN a query's lifetime, not across table
     // generations.
     epochs.remove(key)
-    tables.put(key, State(schema, Array.empty))
+    tables.put(key, State(schema, Array.empty, props))
   }
+  def props(key: String): Map[String, String] =
+    Option(tables.get(key)).map(_.props).getOrElse(Map.empty)
   def exists(key: String): Boolean = tables.containsKey(key)
   def drop(key: String): Boolean = { epochs.remove(key); tables.remove(key) != null }
   def names(catalog: String): Array[String] =
@@ -204,7 +208,7 @@ object GraftMemStore {
               truncate: Boolean): Unit =
     tables.compute(key, (_, prev) => {
       val base = if (truncate || prev == null) Array.empty[Array[Any]] else prev.rows
-      State(schema, base ++ rows)
+      State(schema, base ++ rows, if (prev == null) Map.empty else prev.props)
     })
 
   /** Streaming-epoch ledger: returns true exactly once per (table,
@@ -238,24 +242,37 @@ class GraftMemTable(key: String) extends Table with SupportsRead with SupportsWr
     * the MERGE rewrite, and the per-row write then receives (metadata,
     * data) with the data row projected to the table schema. Hidden from
     * SELECT *; costs nothing unless resolved by name. */
-  override def metadataColumns(): Array[MetadataColumn] = Array(new MetadataColumn {
-    override def name(): String = "_group"
-    override def dataType(): DataType = LongType
-    override def isNullable: Boolean = false
-    override def comment(): String =
-      "replacement-group ordinal (always 0: the whole table is one atomic group)"
-  })
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_group"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "replacement-group ordinal (always 0: the whole table is one atomic group)"
+    },
+    new MetadataColumn {
+      override def name(): String = "_rowpos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row position in the committed snapshot — the delta-mode row id"
+    })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(key)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftMemWriteBuilder(key, info.schema(), info.queryId())
   /** Row-level operations (r12): DELETE / UPDATE / MERGE INTO planned as
-    * V2 operations instead of DataFrame emulations. */
+    * V2 operations instead of DataFrame emulations. Two strategies, both
+    * real Spark plans — the table property `rowlevel=delta` selects the
+    * WriteDelta path (per-row changelog keyed by `_rowpos`), anything
+    * else the group-based ReplaceData rewrite. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftMemRowLevelOperation(key, info.command())
+        if (GraftMemStore.props(key).get("rowlevel").contains("delta"))
+          new GraftMemDeltaOperation(key, info.command())
+        else new GraftMemRowLevelOperation(key, info.command())
     }
 }
 
@@ -307,6 +324,126 @@ class GraftMemRowLevelOperation(key: String, cmd: RowLevelOperation.Command)
       // the commit atomically swaps the old content for the rewrite.
       override def toBatch: BatchWrite =
         new GraftMemBatchWrite(key, info.schema(), truncateFirst = true)
+    }
+  }
+}
+
+/** DELTA-BASED row-level operation (r12, the other half of the
+  * protocol): instead of rewriting whole groups, the write receives a
+  * PER-ROW changelog — `delete(meta, id)`, `update(meta, id, row)`,
+  * `insert(row)` — keyed by the `rowId()` attributes, here the
+  * `_rowpos` metadata column (the snapshot-stable position the scan
+  * synthesizes). Spark plans WriteDelta instead of ReplaceData: only
+  * CHANGED rows cross the write boundary, the shape a merge-on-read
+  * table format ships (positional delete files + data files) and the
+  * right trade at 100 TB when the touched fraction is small — group
+  * replacement rewrites everything the group holds, delta writes pay
+  * per changed row. Selected per table via `rowlevel=delta`.
+  *
+  * Each task streams its changelog entries (op, rowpos, values) to a
+  * staging file through the same manifest transport as the data path;
+  * the driver commit applies all changelogs positionally against the
+  * current snapshot in one compute-swap: deletes drop, updates replace
+  * in place, inserts append in (partition, arrival) order. Update
+  * arrives as a single callback (representUpdateAsDeleteAndInsert stays
+  * false), so a MERGE update never risks the delete-half committing
+  * without its insert-half. */
+class GraftMemDeltaOperation(key: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftMemDeltaOperation[$cmd] $key"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMemScanBuilder(key)
+  override def rowId(): Array[NamedReference] = Array(Expressions.column("_rowpos"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_group"))
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def description(): String = s"GraftMemDeltaWrite[$cmd] $key"
+        override def toBatch: DeltaBatchWrite = new GraftMemDeltaBatchWrite(key)
+      }
+    }
+}
+
+class GraftMemDeltaBatchWrite(key: String) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftMemDeltaWriterFactory(GraftMemStore.schema(key))
+  /** Apply every task's changelog against the CURRENT snapshot in one
+    * atomic swap: positional deletes/updates first (order-free — each
+    * position is touched by at most one changelog entry, the row-id
+    * contract), then inserts appended in (partitionId, write order). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
+    val entries = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
+    val (schema, base) = GraftMemStore.snapshot(key)
+    val deleted = new java.util.HashSet[Long]()
+    val updated = new java.util.HashMap[Long, Array[Any]]()
+    val inserts = Array.newBuilder[Array[Any]]
+    entries.foreach { e =>
+      e(0).asInstanceOf[String] match {
+        case "D" => deleted.add(e(1).asInstanceOf[Long]); ()
+        case "U" => updated.put(e(1).asInstanceOf[Long], e(2).asInstanceOf[Array[Any]]); ()
+        case "I" => inserts += e(2).asInstanceOf[Array[Any]]
+      }
+    }
+    val next = base.indices.iterator.filterNot(i => deleted.contains(i.toLong))
+      .map(i => Option(updated.get(i.toLong)).getOrElse(base(i)))
+      .toArray ++ inserts.result()
+    GraftMemStore.publish(key, schema, next, truncate = true)
+    ms.foreach(m => GraftMemStaging.delete(m.path))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftMemStagedCommit => m }
+      .foreach(m => GraftMemStaging.delete(m.path))
+}
+
+class GraftMemDeltaWriterFactory(schema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val types = schema.fields.map(_.dataType)
+    new DeltaWriter[InternalRow] {
+      private var path: String = _
+      private var out: java.io.ObjectOutputStream = _
+      private var n = 0L
+      private def emit(entry: Array[Any]): Unit = {
+        if (out == null) {
+          path = GraftMemStaging.newPath()
+          out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(path)))
+        }
+        out.writeObject(entry); out.reset(); n += 1
+      }
+      private def copyVals(row: InternalRow): Array[Any] = {
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = if (row.isNullAt(i)) null else types(i) match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i)
+            case DoubleType => row.getDouble(i)
+            case BooleanType => row.getBoolean(i)
+            case StringType => row.getUTF8String(i).toString
+            case dt => throw new IllegalStateException(s"unsupported codec type $dt")
+          }
+          i += 1
+        }
+        vals
+      }
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        emit(Array[Any]("D", id.getLong(0), null))
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        emit(Array[Any]("U", id.getLong(0), copyVals(row)))
+      override def insert(row: InternalRow): Unit =
+        emit(Array[Any]("I", null, copyVals(row)))
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        GraftMemStagedCommit(partitionId,
+          if (path == null) GraftMemStaging.newPath() else path, n)
+      }
+      override def abort(): Unit = {
+        if (out != null) { out.close(); GraftMemStaging.delete(path) }
+      }
+      override def close(): Unit = ()
     }
   }
 }
@@ -510,23 +647,30 @@ class GraftMemScan(key: String, required: StructType) extends Scan with Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     // One atomic snapshot for BOTH schema and rows (r11 advice): the
     // fieldIndex mapping below must be computed against the exact
-    // generation of the table the row chunks come from. `_group` is the
-    // metadata column (index sentinel -1): not stored per row — the
-    // reader synthesizes the group ordinal (0, one-group table).
+    // generation of the table the row chunks come from. The metadata
+    // columns are index sentinels, not stored per row: -1 = `_group`
+    // (the reader synthesizes the group ordinal — 0, one-group table),
+    // -2 = `_rowpos` (the chunk's start offset + local index — the
+    // snapshot-stable row id delta operations key on).
     val (schema, rows) = GraftMemStore.snapshot(key)
-    val idx = required.fieldNames.map(n => if (n == "_group") -1 else schema.fieldIndex(n))
+    val idx = required.fieldNames.map {
+      case "_group" => -1
+      case "_rowpos" => -2
+      case n => schema.fieldIndex(n)
+    }
     val slices = math.min(4, math.max(1, rows.length))
     (0 until slices).flatMap { i =>
       val a = rows.length * i / slices
       val b = rows.length * (i + 1) / slices
-      if (b > a) Some(GraftMemPartition(rows.slice(a, b), idx)) else None
+      if (b > a) Some(GraftMemPartition(rows.slice(a, b), idx, a.toLong)) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMemReaderFactory(required)
 }
 
-case class GraftMemPartition(rows: Array[Array[Any]], columns: Array[Int])
+case class GraftMemPartition(rows: Array[Array[Any]], columns: Array[Int],
+                             startPos: Long = 0L)
     extends InputPartition
 
 class GraftMemReaderFactory(required: StructType) extends PartitionReaderFactory {
@@ -541,9 +685,14 @@ class GraftMemReaderFactory(required: StructType) extends PartitionReaderFactory
         val out = new GenericInternalRow(p.columns.length)
         var c = 0
         while (c < p.columns.length) {
-          // -1 = the _group metadata column (not stored): ordinal 0, the
-          // single replacement group this snapshot store forms.
-          val v = if (p.columns(c) == -1) 0L else src(p.columns(c))
+          // Metadata sentinels (not stored): -1 = _group (ordinal 0, the
+          // single replacement group this snapshot store forms), -2 =
+          // _rowpos (snapshot-stable row id = chunk start + local index).
+          val v = p.columns(c) match {
+            case -1 => 0L
+            case -2 => p.startPos + i
+            case ci => src(ci)
+          }
           out.update(c, types(c) match {
             case StringType if v != null => UTF8String.fromString(v.asInstanceOf[String])
             case _ => v

@@ -160,6 +160,50 @@ class Round12Suite extends AnyFunSuite {
       s"MERGE census $r != emulation census $w")
   }
 
+  test("sink_v2_merge_delta: MERGE on a rowlevel=delta table plans as WriteDelta and equals the group-based result") {
+    val s = sp.newSession()
+    s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+    // plan shape: delta strategy → WriteDelta, not ReplaceData
+    s.sql("DROP TABLE IF EXISTS graftmem.delta_plan_t")
+    s.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .writeTo("graftmem.delta_plan_t").tableProperty("rowlevel", "delta").createOrReplace()
+    s.range(5, 15).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .createOrReplaceTempView("delta_plan_src")
+    val planText = s.sql(
+      """EXPLAIN EXTENDED MERGE INTO graftmem.delta_plan_t t USING delta_plan_src s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(planText.contains("WriteDelta"),
+      s"delta-mode MERGE did not plan as WriteDelta:\n${planText.take(2000)}")
+    assert(!planText.contains("ReplaceData"), "delta-mode MERGE fell back to group replacement")
+    // semantics: the delta strategy must land on the identical census as
+    // the group-based strategy on the same changelog
+    val delta = SparkEntry.queries("sink_v2_merge_delta")(sp, sf).collect().head
+    val group = SparkEntry.queries("sink_v2_merge")(sp, sf).collect().head
+    assert((0 to 4).forall(i => delta.getLong(i) == group.getLong(i)),
+      s"WriteDelta census $delta != ReplaceData census $group")
+  }
+
+  test("delta table: positional DELETE and UPDATE through the changelog path") {
+    val s = sp.newSession()
+    s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+    s.sql("DROP TABLE IF EXISTS graftmem.delta_dml_t")
+    s.range(0, 100).select(col("id").as("k"), (col("id") % 10).as("v"))
+      .writeTo("graftmem.delta_dml_t").tableProperty("rowlevel", "delta").createOrReplace()
+    val delPlan = s.sql("EXPLAIN DELETE FROM graftmem.delta_dml_t WHERE v = 3")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(delPlan.contains("WriteDelta"), s"delta DELETE not planned as WriteDelta:\n$delPlan")
+    s.sql("DELETE FROM graftmem.delta_dml_t WHERE v = 3")
+    assert(s.table("graftmem.delta_dml_t").count() == 90L)
+    s.sql("UPDATE graftmem.delta_dml_t SET v = v + 100 WHERE k < 10")
+    assert(s.table("graftmem.delta_dml_t").filter(col("v") >= 100).count() == 9L)
+    assert(s.table("graftmem.delta_dml_t").count() == 90L)
+    // untouched rows kept their values — the positional apply didn't smear
+    assert(s.table("graftmem.delta_dml_t").filter(col("k") === 57).collect()
+      .head.getLong(1) == 7L)
+  }
+
   test("DELETE FROM and UPDATE plan through the same row-level machinery") {
     val s = sp.newSession()
     s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
