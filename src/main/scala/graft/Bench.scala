@@ -111,6 +111,8 @@ object Bench {
     allPasses.zipWithIndex.foreach { case (rs, i) =>
       println(s"""{"pass":${i + 1},"queries":${qJson(rs)},"sf":"$sfDir"}""")
     }
+    // One Map per pass, built once (the filters below all look up by name).
+    val passMaps = allPasses.map(_.toMap)
     // Adaptive re-time (r10 verdict #1, second leg): an op whose timed
     // passes disagree by >25% was plausibly co-scheduled against a heavy
     // neighbor in its FASTER pass too — give it one more sample and keep
@@ -121,7 +123,7 @@ object Bench {
     val unstable =
       if (passes < 2) Seq.empty
       else selected.filter { case (name, _) =>
-        val ts = allPasses.map(_.toMap.apply(name))
+        val ts = passMaps.map(_.apply(name))
         !errors.contains(name) && ts.min >= 0.15 && ts.max > ts.min * (1 + spreadCut)
       }
     // Mid-band hardening (r11 verdict #7): an op co-scheduled against the
@@ -137,7 +139,7 @@ object Bench {
     val bandRetime =
       if (passes < 2 || sys.env.get("SPARK_GRAFT_BAND_RETIME").contains("0")) Seq.empty
       else selected.filter { case (name, _) =>
-        val mn = allPasses.map(_.toMap.apply(name)).min
+        val mn = passMaps.map(_.apply(name)).min
         !errors.contains(name) && mn >= 0.5 && mn <= 3.0
       }
     val toRetime = (unstable ++ bandRetime).distinctBy(_._1)
@@ -170,7 +172,7 @@ object Bench {
       }
     val retimedMap = retimed.toMap
     val best = selected.map { case (name, _) =>
-      name -> (allPasses.map(_.toMap.apply(name)) ++ retimedMap.get(name)).min
+      name -> (passMaps.map(_.apply(name)) ++ retimedMap.get(name)).min
     }
     val passTotals = allPasses.map(_.map(_._2).sum)
     // Failed queries are excluded from the reported total — a crash time is

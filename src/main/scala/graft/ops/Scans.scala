@@ -16,6 +16,69 @@ object Scans {
   private def tmpDir(d: String, fmt: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$fmt${Math.abs(d.hashCode)}"
 
+  /** The shared MERGE-INTO changelog contract for BOTH row-level
+    * strategies (one definition, so a one-sided edit cannot silently
+    * break the cross-strategy parity): a GraftMemCatalog target built
+    * from customer, merged with a one-row-per-key changelog (the MERGE
+    * cardinality contract) — DELETE keys ≡0 (mod 13), UPDATE +100.00
+    * for the remaining ≡0 (mod 10), INSERT fresh NEGATIVE keys (−k−1,
+    * disjoint at every SF) for ≡0 (mod 100) — then a census off the
+    * post-MERGE table. `delta=false` leaves the table on the GROUP-BASED
+    * ReplaceData path (copy-on-write: scan the group, rewrite survivors
+    * + updates + inserts, replace atomically); `delta=true` creates the
+    * table with rowlevel=delta, planning the same statement as
+    * WriteDelta (merge-on-read: per-row changelog keyed by the _rowpos
+    * row id — only CHANGED rows cross the write boundary, the right
+    * trade at 100 TB when the touched fraction is small, where group
+    * replacement pays for every row the group holds). Identical census
+    * + one shared oracle make the two ops' parity the cross-check that
+    * ReplaceData and WriteDelta agree; plan shapes and row-level
+    * DELETE/UPDATE semantics are pinned in Round12Suite. Scale: the
+    * rewrite shuffles once on the join key; strategy docs in
+    * MemSink.scala. */
+  private def v2MergeOp(delta: Boolean): Q = (s0, d) => {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+    val mode = if (delta) "delta" else "group"
+    val t = s"merge_${mode}_tgt_${Math.abs(d.hashCode)}"
+    val w = customer(s, d)
+      .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("bal"))
+      .writeTo(s"graftmem.$t")
+    (if (delta) w.tableProperty("rowlevel", "delta") else w).createOrReplace()
+    customer(s, d)
+      .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (money(col("c_acctbal")) + 10000L).as("bal"))
+      .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
+        .select((-col("c_custkey") - 1L).as("k"), lit("I").as("op"),
+          lit(0L).as("bal")))
+      .createOrReplaceTempView(s"graft_merge_${mode}_src")
+    s.sql(s"""MERGE INTO graftmem.$t t USING graft_merge_${mode}_src s ON t.k = s.k
+              WHEN MATCHED AND s.op = 'D' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET bal = s.bal
+              WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
+    s.table(s"graftmem.$t")
+      .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents_sum"),
+        sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
+        min("k").as("min_k"), max("k").as("max_k"))
+  }
+
+  /** One oracle for both strategies: the declarative merge emulation —
+    * survivors (non-deleted) with the update applied, plus the inserted
+    * negative keys. */
+  private def v2MergeOracle: String =
+    s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
+             merged AS (
+               SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
+               FROM base WHERE k % 13 <> 0
+               UNION ALL
+               SELECT -k - 1 AS k, 0 AS bal FROM base WHERE k % 100 = 0)
+        SELECT count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents_sum,
+               CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+               min(k) AS min_k, max(k) AS max_k
+        FROM merged"""
+
   val ops: Map[String, Q] = Map(
     // Custom DataSource V2 connector (closes the r9 "last ladder rung"):
     // graft.sources.GraftRangeSource is a TableProvider with REAL filter
@@ -209,84 +272,12 @@ object Scans {
         .orderBy("r_name")
     }),
 
-    // Row-level operations through the V2 catalog (r12): MERGE INTO
-    // against a GraftMemCatalog table, planned by Spark as a GROUP-BASED
-    // ReplaceData rewrite (SupportsRowLevelOperations →
-    // GraftMemRowLevelOperation: scan the affected group, compute
-    // survivors + updates + inserts, replace the group in one atomic
-    // commit) — the planned-V2 answer to sink_upsert's full-outer-join
-    // emulation. The changelog derives from customer with ONE source row
-    // per key (the MERGE cardinality contract): DELETE keys ≡0 (mod 13),
-    // UPDATE +100.00 for the remaining ≡0 (mod 10), INSERT fresh
-    // NEGATIVE keys (−k−1, disjoint at every SF) for ≡0 (mod 100).
-    // Census reads OFF the post-MERGE table, so parity proves the
-    // planned rewrite's semantics equal the declarative emulation's.
-    // Plan shape (ReplaceData + one group-scan) is pinned in
-    // Round12Suite together with DELETE and UPDATE through the same
-    // machinery. Scale: the rewrite shuffles once on the join key; group
-    // replacement is the copy-on-write shape a partitioned durable table
-    // bounds per partition (class doc in MemSink.scala).
-    "sink_v2_merge" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
-      val t = s"merge_tgt_${Math.abs(d.hashCode)}"
-      customer(s, d)
-        .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("bal"))
-        .writeTo(s"graftmem.$t").createOrReplace()
-      customer(s, d)
-        .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 10 === 0)
-        .select(col("c_custkey").as("k"),
-          when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
-          (money(col("c_acctbal")) + 10000L).as("bal"))
-        .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
-          .select((-col("c_custkey") - 1L).as("k"), lit("I").as("op"),
-            lit(0L).as("bal")))
-        .createOrReplaceTempView("graft_merge_src")
-      s.sql(s"""MERGE INTO graftmem.$t t USING graft_merge_src s ON t.k = s.k
-                WHEN MATCHED AND s.op = 'D' THEN DELETE
-                WHEN MATCHED THEN UPDATE SET bal = s.bal
-                WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
-      s.table(s"graftmem.$t")
-        .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents_sum"),
-          sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
-          min("k").as("min_k"), max("k").as("max_k"))
-    }),
-
-    // The DELTA-BASED half of row-level operations (r12): the same MERGE
-    // against a `rowlevel=delta` table plans as WriteDelta — the write
-    // receives a per-row changelog (delete/update/insert keyed by the
-    // `_rowpos` snapshot row id) instead of a whole-group rewrite. This
-    // is the merge-on-read shape (positional deletes + data appends):
-    // only CHANGED rows cross the write boundary, the right trade at
-    // 100 TB when the touched fraction is small, where group replacement
-    // pays for every row the group holds. Identical changelog and census
-    // as sink_v2_merge, so the two strategies' parity against one oracle
-    // is itself the cross-check that ReplaceData and WriteDelta agree.
-    "sink_v2_merge_delta" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
-      val t = s"merge_delta_tgt_${Math.abs(d.hashCode)}"
-      customer(s, d)
-        .select(col("c_custkey").as("k"), money(col("c_acctbal")).as("bal"))
-        .writeTo(s"graftmem.$t").tableProperty("rowlevel", "delta").createOrReplace()
-      customer(s, d)
-        .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 10 === 0)
-        .select(col("c_custkey").as("k"),
-          when(col("c_custkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
-          (money(col("c_acctbal")) + 10000L).as("bal"))
-        .unionAll(customer(s, d).filter(col("c_custkey") % 100 === 0)
-          .select((-col("c_custkey") - 1L).as("k"), lit("I").as("op"),
-            lit(0L).as("bal")))
-        .createOrReplaceTempView("graft_merge_delta_src")
-      s.sql(s"""MERGE INTO graftmem.$t t USING graft_merge_delta_src s ON t.k = s.k
-                WHEN MATCHED AND s.op = 'D' THEN DELETE
-                WHEN MATCHED THEN UPDATE SET bal = s.bal
-                WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)""")
-      s.table(s"graftmem.$t")
-        .agg(count(lit(1)).as("n_rows"), sum("bal").as("bal_cents_sum"),
-          sum(when(col("k") < 0, 1L).otherwise(0L)).as("n_inserted"),
-          min("k").as("min_k"), max("k").as("max_k"))
-    }),
+    // Row-level operations through the V2 catalog (r12) — both MERGE
+    // strategies share one builder + one oracle (see v2MergeOp): the
+    // group-based ReplaceData rewrite and its delta-based WriteDelta
+    // twin.
+    "sink_v2_merge" -> (v2MergeOp(delta = false)),
+    "sink_v2_merge_delta" -> (v2MergeOp(delta = true)),
 
     // CBO statistics integration (closes the r7 "missing" #4): ANALYZE-grade
     // stats are fed to the optimizer through the supported channel — a
@@ -1118,30 +1109,11 @@ object Scans {
     // The MERGE emulated declaratively: survivors (non-deleted) with the
     // update applied, plus the inserted negative keys — parity against
     // the post-MERGE table census proves the planned ReplaceData rewrite.
-    "sink_v2_merge" ->
-      s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
-               merged AS (
-                 SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
-                 FROM base WHERE k % 13 <> 0
-                 UNION ALL
-                 SELECT -k - 1 AS k, 0 AS bal FROM base WHERE k % 100 = 0)
-          SELECT count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents_sum,
-                 CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-                 min(k) AS min_k, max(k) AS max_k
-          FROM merged""",
-    // Same emulation as sink_v2_merge: the WriteDelta strategy must land
-    // on the identical final state as the ReplaceData strategy.
-    "sink_v2_merge_delta" ->
-      s"""WITH base AS (SELECT c_custkey AS k, ${moneySql("c_acctbal")} AS bal FROM customer),
-               merged AS (
-                 SELECT k, CASE WHEN k % 10 = 0 THEN bal + 10000 ELSE bal END AS bal
-                 FROM base WHERE k % 13 <> 0
-                 UNION ALL
-                 SELECT -k - 1 AS k, 0 AS bal FROM base WHERE k % 100 = 0)
-          SELECT count(*) AS n_rows, CAST(sum(bal) AS BIGINT) AS bal_cents_sum,
-                 CAST(sum(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
-                 min(k) AS min_k, max(k) AS max_k
-          FROM merged""",
+    // One shared emulation for both strategies (see v2MergeOracle): the
+    // WriteDelta twin must land on the identical final state as the
+    // ReplaceData one.
+    "sink_v2_merge" -> v2MergeOracle,
+    "sink_v2_merge_delta" -> v2MergeOracle,
     "sink_upsert" ->
       s"""WITH base AS (SELECT c_custkey AS b_k, ${moneySql("c_acctbal")} AS b_bal FROM customer),
                upd AS (SELECT c_custkey AS u_k, ${moneySql("c_acctbal")} + 10000 AS u_bal

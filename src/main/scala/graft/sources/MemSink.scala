@@ -73,9 +73,16 @@ class GraftMemCatalog extends TableCatalog with FunctionCatalog {
                            properties: java.util.Map[String, String]): Table = {
     if (GraftMemStore.exists(key(ident)))
       throw new TableAlreadyExistsException(ident)
-    schema.fields.foreach(f => require(GraftMemStore.supported(f.dataType),
-      s"${f.name}: ${f.dataType.simpleString} outside the supported codec " +
-        "(long/int/double/string/boolean) — widen GraftMemStore.supported + the copyIn/copyOut arms together"))
+    schema.fields.foreach { f =>
+      require(GraftMemStore.supported(f.dataType),
+        s"${f.name}: ${f.dataType.simpleString} outside the supported codec " +
+          "(long/int/double/string/boolean) — widen GraftMemStore.supported + the shared codec arms together")
+      // r12 review fix: the scan resolves these names to synthesized
+      // metadata sentinels BEFORE the data schema — a stored column with
+      // either name would silently read the constant, so refuse it here.
+      require(f.name != "_group" && f.name != "_rowpos",
+        s"${f.name} is a reserved metadata column name on graft mem tables")
+    }
     GraftMemStore.create(key(ident), schema, properties.asScala.toMap)
     new GraftMemTable(key(ident))
   }
@@ -169,7 +176,8 @@ class GraftSumSqFunction extends AggregateFunction[java.lang.Long, java.lang.Lon
   * reference write, so readers never observe a half-committed table. */
 object GraftMemStore {
   private case class State(schema: StructType, rows: Array[Array[Any]],
-                           props: Map[String, String] = Map.empty)
+                           props: Map[String, String] = Map.empty,
+                           gen: Long = 0L)
   private val tables = new ConcurrentHashMap[String, State]()
 
   def supported(dt: DataType): Boolean = dt match {
@@ -208,8 +216,45 @@ object GraftMemStore {
               truncate: Boolean): Unit =
     tables.compute(key, (_, prev) => {
       val base = if (truncate || prev == null) Array.empty[Array[Any]] else prev.rows
-      State(schema, base ++ rows, if (prev == null) Map.empty else prev.props)
+      State(schema, base ++ rows, if (prev == null) Map.empty else prev.props,
+        if (prev == null) 1L else prev.gen + 1L)
     })
+  /** Snapshot generation — bumped by every publish/applyDelta. The
+    * optimistic-concurrency token delta operations carry from scan
+    * planning to commit. */
+  def generation(key: String): Long = {
+    val st = tables.get(key)
+    if (st == null)
+      throw new NoSuchTableException(Identifier.of(Array.empty, key))
+    st.gen
+  }
+  /** Atomic positional delta apply (r12 review fix): the read-modify-
+    * write runs INSIDE the map's compute, and the _rowpos ids are only
+    * valid against the exact snapshot generation the operation's scan
+    * planned over — any publish in between (a concurrent append, a
+    * second MERGE) invalidates the positions, so the apply FAILS the
+    * commit instead of corrupting rows or silently losing the
+    * concurrent write. Optimistic concurrency: the same conflict-abort
+    * contract real table formats give row-level plans. */
+  def applyDelta(key: String, expectedGen: Long,
+                 deleted: java.util.HashSet[Long],
+                 updated: java.util.HashMap[Long, Array[Any]],
+                 inserts: Array[Array[Any]]): Unit = {
+    tables.compute(key, (_, prev) => {
+      if (prev == null)
+        throw new NoSuchTableException(Identifier.of(Array.empty, key))
+      if (prev.gen != expectedGen)
+        throw new java.util.ConcurrentModificationException(
+          s"$key changed (gen ${prev.gen} != scanned $expectedGen) since the row-level " +
+            "scan planned — positional delta apply aborted; re-run the statement")
+      val base = prev.rows
+      val next = base.indices.iterator.filterNot(i => deleted.contains(i.toLong))
+        .map(i => Option(updated.get(i.toLong)).getOrElse(base(i)))
+        .toArray ++ inserts
+      State(prev.schema, next, prev.props, prev.gen + 1L)
+    })
+    ()
+  }
 
   /** Streaming-epoch ledger: returns true exactly once per (table,
     * query, epoch) — the idempotence gate a re-delivered micro-batch
@@ -222,6 +267,15 @@ object GraftMemStore {
   def beginEpoch(key: String, epochToken: String): Boolean =
     epochs.computeIfAbsent(key, _ => ConcurrentHashMap.newKeySet[String]())
       .add(epochToken)
+  /** Non-marking replay check (r12 review fix): the streaming commit
+    * must do its fallible staged-file I/O BEFORE marking the epoch
+    * committed — marking first would turn a crash between ledger and
+    * publish into a silent data drop when the engine retries the epoch
+    * (the retry would read "already committed" and skip). Check, read,
+    * publish, THEN mark; a query's epoch commits are serial, so the
+    * check-then-mark pair cannot race itself. */
+  def epochCommitted(key: String, epochToken: String): Boolean =
+    Option(epochs.get(key)).exists(_.contains(epochToken))
   def clearEpochs(key: String): Unit = epochs.remove(key)
 }
 
@@ -350,10 +404,19 @@ class GraftMemRowLevelOperation(key: String, cmd: RowLevelOperation.Command)
   * without its insert-half. */
 class GraftMemDeltaOperation(key: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation with SupportsDelta {
+  /** Optimistic-concurrency token (r12 review fix): the snapshot
+    * generation the operation's scan planned over. The _rowpos ids the
+    * changelog carries are positions in EXACTLY that snapshot, so the
+    * commit passes the token to applyDelta, which aborts on mismatch
+    * instead of applying stale positions. Captured at scan-builder
+    * creation (driver-side, before any task reads). */
+  @volatile private var scannedGen: Long = -1L
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftMemDeltaOperation[$cmd] $key"
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (scannedGen < 0) scannedGen = GraftMemStore.generation(key)
     new GraftMemScanBuilder(key)
+  }
   override def rowId(): Array[NamedReference] = Array(Expressions.column("_rowpos"))
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column("_group"))
@@ -361,22 +424,24 @@ class GraftMemDeltaOperation(key: String, cmd: RowLevelOperation.Command)
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def description(): String = s"GraftMemDeltaWrite[$cmd] $key"
-        override def toBatch: DeltaBatchWrite = new GraftMemDeltaBatchWrite(key)
+        override def toBatch: DeltaBatchWrite =
+          new GraftMemDeltaBatchWrite(key, scannedGen)
       }
     }
 }
 
-class GraftMemDeltaBatchWrite(key: String) extends DeltaBatchWrite {
+class GraftMemDeltaBatchWrite(key: String, scannedGen: Long) extends DeltaBatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftMemDeltaWriterFactory(GraftMemStore.schema(key))
-  /** Apply every task's changelog against the CURRENT snapshot in one
-    * atomic swap: positional deletes/updates first (order-free — each
+  /** Fold every task's changelog and apply it ATOMICALLY against the
+    * snapshot generation the scan planned over (GraftMemStore.applyDelta
+    * runs inside the map's compute and conflict-aborts on a generation
+    * mismatch). Deletes/updates are position-keyed and order-free — each
     * position is touched by at most one changelog entry, the row-id
-    * contract), then inserts appended in (partitionId, write order). */
+    * contract; inserts append in (partitionId, write order). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
     val entries = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
-    val (schema, base) = GraftMemStore.snapshot(key)
     val deleted = new java.util.HashSet[Long]()
     val updated = new java.util.HashMap[Long, Array[Any]]()
     val inserts = Array.newBuilder[Array[Any]]
@@ -387,10 +452,7 @@ class GraftMemDeltaBatchWrite(key: String) extends DeltaBatchWrite {
         case "I" => inserts += e(2).asInstanceOf[Array[Any]]
       }
     }
-    val next = base.indices.iterator.filterNot(i => deleted.contains(i.toLong))
-      .map(i => Option(updated.get(i.toLong)).getOrElse(base(i)))
-      .toArray ++ inserts.result()
-    GraftMemStore.publish(key, schema, next, truncate = true)
+    GraftMemStore.applyDelta(key, scannedGen, deleted, updated, inserts.result())
     ms.foreach(m => GraftMemStaging.delete(m.path))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -402,47 +464,15 @@ class GraftMemDeltaWriterFactory(schema: StructType) extends DeltaWriterFactory 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val types = schema.fields.map(_.dataType)
     new DeltaWriter[InternalRow] {
-      private var path: String = _
-      private var out: java.io.ObjectOutputStream = _
-      private var n = 0L
-      private def emit(entry: Array[Any]): Unit = {
-        if (out == null) {
-          path = GraftMemStaging.newPath()
-          out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(path)))
-        }
-        out.writeObject(entry); out.reset(); n += 1
-      }
-      private def copyVals(row: InternalRow): Array[Any] = {
-        val vals = new Array[Any](types.length)
-        var i = 0
-        while (i < types.length) {
-          vals(i) = if (row.isNullAt(i)) null else types(i) match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
-            case DoubleType => row.getDouble(i)
-            case BooleanType => row.getBoolean(i)
-            case StringType => row.getUTF8String(i).toString
-            case dt => throw new IllegalStateException(s"unsupported codec type $dt")
-          }
-          i += 1
-        }
-        vals
-      }
+      private val staged = new GraftMemStagedFile
       override def delete(meta: InternalRow, id: InternalRow): Unit =
-        emit(Array[Any]("D", id.getLong(0), null))
+        staged.emit(Array[Any]("D", id.getLong(0), null))
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-        emit(Array[Any]("U", id.getLong(0), copyVals(row)))
+        staged.emit(Array[Any]("U", id.getLong(0), GraftMemCodec.copyVals(types, row)))
       override def insert(row: InternalRow): Unit =
-        emit(Array[Any]("I", null, copyVals(row)))
-      override def commit(): WriterCommitMessage = {
-        if (out != null) out.close()
-        GraftMemStagedCommit(partitionId,
-          if (path == null) GraftMemStaging.newPath() else path, n)
-      }
-      override def abort(): Unit = {
-        if (out != null) { out.close(); GraftMemStaging.delete(path) }
-      }
+        staged.emit(Array[Any]("I", null, GraftMemCodec.copyVals(types, row)))
+      override def commit(): WriterCommitMessage = staged.manifest(partitionId)
+      override def abort(): Unit = staged.abort()
       override def close(): Unit = ()
     }
   }
@@ -481,7 +511,11 @@ case class GraftMemStagedCommit(partitionId: Int, path: String, nRows: Long)
   * file under the staging root (java.io.tmpdir — the local stand-in for
   * the HDFS/S3 staging prefix a durable sink would use; in local mode
   * tasks and driver genuinely share it, which is the same visibility
-  * contract). Task memory stays O(1): rows append to the stream as they
+  * contract). Single-JVM scope is a property of the whole MemSink, not
+  * of this transport: GraftMemStore itself is a JVM-singleton map, so a
+  * multi-JVM cluster could never read these tables in the first place —
+  * a durable port swaps BOTH the store and this root for shared
+  * storage. Task memory stays O(1): rows append to the stream as they
   * arrive, never buffered whole. Speculative twins write DIFFERENT
   * files (uuid-named); only the attempt Spark's commit coordinator
   * admits reaches the driver commit — the loser's abort deletes its
@@ -505,6 +539,57 @@ private[graft] object GraftMemStaging {
   }
   def delete(path: String): Unit = {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path)); ()
+  }
+}
+
+/** The ONE deep-copy codec switch (the "codec arms" the createTable
+  * error message references) shared by the data and delta writers:
+  * InternalRow (and its UTF8String fields) may be a reused buffer owned
+  * by the upstream operator, so values are copied to JVM-native types. */
+private[sources] object GraftMemCodec {
+  def copyVals(types: Array[DataType], row: InternalRow): Array[Any] = {
+    val vals = new Array[Any](types.length)
+    var i = 0
+    while (i < types.length) {
+      vals(i) = if (row.isNullAt(i)) null else types(i) match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i)
+        case DoubleType => row.getDouble(i)
+        case BooleanType => row.getBoolean(i)
+        case StringType => row.getUTF8String(i).toString
+        case dt => throw new IllegalStateException(s"unsupported codec type $dt")
+      }
+      i += 1
+    }
+    vals
+  }
+}
+
+/** Shared task-side staging stream (r12 review cleanup — one
+  * implementation for the data and delta writers): entries stream to
+  * the staging file as they arrive (task memory O(1); the stream's
+  * back-reference table is reset per entry so it cannot pin every
+  * row), the stream opens lazily so a task that writes nothing stages
+  * nothing, and abort deletes the file. */
+private[sources] final class GraftMemStagedFile {
+  private var path: String = _
+  private var out: java.io.ObjectOutputStream = _
+  private var n = 0L
+  def emit(entry: Array[Any]): Unit = {
+    if (out == null) {
+      path = GraftMemStaging.newPath()
+      out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(path)))
+    }
+    out.writeObject(entry); out.reset(); n += 1
+  }
+  def manifest(partitionId: Int): GraftMemStagedCommit = {
+    if (out != null) out.close()
+    GraftMemStagedCommit(partitionId,
+      if (path == null) GraftMemStaging.newPath() else path, n)
+  }
+  def abort(): Unit = {
+    if (out != null) { out.close(); GraftMemStaging.delete(path) }
   }
 }
 
@@ -553,13 +638,18 @@ class GraftMemStreamingWrite(key: String, schema: StructType,
     // query id is what separates "this batch already ran" (a replay —
     // swallow) from "a NEW query's batch 0 against the same table"
     // (legitimate — apply). Checkpoint-stability of the query id across
-    // restarts is pinned by Round12Suite's restart test. A swallowed
-    // replay still deletes its staged files — the replay's tasks wrote
-    // fresh staging data that must not leak.
+    // restarts is pinned by Round12Suite's restart test. ORDER matters
+    // (r12 review fix): the fallible staged-file read runs BEFORE the
+    // ledger mark — if the read throws, nothing is marked and the
+    // engine's retry re-applies cleanly (the staged files are only
+    // deleted after a successful publish or on a recognized replay,
+    // whose tasks wrote fresh staging data that must not leak).
     val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
-    if (GraftMemStore.beginEpoch(key, s"$queryId#$epochId")) {
+    val token = s"$queryId#$epochId"
+    if (!GraftMemStore.epochCommitted(key, token)) {
       val rows = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
       GraftMemStore.publish(key, schema, rows, truncate = truncateEachEpoch)
+      GraftMemStore.beginEpoch(key, token)
     }
     ms.foreach(m => GraftMemStaging.delete(m.path))
   }
@@ -573,51 +663,13 @@ class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
     val types = schema.fields.map(_.dataType)
     new DataWriter[InternalRow] {
       // File-backed staging (r12): rows STREAM to the task's staging file
-      // as they arrive — task memory is O(1), the commit message is the
-      // O(1) manifest, and abort deletes the file. Stream opened lazily
-      // so a task that writes nothing stages nothing.
-      private var path: String = _
-      private var out: java.io.ObjectOutputStream = _
-      private var n = 0L
-      private def stream(): java.io.ObjectOutputStream = {
-        if (out == null) {
-          path = GraftMemStaging.newPath()
-          out = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(path)))
-        }
-        out
-      }
-      override def write(row: InternalRow): Unit = {
-        val vals = new Array[Any](types.length)
-        var i = 0
-        while (i < types.length) {
-          // Deep copy to JVM-native values: InternalRow (and its
-          // UTF8String fields) may be a reused buffer owned by the
-          // upstream operator.
-          vals(i) = if (row.isNullAt(i)) null else types(i) match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
-            case DoubleType => row.getDouble(i)
-            case BooleanType => row.getBoolean(i)
-            case StringType => row.getUTF8String(i).toString
-            case dt => throw new IllegalStateException(s"unsupported codec type $dt")
-          }
-          i += 1
-        }
-        val s = stream()
-        s.writeObject(vals)
-        // keep the stream's back-reference table from pinning every row
-        s.reset()
-        n += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        if (out != null) out.close()
-        GraftMemStagedCommit(partitionId,
-          if (path == null) GraftMemStaging.newPath() else path, n)
-      }
-      override def abort(): Unit = {
-        if (out != null) { out.close(); GraftMemStaging.delete(path) }
-      }
+      // as they arrive (GraftMemStagedFile — task memory O(1), O(1)
+      // manifest message, abort deletes the file).
+      private val staged = new GraftMemStagedFile
+      override def write(row: InternalRow): Unit =
+        staged.emit(GraftMemCodec.copyVals(types, row))
+      override def commit(): WriterCommitMessage = staged.manifest(partitionId)
+      override def abort(): Unit = staged.abort()
       override def close(): Unit = ()
     }
   }

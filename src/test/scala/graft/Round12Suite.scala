@@ -204,6 +204,32 @@ class Round12Suite extends AnyFunSuite {
       .head.getLong(1) == 7L)
   }
 
+  test("delta apply conflict-aborts when the table changed since the scan planned (optimistic concurrency)") {
+    import graft.sources.GraftMemStore
+    import org.apache.spark.sql.types._
+    val key = "t12cat.cc_probe"
+    GraftMemStore.drop(key)
+    GraftMemStore.create(key, StructType(Seq(StructField("k", LongType))))
+    GraftMemStore.publish(key, StructType(Seq(StructField("k", LongType))),
+      Array(Array[Any](1L), Array[Any](2L)), truncate = false)
+    val gen = GraftMemStore.generation(key)
+    // a concurrent writer publishes between scan planning and delta commit
+    GraftMemStore.publish(key, StructType(Seq(StructField("k", LongType))),
+      Array(Array[Any](3L)), truncate = false)
+    // the stale-positioned delta must abort, not corrupt or drop rows
+    intercept[java.util.ConcurrentModificationException] {
+      GraftMemStore.applyDelta(key, gen, new java.util.HashSet[Long](),
+        new java.util.HashMap[Long, Array[Any]](), Array.empty)
+    }
+    assert(GraftMemStore.rows(key).length == 3, "conflict abort must leave the table untouched")
+    // with the CURRENT generation the apply goes through atomically
+    val del = new java.util.HashSet[Long](); del.add(0L)
+    GraftMemStore.applyDelta(key, GraftMemStore.generation(key), del,
+      new java.util.HashMap[Long, Array[Any]](), Array(Array[Any](9L)))
+    assert(GraftMemStore.rows(key).map(_.head).toSeq == Seq(2L, 3L, 9L))
+    GraftMemStore.drop(key)
+  }
+
   test("DELETE FROM and UPDATE plan through the same row-level machinery") {
     val s = sp.newSession()
     s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
