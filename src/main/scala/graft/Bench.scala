@@ -4,10 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to core count (right for the sf0.1 driver
+    // map), overridable for scale legs: SCALE_TUNING's rule is partitions ≈
+    // shuffledBytes/200 MB, and AQE only COALESCES below this number, never
+    // splits above it (outside skew-join), so a 24-partition sf100 leg
+    // under-partitions its corpus-sized shuffles into spill knees (r12
+    // fourth-decade finding: agg_product/join_multiway). The driver's runs
+    // leave this unset — behavior there is unchanged.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       // Session-wide so a future timestamp[ns] regeneration reads as LONG
       // instead of failing the scan (set here, not per table read — a conf

@@ -373,7 +373,13 @@ object LlmCuration {
       // join — no second pass over the corpus grams, no totals⋈shared join.
       val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
       val corpus = grams5(docs.filter(col("doc_id") % 20 =!= 0))
-      corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+      // The bench slice is corpus/20 — a FRACTION, not a bound, so the
+      // broadcast hint is size-gated (r12 sf100 doctrine: an unconditional
+      // hint on a corpus-scaling gram frame is a latent outage; above the
+      // gate the join degrades to the gram-keyed shuffle, one pass).
+      corpus.join(
+          LlmExtras.benchGramBroadcast(bench.withColumn("hit", lit(1L)),
+            LlmExtras.docsBytes(s, d) / 20), Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
@@ -1265,7 +1271,11 @@ object LlmCuration {
         // and inflate both counters.
         val bench = gramsN(docs.filter(col("doc_id") % 20 === 0), n).select("g").distinct()
         val corpus = gramsN(docs.filter(col("doc_id") % 20 =!= 0), n)
-        corpus.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+        // Same size-gated hint as llm_contamination (r12): three gram
+        // widths ⇒ three bench frames, each corpus/20-scaling.
+        corpus.join(
+            LlmExtras.benchGramBroadcast(bench.withColumn("hit", lit(1L)),
+              LlmExtras.docsBytes(s, d) / 20), Seq("g"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(coalesce(col("hit"), lit(0L))).as("n_shared"))

@@ -56,6 +56,23 @@ object LlmExtras {
   private[ops] def nodeBroadcast(df: DataFrame, corpusBytes: Long): DataFrame =
     if (corpusBytes < NodeBroadcastCapBytes) broadcast(df) else df
 
+  /** Benchmark-GRAM broadcast-hint gate (r12, sf100 decade finding): a
+    * gram/shingle frame explodes its documents ~8× in memory (one ~8-token
+    * string per token position) on top of parquet decompression, so the
+    * node-frame cap above is two orders too generous for it.
+    * `llm_decontaminate`'s corpus-sized eval shingle frame crossed
+    * spark.driver.maxResultSize at sf100 (1288 MiB of serialized build-side
+    * results from an 834 MB documents.parquet) while the sf10 58 MB point
+    * was measured safe — the cap sits between the decades, nearer the
+    * measured-good one. Callers pass the PARQUET BYTES OF THE SLICE the
+    * gram frame derives from (full corpus, corpus/20, …); above the cap
+    * the hint drops and the join degrades to the gram-keyed shuffle —
+    * one pass, identical semantics, exactly the degradation the op docs
+    * promised. */
+  private val BenchGramBroadcastCapBytes = 128L << 20
+  private[graft] def benchGramBroadcast(df: DataFrame, sliceBytes: Long): DataFrame =
+    if (sliceBytes < BenchGramBroadcastCapBytes) broadcast(df) else df
+
   private val dotExpr = "graft_dot(va, vb)"
 
   private def cosSql(a: String, b: String): String =
@@ -527,13 +544,17 @@ object LlmExtras {
     // training pipeline runs before the dedup'd corpus ships: flag training
     // documents sharing any 8-token shingle with the eval/benchmark set
     // (docs >= 400 here — the deterministic demo split, langid-style).
-    // Scale shape: shingles are one narrow transform pass; the EVAL side is
-    // benchmark-sized by nature, so its distinct shingles BROADCAST and the
-    // train corpus streams through a broadcast join — no corpus-sized
-    // shuffle at all. (If the eval side ever outgrew broadcast, dropping
-    // the hint degrades gracefully to a shingle-keyed shuffle join with
-    // identical semantics.) Counts are exact string-equality aggregates —
-    // no hashing reaches the declared result.
+    // Scale shape (rewired in r12 after the sf100 decade): the broadcast
+    // hint goes on the side that is bounded BY CONSTRUCTION — the train
+    // slice is `doc_id < 400`, at most 400 docs at EVERY scale factor,
+    // while the eval slice (`>= 400`) grows with the corpus under re-keyed
+    // tiling. The r11 artifact's broadcast(eval) shape died at sf100:
+    // 1288 MiB of serialized build-side results > driver.maxResultSize.
+    // With train as the build side the eval corpus STREAMS through the
+    // broadcast join and the only corpus-sized exchanges left are the
+    // eval-side distinct + the final ~400-key partial aggregation.
+    // Counts are exact string-equality aggregates — no hashing reaches
+    // the declared result.
     "llm_decontaminate" -> ((s, d) => {
       val sh = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -544,7 +565,7 @@ object LlmExtras {
       val train = sh.filter(col("doc_id") < 400).distinct()
       val eval_ = sh.filter(col("doc_id") >= 400)
         .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
-      train.join(broadcast(eval_), "shingle")
+      broadcast(train).join(eval_, "shingle")
         .groupBy("doc_id")
         .agg(countDistinct("shingle").as("n_shingles_hit"),
           countDistinct("eval_doc").as("n_eval_docs"),

@@ -350,4 +350,51 @@ class Round12Suite extends AnyFunSuite {
       s"restart double-applied an epoch: ${t.count()} rows (queryId not checkpoint-stable?)")
     assert(t.select("id").distinct().count() == 400L, "duplicate ids after restart")
   }
+
+  // ----------------------- benchmark-gram broadcast sides (sf100 decade)
+
+  test("llm_decontaminate broadcasts the bounded train slice, never the corpus-growing eval side") {
+    // The sf100 leg killed the broadcast(eval) shape at driver.maxResultSize
+    // (BASELINE r12 fourth decade). The hint must sit on the side bounded
+    // BY CONSTRUCTION: doc_id < 400. Pin it in the physical plan — the
+    // BroadcastExchange subtree must contain the `< 400` train filter and
+    // must NOT contain the `>= 400` eval filter.
+    // Under AQE the physical exchange only materializes at execution, so
+    // the pin sits on the optimized logical plan's hint placement — which
+    // is exactly what the fix changed.
+    // (EliminateResolvedHint folds the hint into the Join's JoinHint.)
+    val df = SparkEntry.queries("llm_decontaminate")(sp, sf)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.nonEmpty)
+            || j.hint.rightHint.exists(_.strategy.nonEmpty) =>
+        val side = if (j.hint.leftHint.exists(_.strategy.nonEmpty)) j.left else j.right
+        side.toString()
+    }
+    assert(hinted.nonEmpty, "expected a broadcast-hinted join in llm_decontaminate's plan")
+    assert(hinted.exists(_.contains("< 400")),
+      s"broadcast side should be the train (< 400) slice:\n${hinted.mkString("\n")}")
+    assert(!hinted.exists(_.contains(">= 400")),
+      s"the corpus-growing eval (>= 400) side must not be broadcast:\n${hinted.mkString("\n")}")
+  }
+
+  test("benchGramBroadcast gates the contamination bench hint by slice bytes") {
+    // Below the cap the hint engages (the oracle-tier fixtures are tiny);
+    // the gate itself is pure arithmetic on the slice size, so the
+    // above-cap branch is checked directly on the returned plan's hints.
+    val docs = sp.read.parquet(s"$sf/documents.parquet").limit(10)
+    val hinted = graft.ops.LlmExtras.benchGramBroadcast(docs, 1L << 20)
+    val unhinted = graft.ops.LlmExtras.benchGramBroadcast(docs, 1L << 40)
+    def hasHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+      }.nonEmpty
+    assert(hasHint(hinted), "below the cap the bench frame must carry the broadcast hint")
+    assert(!hasHint(unhinted), "above the cap the hint must drop (shuffle-join degradation)")
+    // and the real op still plans a broadcast at oracle scale
+    val p = SparkEntry.queries("llm_contamination")(sp, sf).queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "llm_contamination should broadcast its bench frame at fixture scale")
+  }
 }
