@@ -11,6 +11,18 @@ import org.apache.spark.sql.Column
   * checkpoint cadence) are centralized in SCALE_TUNING.md.
   */
 object Scale {
+  /** Marker alias every size-gate helper (Joins.dimBroadcast,
+    * LlmExtras.nodeBroadcast / benchGramBroadcast) wraps its build side in
+    * BEFORE the broadcast hint. The SubqueryAlias survives ANALYSIS — where
+    * PlanAuditSuite's broadcast-hint doctrine sweep inspects ResolvedHint
+    * nodes — and is erased by the optimizer (EliminateSubqueryAliases), so
+    * it has zero runtime effect. It exists so CI can mechanically tell "this
+    * hint flowed through a size gate and drops above the gate's measured
+    * cap" from "someone wrote an unconditional broadcast() on an SF-growing
+    * frame" — the latent-outage class found once per round in r10/r12/r13.
+    * Do NOT apply this alias by hand; route the hint through a gate. */
+  val BroadcastGateTag = "graft_size_gated"
+
   /** Equi-join with the large side salted to defeat key skew.
     *
     * Each large-side row gets a deterministic, row-content-derived salt in

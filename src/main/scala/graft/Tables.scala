@@ -86,6 +86,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     validate(name, spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Parquet size of `<dir>/<table>.parquet` in bytes — a filesystem
+    * METADATA stat (no scan), the same primitive as
+    * `LlmExtras.docsBytes` but for any table. Used by the broadcast-hint
+    * size gates: an SF-growing dimension (supplier, part, customer at
+    * TPC-H ratios) may only carry an explicit `broadcast()` hint when its
+    * on-disk footprint is measured under the gate's cap, because an
+    * UNCONDITIONAL hint converts over-budget corpora from slow-but-correct
+    * shuffle joins into hard driver failures (maxResultSize / the 8 GB
+    * broadcast cap) — the r10 node-frame and r12 gram-frame findings. */
+  def tableBytes(s: SparkSession, d: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

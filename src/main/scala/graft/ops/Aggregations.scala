@@ -177,7 +177,8 @@ object Aggregations {
     // sorted, or windowed.
     "agg_hhi" -> ((s, d) =>
       orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
         .agg(moneySum(col("o_totalprice")).as("r"))
@@ -202,7 +203,8 @@ object Aggregations {
     // one final partial-aggregatable seg rollup.
     "agg_theil" -> ((s, d) => {
       val rev = orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
         .agg(moneySum(col("o_totalprice")).as("r"))
@@ -639,21 +641,33 @@ object Aggregations {
           expr("count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))").as("n_hot"))
         .orderBy("o_orderstatus")),
 
-    // PRODUCT aggregation — Spark has no product() aggregate; the portable
-    // exact form is a higher-order fold over collect_list in BIGINT
-    // (multiplication commutes, so collect order — which is shuffle-arrival-
-    // dependent — cannot change the result). l_linenumber ∈ [1,7] with ≤ 13
-    // lines/order keeps the product ≪ 2^63; the float-free fold beats the
-    // usual exp(sum(ln x)) rewrite, which drifts per engine. Partial-agg
-    // still applies to the collect; group width is bounded by order size.
-    "agg_product" -> ((s, d) =>
+    // PRODUCT aggregation — Spark has no product() aggregate. The r12 sf100
+    // decade measured the previous plan (higher-order fold over
+    // collect_list) at 70.7× across sf10→sf100: collect_list allocates a
+    // per-group array buffer inside an ObjectHashAggregate, which degrades
+    // to sort-based aggregation once the hash map fills (~150M groups at
+    // sf100). The bounded-domain rewrite exploits l_linenumber ∈ [1,7]:
+    //   product = Π_{v=2..7} v^count_v   (v=1 contributes ×1)
+    // Six conditional COUNT counters run in a pure codegen'd HashAggregate
+    // (longs only, partial-agg map-side combine, no per-group buffer); the
+    // exponentiation is an exact-BIGINT fold over array_repeat applied ONCE
+    // per OUTPUT row (≤ 13 multiplications on a ≤13-element array — float-
+    // free, so no exp(sum(ln x)) drift and nothing to round). ≤ 13
+    // lines/order keeps the product ≪ 2^63, same as before; the oracle SQL
+    // (DuckDB's native product()) is unchanged — this is a plan-only
+    // rewrite with identical results.
+    "agg_product" -> ((s, d) => {
+      val cnts = (2 to 7).map(v =>
+        count(when(col("l_linenumber") === v, 1)).cast("int").as(s"c$v"))
+      val prodCol = (2 to 7).map(v =>
+        expr(s"aggregate(array_repeat(CAST($v AS BIGINT), c$v), 1L, (acc, x) -> acc * x)"))
+        .reduce(_ * _)
       lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(
-          expr("aggregate(collect_list(CAST(l_linenumber AS BIGINT)), 1L, (acc, x) -> acc * x)")
-            .as("line_product"),
-          count(lit(1)).as("n_lines"))
-        .orderBy("l_orderkey")),
+        .agg(cnts.head, (cnts.tail :+ count(lit(1)).as("n_lines")): _*)
+        .select(col("l_orderkey"), prodCol.as("line_product"), col("n_lines"))
+        .orderBy("l_orderkey")
+    }),
 
     // Median absolute deviation (the robust spread statistic): two exact-
     // percentile passes — group median, broadcast back, median of absolute

@@ -60,7 +60,8 @@ object Filters {
     // Output is the kept-slice census per segment.
     "filter_above_group_mean" -> ((s, d) => {
       val o = orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
       val stats = o.groupBy("seg")

@@ -16,6 +16,26 @@ import graft.Tables._
   * as-of matching (no per-row range probe, no O(n²) candidate space).
   */
 object Joins {
+  /** SF-growing-dimension broadcast-hint gate (r12 verdict, sf100 decade):
+    * supplier/part/customer grow linearly with scale factor, so an
+    * unconditional `broadcast()` on them is a latent driver outage one or
+    * two decades past wherever it was last measured — the identical class
+    * as the r10 node-frame and r12 gram-frame findings, with the identical
+    * remedy. The cap is 256 MiB of measured parquet bytes: decompressed
+    * row data inflates ~4×, leaving a ~1 GiB exchange — an order of
+    * magnitude under Spark's 8 GB broadcast hard cap and comfortably under
+    * driver maxResultSize, while still hinting every dimension a 100 TB
+    * fact table would actually want hash-probed (supplier at sf100 is
+    * ~12 MB of parquet). Above the cap the frame goes UNHINTED and the
+    * key-partitioned shuffle join engages automatically — slower,
+    * identical semantics. Fixed-cardinality dims (region 5 / nation 25
+    * rows) don't need the gate. */
+  private val DimBroadcastCapBytes = 256L << 20
+  private[graft] def dimBroadcast(df: org.apache.spark.sql.DataFrame, tableBytes: Long)
+      : org.apache.spark.sql.DataFrame =
+    if (tableBytes < DimBroadcastCapBytes) broadcast(df.alias(graft.Scale.BroadcastGateTag))
+    else df
+
   /** The engineered-skew join shared by `join_skew_aqe`'s declared op and
     * its Round10Suite strategy-twin check: 75% of lineitem on hot_key 0,
     * 97-key generated dimension. Returns the joined frame BEFORE the
@@ -185,7 +205,7 @@ object Joins {
 
     "join_theta" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(part(s, d)),
+        .join(dimBroadcast(part(s, d), tableBytes(s, d, "part")),
           col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"))
@@ -330,7 +350,7 @@ object Joins {
         money(col("o_totalprice")).as("cents"))
       val dim = customer(s, d).select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
       val matched = fact.filter(col("k").isNotNull)
-        .join(broadcast(dim), Seq("k"), "left")
+        .join(dimBroadcast(dim, tableBytes(s, d, "customer")), Seq("k"), "left")
       val routed = fact.filter(col("k").isNull)
         .withColumn("seg", lit(null).cast("string"))
       matched.select("seg", "cents").unionByName(routed.select("seg", "cents"))
@@ -352,9 +372,11 @@ object Joins {
       lineitem(s, d)
         .join(orders(s, d).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+        .join(dimBroadcast(customer(s, d).select("c_custkey", "c_nationkey"),
+            tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+        .join(dimBroadcast(supplier(s, d).select("s_suppkey", "s_nationkey"),
+            tableBytes(s, d, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
         .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
@@ -365,21 +387,46 @@ object Joins {
         .orderBy("cust_nation", "supp_nation")
     }),
 
-    "join_multiway" -> ((s, d) =>
-      customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+    // TPC-H Q5-shaped 6-way join. Two scale lessons are baked into the plan
+    // (r12 sf100 decade: 56.4× unadjudicated → fixed here):
+    //  1. `broadcast(supplier)` is GATED by measured parquet bytes
+    //     (`dimBroadcast`): supplier grows with SF (10 rows at sf0.01,
+    //     100k at sf100, ~1e9 at 100 TB) — the same latent-outage class as
+    //     the r12 gram-frame finding. Above the cap the hint drops and the
+    //     l_suppkey-keyed shuffle join engages; nation/region stay
+    //     unconditionally hinted (fixed 25/5-row cardinality).
+    //  2. The ASIA restriction is pushed BELOW the fact joins explicitly:
+    //     Catalyst pushes `r_name = 'ASIA'` to the region scan and the date
+    //     range to the orders scan, but it CANNOT infer transitively that
+    //     `s_nationkey = c_nationkey ∧ supplier ∈ ASIA ⟹ customer ∈ ASIA`,
+    //     so without the explicit broadcast semi-join the full customer
+    //     table (and 5× the needed orders⋈lineitem rows) flows through the
+    //     two big shuffle joins only to be filtered at the top. The 5-row
+    //     ASIA nation-key set semi-filters customer and supplier FIRST —
+    //     the classic Q5 plan a cost-based optimizer with constraint
+    //     propagation would pick.
+    "join_multiway" -> ((s, d) => {
+      val asia = nation(s, d)
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = customer(s, d)
+        .join(broadcast(asia.select(col("n_nationkey").as("ank"))),
+          col("c_nationkey") === col("ank"), "left_semi")
+      val supp = supplier(s, d)
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      cust
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                    col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz")),
+          col("c_custkey") === col("o_custkey"))
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(supplier(s, d)),
+        .join(dimBroadcast(supp, tableBytes(s, d, "supplier")),
           col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
-        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .filter(
-          col("r_name") === "ASIA" &&
-          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
-          col("o_orderdate") <  lit("1997-01-01").cast("timestamp_ntz"))
         .groupBy("n_name")
         .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("n_name")),
+        .orderBy("n_name")
+    }),
 
     // Skew-defeating equi-join: the fact side carries a deterministic salt,
     // the dimension side is replicated once per salt bucket, so a hot

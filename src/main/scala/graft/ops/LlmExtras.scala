@@ -54,7 +54,9 @@ object LlmExtras {
     * over edge-sort). */
   private val NodeBroadcastCapBytes = 16L << 30
   private[ops] def nodeBroadcast(df: DataFrame, corpusBytes: Long): DataFrame =
-    if (corpusBytes < NodeBroadcastCapBytes) broadcast(df) else df
+    if (corpusBytes < NodeBroadcastCapBytes)
+      broadcast(df.alias(graft.Scale.BroadcastGateTag))
+    else df
 
   /** Benchmark-GRAM broadcast-hint gate (r12, sf100 decade finding): a
     * gram/shingle frame explodes its documents ~8× in memory (one ~8-token
@@ -71,7 +73,9 @@ object LlmExtras {
     * promised. */
   private val BenchGramBroadcastCapBytes = 128L << 20
   private[graft] def benchGramBroadcast(df: DataFrame, sliceBytes: Long): DataFrame =
-    if (sliceBytes < BenchGramBroadcastCapBytes) broadcast(df) else df
+    if (sliceBytes < BenchGramBroadcastCapBytes)
+      broadcast(df.alias(graft.Scale.BroadcastGateTag))
+    else df
 
   private val dotExpr = "graft_dot(va, vb)"
 

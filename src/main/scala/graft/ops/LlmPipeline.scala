@@ -201,8 +201,34 @@ object LlmPipeline {
         override def next(): (Long, Long) = { val r = pair; advance(); r }
       }
     }.toDF("doc_a", "doc_b")
-    // 3. Exact verification: candidates ⋈ tokens ⋈ tokens on doc id.
-    verifyPairs(cand, tokens, num, den)
+    // 3. Exact verification on INTERNED grams (r12 verdict #6): the verify
+    //    joins drag one full token array per CANDIDATE row through the
+    //    doc_b shuffle, and as strings that weight was measured at ~20×
+    //    the bitmap kernel's per-pair cost (SCALE_TUNING, "the LSH
+    //    fallback's candidate cost"). Interning each gram to a LONG first
+    //    shrinks every shuffled element to 8 flat bytes and turns the
+    //    intersect merge into primitive compares (IntersectSizeLong). The
+    //    id map is deterministic WITHOUT a global sort: ids are (rank
+    //    within a 1024-way hash bucket) · 1024 + bucket — injective, built
+    //    by one vocab-sized window, stable across task retries (unlike
+    //    monotonically_increasing_id, whose partition-order dependence
+    //    could re-key a retried dict partition mid-join). Jaccard is
+    //    invariant under any injective token mapping, so emitted
+    //    (doc_a, doc_b, jaccard_bp) rows are unchanged — only cheaper.
+    //    Interning costs two vocab/token-stream-sized shuffles; on the
+    //    above-cap corpora this path serves, candidate volume dwarfs the
+    //    token stream (dup-dense sf0.1: 170M visited candidates vs 1.6M
+    //    token rows), so the trade is decisively right at scale.
+    val vocabIds = tokens.select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(1024L)))
+      .withColumn("tid",
+        row_number().over(Window.partitionBy("bkt").orderBy("tok")).cast("long") * 1024L
+          + col("bkt"))
+      .select("tok", "tid")
+    val interned = tokens.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(vocabIds, "tok")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("tid"))).as("toks"))
+    verifyPairs(cand, interned, num, den)
   }
 
   /** Exact integer-Jaccard verification of (doc_a, doc_b) candidates: two

@@ -292,7 +292,8 @@ object Reshape {
     "ts_mom_growth" -> ((s, d) => {
       val bySeg = Window.partitionBy("seg").orderBy("mo")
       orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"),
           expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
@@ -320,7 +321,8 @@ object Reshape {
     // costs one scan at 100 TB exactly like at sf0.01.
     "ts_trend_mann_kendall" -> ((s, d) => {
       val g = orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"),
           expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")
@@ -357,7 +359,8 @@ object Reshape {
     // window runs on those ~3.2k pairs per segment. Constant in corpus.
     "ts_theilsen_slope" -> ((s, d) => {
       val g = orders(s, d)
-        .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
+          tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"),
           expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') div 30 AS BIGINT)")

@@ -414,11 +414,15 @@ object SetOps {
     // util_assert_constraints (per-table row checks + ONE FK probe) with
     // the full relationship graph.
     "util_fk_orphans" -> ((s, d) => {
+      // parentBytes: None = fact-sized parent, no hint (shuffle anti join);
+      // Some(0) = fixed-cardinality dim (region/nation), always hinted;
+      // Some(b) = SF-growing dim, hint size-gated through Joins.dimBroadcast
+      // (the r13 broadcast-hint doctrine — see PlanAuditSuite's sweep).
       def rel(name: String, child: DataFrame, ck: String,
-              parent: DataFrame, pk: String, bcastParent: Boolean): DataFrame = {
+              parent: DataFrame, pk: String, parentBytes: Option[Long]): DataFrame = {
         val par = parent.select(col(pk))
         val orph = child.select(col(ck))
-          .join(if (bcastParent) broadcast(par) else par,
+          .join(parentBytes.fold(par)(b => Joins.dimBroadcast(par, b)),
             col(ck) === col(pk), "left_anti")
           .agg(count(lit(1)).as("n_orphan_rows"),
             countDistinct(ck).as("n_orphan_keys"))
@@ -429,19 +433,19 @@ object SetOps {
             col("n_orphan_rows"), col("n_orphan_keys"))
       }
       rel("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
-          nation(s, d), "n_nationkey", bcastParent = true)
+          nation(s, d), "n_nationkey", Some(0L))
         .unionAll(rel("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
-          orders(s, d), "o_orderkey", bcastParent = false))
+          orders(s, d), "o_orderkey", None))
         .unionAll(rel("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
-          part(s, d), "p_partkey", bcastParent = true))
+          part(s, d), "p_partkey", Some(tableBytes(s, d, "part"))))
         .unionAll(rel("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
-          supplier(s, d), "s_suppkey", bcastParent = true))
+          supplier(s, d), "s_suppkey", Some(tableBytes(s, d, "supplier"))))
         .unionAll(rel("nation.n_regionkey->region", nation(s, d), "n_regionkey",
-          region(s, d), "r_regionkey", bcastParent = true))
+          region(s, d), "r_regionkey", Some(0L)))
         .unionAll(rel("orders.o_custkey->customer", orders(s, d), "o_custkey",
-          customer(s, d), "c_custkey", bcastParent = true))
+          customer(s, d), "c_custkey", Some(tableBytes(s, d, "customer"))))
         .unionAll(rel("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
-          nation(s, d), "n_nationkey", bcastParent = true))
+          nation(s, d), "n_nationkey", Some(0L)))
         .orderBy("relationship")
     }),
 

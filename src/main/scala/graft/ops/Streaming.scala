@@ -171,7 +171,8 @@ object Streaming {
     "stream_static_enrich" -> ((s, d) =>
       events(s, d)
         .select(col("user_id"), tsec(col("ts")).as("ts_s"), col("value"))
-        .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        .join(Joins.dimBroadcast(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+            tableBytes(s, d, "customer")),
           col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts_s"), "1 day").as("w"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, BinaryExpressi
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `|A ∩ B|` over two string arrays WITHOUT materializing the intersection
@@ -123,10 +123,118 @@ case class IntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[IntersectSize]]'s sibling for `array<bigint>` inputs — the interned-
+  * gram layout `lshJaccardPairs` verifies on (r13, verdict #6): every
+  * element access is a flat primitive `getLong` and every comparison a
+  * branch on two longs, so the sorted-unique merge path runs with zero
+  * object churn (the string form pays a UTF8String wrapper + byte-wise
+  * compareTo per visited element). Same distinct-element semantics, same
+  * two evaluation paths, same null contract. */
+case class IntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size_long"
+
+  private def strictlyIncreasing(x: ArrayData): Boolean = {
+    var i = 1
+    while (i < x.numElements()) {
+      if (x.getLong(i - 1) >= x.getLong(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (strictlyIncreasing(x) && strictlyIncreasing(y)) {
+      var i = 0; var j = 0; var cnt = 0
+      while (i < x.numElements() && j < y.numElements()) {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { cnt += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+      cnt
+    } else {
+      var cnt = 0
+      var i = 0
+      while (i < x.numElements()) {
+        val xi = x.getLong(i)
+        var seenBefore = false
+        var k = 0
+        while (k < i && !seenBefore) {
+          if (x.getLong(k) == xi) seenBefore = true
+          k += 1
+        }
+        if (!seenBefore) {
+          var j = 0
+          var found = false
+          while (j < y.numElements() && !found) {
+            if (y.getLong(j) == xi) found = true
+            j += 1
+          }
+          if (found) cnt += 1
+        }
+        i += 1
+      }
+      cnt
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val cnt = ctx.freshName("cnt"); val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      val seen = ctx.freshName("seen"); val found = ctx.freshName("found")
+      val sorted = ctx.freshName("sorted")
+      s"""
+         |int $cnt = 0;
+         |boolean $sorted = true;
+         |for (int $i = 1; $sorted && $i < $a.numElements(); $i++) {
+         |  if ($a.getLong($i - 1) >= $a.getLong($i)) $sorted = false;
+         |}
+         |for (int $i = 1; $sorted && $i < $b.numElements(); $i++) {
+         |  if ($b.getLong($i - 1) >= $b.getLong($i)) $sorted = false;
+         |}
+         |if ($sorted) {
+         |  int $i = 0; int $j = 0;
+         |  while ($i < $a.numElements() && $j < $b.numElements()) {
+         |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |    if ($xi == $yj) { $cnt++; $i++; $j++; }
+         |    else if ($xi < $yj) { $i++; } else { $j++; }
+         |  }
+         |} else {
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    long $xi = $a.getLong($i);
+         |    boolean $seen = false;
+         |    for (int $k = 0; $k < $i && !$seen; $k++) {
+         |      if ($a.getLong($k) == $xi) $seen = true;
+         |    }
+         |    if (!$seen) {
+         |      boolean $found = false;
+         |      for (int $j = 0; $j < $b.numElements() && !$found; $j++) {
+         |        if ($b.getLong($j) == $xi) $found = true;
+         |      }
+         |      if ($found) $cnt++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntersectSizeLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Injected optimizer rule (`injectOptimizerRule` in [[GraftExtensions]]):
-  * rewrites `size(array_intersect(a, b))` on string arrays into
-  * [[IntersectSize]] so the intersection array is never built. Only fires
-  * when `legacySizeOfNull` is false: under
+  * rewrites `size(array_intersect(a, b))` on string or long arrays into
+  * [[IntersectSize]] / [[IntersectSizeLong]] so the intersection array is
+  * never built. Only fires when `legacySizeOfNull` is false: under
   * `spark.sql.legacy.sizeOfNull=true`, `size(NULL)` is -1 while the
   * null-safe IntersectSize would return NULL — a silent semantics change. */
 object RewriteIntersectSize extends Rule[LogicalPlan] {
@@ -136,5 +244,10 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
            b.dataType == ArrayType(StringType, containsNull = false) &&
            s.dataType == IntegerType =>
       IntersectSize(a, b)
+    case s @ Size(ArrayIntersect(a, b), false)
+        if a.dataType == ArrayType(LongType, containsNull = false) &&
+           b.dataType == ArrayType(LongType, containsNull = false) &&
+           s.dataType == IntegerType =>
+      IntersectSizeLong(a, b)
   }
 }

@@ -125,8 +125,9 @@ class PlanAuditSuite extends AnyFunSuite {
       val lsh = graft.ops.LlmPipeline.lshJaccardPairs(toks)
       lsh.queryExecution.executedPlan.toString() + lsh.queryExecution.toString()
     }
-    assert(p.contains("intersect_size"),
-      "size(array_intersect) should compile to the codegen intersect_size")
+    assert(p.contains("intersect_size_long"),
+      "the interned LSH verify should compile to the primitive-long " +
+        "intersect_size_long (r13: grams intern to longs before the verify joins)")
   }
 
   test("llm_sim_topk scores through graft_dot over a broadcast of the 10 queries") {
@@ -559,6 +560,122 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"driver-side collects beyond the $budget-row budget during construction:\n" +
         offenders.map { case (k, n) => s"  $k -> $n rows" }.mkString("\n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Broadcast-hint doctrine sweep (r12 verdict #4): three consecutive
+  // rounds each found one more unconditional `broadcast()` on an
+  // SF-growing frame (node frames r10, eval shingles + gram frames r12,
+  // supplier r12→r13) — each a latent driver outage one decade past
+  // wherever it was last measured. This sweep makes the doctrine CI: a
+  // broadcast hint is legal iff its build side is metadata-sized BY
+  // CONSTRUCTION (an Aggregate/Limit/Deduplicate collapse, a local/range
+  // relation) or scans only fixed-cardinality dims (region/nation), or is
+  // individually reviewed below as flowing through one of the size-gate
+  // helpers (Joins.dimBroadcast, LlmExtras.nodeBroadcast/
+  // benchGramBroadcast) or bounded by a literal key cut the static
+  // detector can't prove.
+  // ---------------------------------------------------------------------
+
+  /** Tables whose row count grows with scale factor; region/nation are
+    * fixed at 5/25 rows by the data model and excluded. */
+  private val sfGrowingTables = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  private def growingLeaves(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    p.collectLeaves().flatMap { l =>
+      // LogicalRelation.toString omits the file path — pull the real scan
+      // location out of the HadoopFsRelation (V1 parquet reads; the V2 ops
+      // use custom in-memory sources that are not SF-growing files).
+      val str = l match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(";")
+            case other => other.toString
+          }
+        case other => other.toString
+      }
+      sfGrowingTables.filter(t => str.contains(s"$t.parquet"))
+    }.distinct.sorted
+
+  /** Broadcast hints over SF-growing, uncollapsed, UN-GATED subtrees in
+    * `df`'s analyzed plan (subqueries included), as "leafA,leafB"
+    * signatures. Gate-produced hints are recognized by the
+    * `Scale.BroadcastGateTag` SubqueryAlias every size-gate helper wraps
+    * its build side in (analysis keeps the alias; the optimizer erases
+    * it) — so "flows through a size gate" is machine-checked, not
+    * allowlisted. */
+  private def ungatedBroadcastHints(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def collapsed(p: LogicalPlan): Boolean = p.exists {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case _ => false
+    }
+    def gated(p: LogicalPlan): Boolean = p match {
+      case SubqueryAlias(id, _) => id.name == graft.Scale.BroadcastGateTag
+      case _ => false
+    }
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        val growing = growingLeaves(h.child)
+        if (growing.nonEmpty && !collapsed(h.child) && !gated(h.child))
+          Some(growing.mkString(","))
+        else None
+    }.flatten
+  }
+
+  /** Reviewed hint sites: op key -> allowed growing-leaf signatures.
+    * Size-gated hints need NO entry here (the gate tag proves them); an
+    * entry is only for frames bounded by a LITERAL KEY CUT the static
+    * collapse detector can't see, and must name the bound:
+    *  - llm_decontaminate "documents": the hinted frame is the train
+    *    slice, bounded BY CONSTRUCTION to doc_id < 400 at every SF (the
+    *    r12 maxResultSize fix pinned in Round12Suite).
+    *  - llm_kmeans_step "embeddings": the hinted frame is the seeded
+    *    centroid set, vecs.filter(vec_id < 8) — 8 rows at every SF by the
+    *    same literal-cut argument (already BNLJ-reviewed above). */
+  private val broadcastHintReviewed: Map[String, Set[String]] = Map(
+    "llm_decontaminate" -> Set("documents"),
+    "llm_kmeans_step" -> Set("embeddings"))
+
+  test("sweep: every broadcast hint builds a collapsed, fixed-cardinality, or size-gated side") {
+    val offenders = allPlans.flatMap { case (name, df) =>
+      val allowed = broadcastHintReviewed.getOrElse(name, Set.empty)
+      ungatedBroadcastHints(df).filterNot(allowed)
+        .map(sig => s"$name: broadcast hint over uncollapsed SF-growing leaves [$sig]")
+    }
+    assert(offenders.isEmpty,
+      s"unconditional broadcast() on SF-growing frames (gate them — Joins.dimBroadcast / " +
+        s"LlmExtras.nodeBroadcast / benchGramBroadcast — or review them in " +
+        s"broadcastHintReviewed with a boundedness argument):\n${offenders.mkString("\n")}")
+  }
+
+  test("broadcast-hint sweep flags a seeded unconditional hint on an SF-growing frame") {
+    import org.apache.spark.sql.functions._
+    val seeded = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+    assert(ungatedBroadcastHints(seeded) == Seq("supplier"),
+      "the sweep must catch broadcast(supplier) with no collapse above it")
+    // and the gate helpers' OK shapes stay invisible to it
+    val collapsedOk = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d).groupBy("s_suppkey").count()),
+        col("l_suppkey") === col("s_suppkey"))
+    assert(ungatedBroadcastHints(collapsedOk).isEmpty,
+      "an aggregated build side is bounded and must pass")
+    val fixedDimOk = Tables.lineitem(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("l_suppkey") === col("n_nationkey"))
+    assert(ungatedBroadcastHints(fixedDimOk).isEmpty,
+      "fixed-cardinality nation must pass")
+    // the same SF-growing frame routed through the gate passes — the gate
+    // tag, not an allowlist, is what proves gate-flow
+    val gatedOk = Tables.lineitem(s, d)
+      .join(graft.ops.Joins.dimBroadcast(Tables.supplier(s, d),
+          Tables.tableBytes(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+    assert(ungatedBroadcastHints(gatedOk).isEmpty,
+      "a dimBroadcast-gated supplier hint must pass via the gate tag")
   }
 
   test("agg_weighted_median: corpus collapses in a partial-aggregated shuffle before any window") {
