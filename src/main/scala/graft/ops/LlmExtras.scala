@@ -70,7 +70,19 @@ object LlmExtras {
     * gram frame derives from (full corpus, corpus/20, …); above the cap
     * the hint drops and the join degrades to the gram-keyed shuffle —
     * one pass, identical semantics, exactly the degradation the op docs
-    * promised. */
+    * promised.
+    *
+    * Headroom note (r12 advice): the byte stat is a proxy — the actual
+    * build side is the DISTINCT-gram frame, whose in-memory size varies
+    * with gram width (the contamination sweep hints 3/5/8-gram frames
+    * through this same gate) and inflates under tag-suffix tiling. The
+    * cap was calibrated on the 5-gram decontaminate shingle frame
+    * (sf10 58 MB safe / sf100 834 MB fatal — an order of magnitude on
+    * each side); the widest sweep frame (8-gram, ≈1.6× the 5-gram
+    * frame's per-doc gram bytes) still clears the fatal point by >5×
+    * at the cap, and the full 3/5/8 sweep ran the sf100 leg without
+    * error. If a future caller hints a frame whose per-doc explosion
+    * exceeds ~8×, derive the cap from THAT frame's width instead. */
   private val BenchGramBroadcastCapBytes = 128L << 20
   private[graft] def benchGramBroadcast(df: DataFrame, sliceBytes: Long): DataFrame =
     if (sliceBytes < BenchGramBroadcastCapBytes)
