@@ -486,13 +486,24 @@ object Streaming {
       val fs = new Path(ckpt).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(ckpt), true)
       s.sql(s"DROP TABLE IF EXISTS graftmem.evt_$tag")
+      // Per-epoch admission sizing (r13, the lever BASELINE named at two
+      // decades): shard count scales with the measured corpus bytes
+      // (~16 MB of events parquet per shard, floor 4 / cap 64) and
+      // maxFilesPerTrigger admits half the shards, so the stream drains
+      // in EXACTLY 2 epochs at every SF — per-epoch work is corpus/2 at
+      // full write parallelism instead of corpus/2 through 2 shard
+      // files. Epoch count was never the scaling term (offsets show 2 at
+      // every SF); what grew super-linearly was per-epoch parallelism
+      // starvation: 4 fixed shards ⇒ ≤2 json-read/staging tasks per
+      // epoch regardless of corpus size.
+      val shards = math.max(4L, math.min(64L, tableBytes(s, d, "events") >> 24)).toInt
       events(s, d)
         .select(col("event_id"), col("event_type"), money(col("value")).as("cents"))
-        .repartition(4, col("event_id"))
+        .repartition(shards, col("event_id"))
         .write.mode("overwrite").json(src)
       val q = s.readStream
         .schema("event_id LONG, event_type STRING, cents LONG")
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", ((shards + 1) / 2).toString)
         .json(src)
         .writeStream
         .option("checkpointLocation", ckpt)

@@ -537,6 +537,26 @@ private[graft] object GraftMemStaging {
     try Array.fill(nRows.toInt)(in.readObject().asInstanceOf[Array[Any]])
     finally in.close()
   }
+  /** Decode many staged files CONCURRENTLY and concatenate in the
+    * caller-given (partitionId-sorted) order (r13: the commit's
+    * single-threaded `flatMap(read)` was the dominant serial term of a
+    * corpus-sized epoch — each staged file is independent, so the only
+    * order that matters is assembly order, which the per-file arrays
+    * preserve exactly). Thread count is bounded; a single file skips
+    * the pool entirely. */
+  def readAll(ms: Array[GraftMemStagedCommit]): Array[Array[Any]] = {
+    if (ms.isEmpty) return Array.empty
+    if (ms.length == 1) return read(ms(0).path, ms(0).nRows)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, ms.length))
+    try {
+      val futures = ms.map(m =>
+        pool.submit(new java.util.concurrent.Callable[Array[Array[Any]]] {
+          override def call(): Array[Array[Any]] = read(m.path, m.nRows)
+        }))
+      futures.flatMap(_.get())
+    } finally pool.shutdown()
+  }
   def delete(path: String): Unit = {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path)); ()
   }
@@ -604,7 +624,7 @@ class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean
     * table in one reference write, then deletes the staging files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
-    val rows = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
+    val rows = GraftMemStaging.readAll(ms)
     GraftMemStore.publish(key, schema, rows, truncateFirst)
     ms.foreach(m => GraftMemStaging.delete(m.path))
   }
@@ -647,7 +667,7 @@ class GraftMemStreamingWrite(key: String, schema: StructType,
     val ms = messages.collect { case m: GraftMemStagedCommit => m }.sortBy(_.partitionId)
     val token = s"$queryId#$epochId"
     if (!GraftMemStore.epochCommitted(key, token)) {
-      val rows = ms.flatMap(m => GraftMemStaging.read(m.path, m.nRows))
+      val rows = GraftMemStaging.readAll(ms)
       GraftMemStore.publish(key, schema, rows, truncate = truncateEachEpoch)
       GraftMemStore.beginEpoch(key, token)
     }
@@ -710,7 +730,15 @@ class GraftMemScan(key: String, required: StructType) extends Scan with Batch {
       case "_rowpos" => -2
       case n => schema.fieldIndex(n)
     }
-    val slices = math.min(4, math.max(1, rows.length))
+    // Slice count scales with the snapshot (r13: the fixed `min(4, n)`
+    // made every readback of a corpus-sized table a 4-task scan — 2.5M
+    // rows per task at sf10, each chunk serialized into its task binary;
+    // the census readback alone cost 25 s of stream_dsv2_sink's 69 s
+    // sf10 point). Target ~256k rows per slice, capped at 64: small
+    // tables keep the old 4-way shape, corpus-sized ones parallelize
+    // across the executor pool and each task binary stays ~MBs.
+    val slices = math.max(math.min(4, rows.length),
+      math.min(64, rows.length / 262144))
     (0 until slices).flatMap { i =>
       val a = rows.length * i / slices
       val b = rows.length * (i + 1) / slices
