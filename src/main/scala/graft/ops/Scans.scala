@@ -272,6 +272,38 @@ object Scans {
         .orderBy("r_name")
     }),
 
+    // Write-side distribution + ordering through the V2 protocol (r13 —
+    // the layout rung of the DSv2 ladder): the table DECLARES
+    // `write.distribution=event_type` / `write.ordering=cents` and its
+    // Write implements RequiresDistributionAndOrdering, so SPARK plans
+    // the clustering exchange + per-partition sort below the write —
+    // exactly how a production table format gets clustered, sorted data
+    // files without a hand-written repartition in every pipeline (at
+    // 100 TB the layout IS the table contract: one writer per key group,
+    // runs sorted for min/max skipping). requiredNumPartitions stays 0
+    // so AQE sizes the exchange — a pinned count would recreate the
+    // fixed-partition spill knee (SCALE_TUNING r13). Round13Suite
+    // asserts the layout empirically from the per-task write audit
+    // (every partition sorted; cluster keys disjoint across partitions);
+    // the oracle proves the re-distributed write is lossless.
+    "sink_v2_distribution" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.catalog.graftmem", "graft.sources.GraftMemCatalog")
+      val t = s"evd_${Math.abs(d.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS graftmem.$t")
+      events(s, d)
+        .select(col("event_id"), col("event_type"), money(col("value")).as("cents"))
+        .writeTo(s"graftmem.$t")
+        .tableProperty("write.distribution", "event_type")
+        .tableProperty("write.ordering", "cents")
+        .createOrReplace()
+      s.table(s"graftmem.$t")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("event_type")
+    }),
+
     // Row-level operations through the V2 catalog (r12) — both MERGE
     // strategies share one builder + one oracle (see v2MergeOp): the
     // group-based ReplaceData rewrite and its delta-based WriteDelta
@@ -998,6 +1030,17 @@ object Scans {
                 max(n_name) AS last_nation
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    // The distribution/ordering write is semantically a lossless
+    // round-trip — the layout itself is asserted by the suite's write
+    // audit; the oracle proves no row was lost, duplicated, or mangled
+    // by the engine-planned exchange + sort below the write.
+    "sink_v2_distribution" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(${graft.Norm.moneySql("value")}) AS BIGINT) AS sum_cents,
+                 CAST(min(${graft.Norm.moneySql("value")}) AS BIGINT) AS min_cents,
+                 CAST(max(${graft.Norm.moneySql("value")}) AS BIGINT) AS max_cents
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "sink_cdc_apply" -> {
       val bal = graft.Norm.moneySql("c_acctbal")

@@ -484,16 +484,85 @@ class GraftMemWriteBuilder(key: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    override def description(): String =
-      s"GraftMemWrite $key truncate=$truncateFirst"
-    override def toBatch: BatchWrite = new GraftMemBatchWrite(key, schema, truncateFirst)
-    // truncate flows through (r11 review finding): a Complete-output-mode
-    // stream calls truncate() before toStreaming, and each epoch must
-    // REPLACE the table's contents, not append full state on top of the
-    // previous epoch's.
-    override def toStreaming: StreamingWrite =
-      new GraftMemStreamingWrite(key, schema, queryId, truncateFirst)
+  override def build(): Write = {
+    // Write-side distribution/ordering contract (r13 — the DSv2 rung
+    // production table formats hang their layout guarantees on): a table
+    // created with `write.distribution` / `write.ordering` properties
+    // returns a Write implementing RequiresDistributionAndOrdering, and
+    // SPARK inserts the clustering exchange + per-partition sort below
+    // the write — the connector DECLARES the layout, the engine plans it
+    // (same division of labor as the row-level operations above, and how
+    // a 100 TB sink gets one-file-per-key layouts without a manual
+    // repartition in every pipeline). Each task then observes its rows
+    // arriving clustered and sorted, which GraftMemWriteAudit records
+    // empirically (the declared op's test asserts the layout actually
+    // REACHED the writers, not just that plan text looked right).
+    val props = GraftMemStore.props(key)
+    val distCol = props.get("write.distribution")
+    val sortCol = props.get("write.ordering")
+    if (distCol.isEmpty && sortCol.isEmpty) new Write {
+      override def description(): String =
+        s"GraftMemWrite $key truncate=$truncateFirst"
+      override def toBatch: BatchWrite = new GraftMemBatchWrite(key, schema, truncateFirst)
+      // truncate flows through (r11 review finding): a Complete-output-mode
+      // stream calls truncate() before toStreaming, and each epoch must
+      // REPLACE the table's contents, not append full state on top of the
+      // previous epoch's.
+      override def toStreaming: StreamingWrite =
+        new GraftMemStreamingWrite(key, schema, queryId, truncateFirst)
+    } else {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+      GraftMemWriteAudit.reset(key)
+      new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        override def description(): String =
+          s"GraftMemWrite $key truncate=$truncateFirst dist=$distCol sort=$sortCol"
+        override def requiredDistribution(): Distribution =
+          distCol.map(c => Distributions.clustered(
+              Array[org.apache.spark.sql.connector.expressions.Expression](
+                Expressions.identity(c))))
+            .getOrElse(Distributions.unspecified())
+        override def requiredOrdering(): Array[SortOrder] =
+          sortCol.map(c => Array(Expressions.sort(Expressions.identity(c),
+              SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)))
+            .getOrElse(Array.empty[SortOrder])
+        // 0 = let Spark (AQE advisory sizing) pick the partition count —
+        // pinning a number here would recreate the fixed-partition spill
+        // knee SCALE_TUNING documents.
+        override def requiredNumPartitions(): Int = 0
+        override def toBatch: BatchWrite =
+          new GraftMemBatchWrite(key, schema, truncateFirst,
+            audit = Some(GraftMemAuditCols(key,
+              distCol.map(schema.fieldIndex), sortCol.map(schema.fieldIndex))))
+        override def toStreaming: StreamingWrite =
+          new GraftMemStreamingWrite(key, schema, queryId, truncateFirst)
+      }
+    }
+  }
+}
+
+/** Which columns the layout audit watches (resolved to field indexes on
+  * the driver, serialized into the writer factory). */
+private[graft] final case class GraftMemAuditCols(key: String,
+    clusterIdx: Option[Int], sortIdx: Option[Int])
+
+/** Empirical per-task layout audit for distribution/ordering writes
+  * (r13): each writer records whether ITS rows arrived sorted on the
+  * ordering column and which clustering keys it saw (capped — overflow
+  * recorded as None). The declared op's suite asserts sortedness in
+  * every partition and cluster-key disjointness ACROSS partitions —
+  * proof the engine-planned exchange+sort reached the write boundary. */
+private[graft] object GraftMemWriteAudit {
+  final case class Part(rows: Long, sorted: Boolean, clusterKeys: Option[Set[Any]])
+  private val audits =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Int, Part]]()
+  def reset(key: String): Unit = { audits.remove(key); () }
+  def record(key: String, partitionId: Int, p: Part): Unit =
+    audits.computeIfAbsent(key, _ => new ConcurrentHashMap[Int, Part]())
+      .put(partitionId, p)
+  def partitions(key: String): Map[Int, Part] = {
+    val m = audits.get(key)
+    if (m == null) Map.empty else m.asScala.toMap
   }
 }
 
@@ -613,10 +682,11 @@ private[sources] final class GraftMemStagedFile {
   }
 }
 
-class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean)
+class GraftMemBatchWrite(key: String, schema: StructType, truncateFirst: Boolean,
+                         audit: Option[GraftMemAuditCols] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftMemWriterFactory(schema)
+    new GraftMemWriterFactory(schema, audit)
   /** The atomic publish: until this runs, no reader can see any staged
     * row; after it, every partition is visible. The driver reads each
     * manifest's staged file in partitionId order (the stored order is a
@@ -678,7 +748,9 @@ class GraftMemStreamingWrite(key: String, schema: StructType,
       .foreach(m => GraftMemStaging.delete(m.path))
 }
 
-class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
+class GraftMemWriterFactory(schema: StructType,
+                            audit: Option[GraftMemAuditCols] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val types = schema.fields.map(_.dataType)
     new DataWriter[InternalRow] {
@@ -686,9 +758,49 @@ class GraftMemWriterFactory(schema: StructType) extends DataWriterFactory {
       // as they arrive (GraftMemStagedFile — task memory O(1), O(1)
       // manifest message, abort deletes the file).
       private val staged = new GraftMemStagedFile
-      override def write(row: InternalRow): Unit =
-        staged.emit(GraftMemCodec.copyVals(types, row))
-      override def commit(): WriterCommitMessage = staged.manifest(partitionId)
+      // Layout audit (r13, distribution/ordering writes only): O(1) state
+      // per row — the previous ordering value and a capped cluster-key
+      // set; overflow past the cap records None rather than growing.
+      private var n = 0L
+      private var sortedSoFar = true
+      private var prevSort: Any = _
+      private var clusterKeys: scala.collection.mutable.Set[Any] =
+        if (audit.exists(_.clusterIdx.isDefined)) scala.collection.mutable.Set[Any]() else null
+      private var clusterOverflow = false
+      @annotation.nowarn("cat=other-match-analysis")
+      private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1 // NULLS_FIRST
+        case (_, null) => 1
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      }
+      override def write(row: InternalRow): Unit = {
+        val vals = GraftMemCodec.copyVals(types, row)
+        audit.foreach { a =>
+          a.sortIdx.foreach { i =>
+            if (n > 0L && cmpVals(prevSort, vals(i)) > 0) sortedSoFar = false
+            prevSort = vals(i)
+          }
+          a.clusterIdx.foreach { i =>
+            if (!clusterOverflow) {
+              clusterKeys += vals(i)
+              if (clusterKeys.size > 64) { clusterOverflow = true; clusterKeys = null }
+            }
+          }
+          n += 1L
+        }
+        staged.emit(vals)
+      }
+      override def commit(): WriterCommitMessage = {
+        audit.foreach(a => GraftMemWriteAudit.record(a.key, partitionId,
+          GraftMemWriteAudit.Part(n, sortedSoFar,
+            if (clusterOverflow || clusterKeys == null) None else Some(clusterKeys.toSet))))
+        staged.manifest(partitionId)
+      }
       override def abort(): Unit = staged.abort()
       override def close(): Unit = ()
     }

@@ -98,6 +98,43 @@ class Round13Suite extends AnyFunSuite {
       s"rule must fire on array<bigint>: $p")
   }
 
+  // ----------------------------------------- sink_v2_distribution
+
+  test("sink_v2_distribution: engine-planned layout reaches the writers (sorted, disjoint clusters)") {
+    import graft.sources.GraftMemWriteAudit
+    val res = SparkEntry.queries("sink_v2_distribution")(s, d).collect()
+    assert(res.length == 5, "five event types expected")
+    val key = s"graftmem.evd_${Math.abs(d.hashCode)}"
+    val parts = GraftMemWriteAudit.partitions(key)
+    assert(parts.nonEmpty, s"no write audit recorded for $key")
+    // per-partition ordering: every writer saw its rows ascending on cents
+    parts.foreach { case (pid, p) =>
+      assert(p.sorted, s"partition $pid received unsorted rows — the required ordering did not reach the write")
+    }
+    // clustering: no event_type may span two write partitions
+    val nonEmpty = parts.filter(_._2.rows > 0)
+    val keySets = nonEmpty.map { case (pid, p) =>
+      pid -> p.clusterKeys.getOrElse(fail(s"partition $pid overflowed the cluster-key cap — 5 event types cannot"))
+    }
+    keySets.toSeq.combinations(2).foreach { case Seq((pa, ka), (pb, kb)) =>
+      assert(ka.intersect(kb).isEmpty,
+        s"cluster keys ${ka.intersect(kb)} appear in both partition $pa and $pb — clustered distribution violated")
+    }
+    // and all five types were written somewhere
+    assert(keySets.values.flatten.toSet.size == 5, "all event types must be covered")
+  }
+
+  test("sink_v2_distribution: a table without layout properties takes the plain write path") {
+    import graft.sources.GraftMemWriteAudit
+    // sink_dsv2_write has no write.distribution/ordering props — its write
+    // must not register an audit (the RequiresDistributionAndOrdering
+    // branch is property-gated, not unconditional)
+    SparkEntry.queries("sink_dsv2_write")(s, d).collect()
+    val key = s"graftmem.nation_enriched_${Math.abs(d.hashCode)}"
+    assert(GraftMemWriteAudit.partitions(key).isEmpty,
+      "plain writes must not flow through the layout-audited path")
+  }
+
   test("interned LSH pairs equal the string-verified pairs on real docs") {
     // the interning bijection cannot change the exact Jaccard verdicts:
     // run the LSH kernel (interned verify) against an independent
