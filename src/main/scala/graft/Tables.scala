@@ -86,6 +86,64 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     validate(name, spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** (bytes, fileCount) of a table's parquet path — one filesystem METADATA
+    * stat, cached per (dir, table) for the process (stat-cache = metadata,
+    * not query results; the inputs are immutable fixture trees). */
+  private val contentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+  private def contentStat(s: SparkSession, d: String, name: String): (Long, Long) =
+    contentCache.computeIfAbsent(s"$d/$name.parquet", p => {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val cs = path.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(path)
+      (cs.getLength, cs.getFileCount)
+    })
+
+  /** Round-13 scan-parallelism rebalance (opt guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    *
+    * The driver fixtures ship each table as ONE parquet file with ONE row
+    * group, and parquet splits cannot cross row groups — so stage 1 of
+    * every op (decode + the per-row projection/tokenize/partial-agg work)
+    * runs as a SINGLE task regardless of core count: the dominant cost of
+    * the heavy sf0.1 ops and the reason their times barely move between
+    * local[8] and local[32]. A deterministic hash repartition on the
+    * table's unique key right after the scan spreads that per-row work
+    * across cores. Hash-on-unique-key, not round-robin: placement is
+    * deterministic under task retries (no sortBeforeRepartition pre-sort,
+    * no SPARK-38388 class risk) and the key is unique so the spread is
+    * even (guide §2.5: high-distinct key).
+    *
+    * OPT-IN PER OPERATOR (`par = true` on the loader), never blanket: the
+    * exchange costs a flat ~0.1–0.3 s (AQE stage barrier + one corpus
+    * shuffle write from the single scan task), so it pays only where the
+    * post-scan stage-1 work it parallelizes is larger than that — measured
+    * per op in the r13 A/B (winners up to −1.6 s, cheap-op losers −0.1 to
+    * −0.5 s; OPTIMIZATION_r13.md "Scan rebalance").
+    *
+    * Scale-adaptive gate, derived from input size (never a constant tuned
+    * for one tier):
+    *  - fileCount >= cores/2 → no-op (real multi-file datasets — the sf10+
+    *    tiles, any production table — already scan with >= cores tasks);
+    *  - bytes > cap (default 256 MiB, SPARK_GRAFT_REBALANCE_CAP_MB) →
+    *    no-op (big single files from any real writer carry many row groups
+    *    and split natively; shuffling a corpus to fix decode parallelism
+    *    would invert the cost at scale);
+    *  - bytes < 64 KiB → no-op (region/nation-sized frames: the exchange
+    *    costs more than the serial work it spreads).
+    * SPARK_GRAFT_REBALANCE=0 disables outright (A/B lever; the default ON
+    * path is what the driver benches). */
+  private val rebalanceOn = !sys.env.get("SPARK_GRAFT_REBALANCE").contains("0")
+  private val rebalanceCapBytes =
+    sys.env.get("SPARK_GRAFT_REBALANCE_CAP_MB").map(_.toLong).getOrElse(256L) << 20
+  private def rebalance(s: SparkSession, d: String, name: String,
+                        df: DataFrame, keys: Seq[String]): DataFrame = {
+    if (!rebalanceOn) return df
+    val cores = s.sparkContext.defaultParallelism
+    val (bytes, files) = contentStat(s, d, name)
+    if (files >= cores / 2 || bytes > rebalanceCapBytes || bytes < (64L << 10)) df
+    else df.repartition(cores, keys.map(col): _*)
+  }
+
   /** Parquet size of `<dir>/<table>.parquet` in bytes — a filesystem
     * METADATA stat (no scan), the same primitive as
     * `LlmExtras.docsBytes` but for any table. Used by the broadcast-hint
@@ -105,8 +163,14 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val df = t(s, d, "orders")
+    if (par) rebalance(s, d, "orders", df, Seq("o_orderkey")) else df
+  }
+  def lineitem(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val df = t(s, d, "lineitem")
+    if (par) rebalance(s, d, "lineitem", df, Seq("l_orderkey", "l_linenumber")) else df
+  }
   /** `events.ts` has shipped as parquet `timestamp[ns]` (which Spark 4 only
     * reads via `nanosAsLong`) in some data generations and `timestamp[us]`
     * (read natively as TIMESTAMP_NTZ when isAdjustedToUTC=false) in others.
@@ -124,8 +188,9 @@ object Tables {
     * on both Spark and DuckDB sides (SURVEY §1.4), so sub-second precision
     * differences between generations never reach the hash compare.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
+  def events(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val raw0 = t(s, d, "events")
+    val raw = if (par) rebalance(s, d, "events", raw0, Seq("event_id")) else raw0
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn(
@@ -134,6 +199,12 @@ object Tables {
       case _ => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  def documents(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val df = t(s, d, "documents")
+    if (par) rebalance(s, d, "documents", df, Seq("doc_id")) else df
+  }
+  def embeddings(s: SparkSession, d: String, par: Boolean = false): DataFrame = {
+    val df = t(s, d, "embeddings")
+    if (par) rebalance(s, d, "embeddings", df, Seq("vec_id")) else df
+  }
 }

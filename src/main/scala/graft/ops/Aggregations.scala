@@ -35,7 +35,7 @@ object Aggregations {
     // engine-exact (a single 1e18·num²/(dena·denb) would need num² ~ 1e40+
     // — past any 128-bit width). Zero variance → NULL via the CASE guard.
     "agg_corr_matrix" -> ((s, d) => {
-      val base = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      val base = lineitem(s, d, par = true).select(col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("q"),
         money(col("l_extendedprice")).as("p"),
         d4(col("l_discount")).as("dc"),
@@ -126,7 +126,7 @@ object Aggregations {
     // Scale: one groupBy over 3 groups, map-side combining carries 10
     // numbers per (task, group) — one scan at any corpus size.
     "agg_ols_multi" -> ((s, d) => {
-      val base = lineitem(s, d).select(col("l_returnflag").as("flag"),
+      val base = lineitem(s, d, par = true).select(col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("x1"),
         d4(col("l_discount")).as("dbp"),
         money(col("l_extendedprice")).as("yc"))
@@ -277,7 +277,7 @@ object Aggregations {
     // value→count map of Spark's exact percentile (the agg_percentile_disc
     // rework rationale, applied as a first-class multi-quantile op).
     "agg_iqr" -> ((s, d) => {
-      val hist = lineitem(s, d)
+      val hist = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
@@ -296,7 +296,7 @@ object Aggregations {
     // The robust-location stat an outlier policy reports next to
     // filter_outlier_mad's flag column.
     "agg_trimmed_mean" -> ((s, d) => {
-      val vals = lineitem(s, d)
+      val vals = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .localCheckpoint(false)
       val hist = vals.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
@@ -356,7 +356,7 @@ object Aggregations {
 
     // TPC-H Q1 pricing summary — the flagship.
     "agg_hash_groupby" -> ((s, d) =>
-      lineitem(s, d)
+      lineitem(s, d, par = true)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -561,7 +561,7 @@ object Aggregations {
     // tripped the `10000 ×` headroom. The final integral division is the
     // only narrowing back to BIGINT.
     "agg_weighted" -> ((s, d) =>
-      lineitem(s, d)
+      lineitem(s, d, par = true)
         .select(col("l_returnflag"),
           d6(col("l_discount") * col("l_extendedprice")).as("wd_u"),
           d6(col("l_quantity") * col("l_extendedprice")).as("wq_u"),
@@ -704,7 +704,7 @@ object Aggregations {
       // Lazy localCheckpoint: both percentile resolutions and the count
       // read the same value-bounded histogram; without it each broadcast
       // subtree recompiles the corpus collapse (see agg_gini note).
-      val hist = lineitem(s, d)
+      val hist = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
@@ -742,7 +742,7 @@ object Aggregations {
     // BIGINT) before the single narrowing back. Identical to the ranked
     // form by construction; the oracle keeps the row_number() definition.
     "agg_gini" -> ((s, d) => {
-      val j = orders(s, d)
+      val j = orders(s, d, par = true)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
       // Lazy localCheckpoint: the collapsed histogram feeds the offset
@@ -898,7 +898,7 @@ object Aggregations {
       // Lazy localCheckpoint: the collapsed histogram feeds the crossing
       // broadcast subtree AND the probe side (see agg_gini note on why
       // ReuseExchange can't dedupe the recompute).
-      val wByPrice = lineitem(s, d)
+      val wByPrice = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))

@@ -59,7 +59,7 @@ object Filters {
     // integer cross-multiply (cents·n > total — no division, no float).
     // Output is the kept-slice census per segment.
     "filter_above_group_mean" -> ((s, d) => {
-      val o = orders(s, d)
+      val o = orders(s, d, par = true)
         .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
           tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
@@ -82,7 +82,7 @@ object Filters {
     // declared result is the kept census so the corpus-sized kept frame
     // itself never hashes.
     "filter_top_decile" -> ((s, d) => {
-      val li = lineitem(s, d)
+      val li = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
       val hist = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
       val cut = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
@@ -109,7 +109,7 @@ object Filters {
     // bucketed resolution. The 3-row stats frame broadcasts back onto the
     // pruned scan for the final filter.
     "filter_outlier_mad" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      val li = lineitem(s, d, par = true).select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
       // Lazy localCheckpoint: the histogram feeds med's two subtrees, the
       // ad-histogram derivation, and mad's two subtrees — without it each

@@ -515,10 +515,16 @@ object Joins {
       val tag = (d.hashCode & 0x7fffffff).toString
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
+      // par scan (r13): the bucketed WRITE is this op's dominant cost — each
+      // pass drops and rewrites both tables, and with the single-row-group
+      // fixture the write's sort+encode ran as one task per table. The
+      // rebalance spreads it; each task writes its own per-bucket files
+      // (bucketed tables allow >1 file per bucket) so the join still plans
+      // with zero Exchange (PlanAuditSuite keeps asserting that).
       graft.Scale.writeBucketed(
-        orders(s, d).select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 8)
+        orders(s, d, par = true).select("o_orderkey", "o_orderstatus"), ot, "o_orderkey", 8)
       graft.Scale.writeBucketed(
-        lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        lineitem(s, d, par = true).select("l_orderkey", "l_extendedprice", "l_discount"),
         lt, "l_orderkey", 8)
       s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")

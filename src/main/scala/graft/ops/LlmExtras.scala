@@ -416,7 +416,7 @@ object LlmExtras {
     // sets (what a production df-pruned postings index computes):
     // C(A→B) = |A'∩B'| / |A'| ≥ 4/5 with |A'| ≥ 5, integer cross-multiply.
     "llm_dedup_containment" -> ((s, d) => {
-      val post = documents(s, d)
+      val post = documents(s, d, par = true)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 5)
         .select(col("doc_id"), explode(expr(
@@ -572,7 +572,7 @@ object LlmExtras {
     // Counts are exact string-equality aggregates — no hashing reaches
     // the declared result.
     "llm_decontaminate" -> ((s, d) => {
-      val sh = documents(s, d)
+      val sh = documents(s, d, par = true)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(
@@ -605,7 +605,7 @@ object LlmExtras {
       // emitting spurious short grams the oracle's range() never yields —
       // the guard makes both engines emit zero grams for short docs
       // instead of leaning on the fixture's ≥10-words contract.
-      val gs = documents(s, d)
+      val gs = documents(s, d, par = true)
         .select(col("source"), split(col("text"), " ").as("t"))
         .select(col("source"), explode(expr(
           """transform(slice(t, 1, greatest(size(t) - 2, 0)),
@@ -657,7 +657,7 @@ object LlmExtras {
     // table is the one big shuffle: hash-partitioned, mergeable, the
     // canonical inverted-index build.
     "llm_dedup_substring" -> ((s, d) => {
-      val wins = documents(s, d)
+      val wins = documents(s, d, par = true)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 8)
         .select(col("doc_id"), explode(expr(

@@ -268,7 +268,15 @@ object LlmPipeline {
     * broadcasts), one windowed rank per doc, one equi-join on prefix tokens,
     * then the shared shuffle-join verify.
     */
-  def prefixJaccardPairs(tokens: DataFrame, num: Int, den: Int): DataFrame = {
+  def prefixJaccardPairs(tokens0: DataFrame, num: Int, den: Int): DataFrame = {
+    // Lazy localCheckpoint (r13): `tokens` feeds docFreq + the prefix frame
+    // + the verify join — 3 evaluations of the tokenize subtree without the
+    // truncation (the minhashSig recompute class). Corpus-linear frame,
+    // never pair-sized. (`pref` is also referenced twice, but checkpointing
+    // it would hide the doc-frequency broadcast from the audited plan; its
+    // window runs over the bounded slice, so the double evaluation is the
+    // cheap side of that trade.)
+    val tokens = tokens0.localCheckpoint(false)
     val docFreq = tokens.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val pref = tokens
@@ -994,12 +1002,19 @@ object LlmPipeline {
     * Shared by `llm_minhash_signature` (the declared signature table) and
     * `llm_lsh_bucket_stats` (the banding report over it). */
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    val toks = documents(s, d, par = true)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
     val mins = (0 until 8).map(k =>
       min(expr(s"CAST(conv(substr(md5(concat('$k:', w)), 1, 8), 16, 10) AS BIGINT)"))
         .as(s"mh$k"))
-    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // Lazy localCheckpoint (r13): band_recall references this frame ~10×
+    // (sa, sb, and one band frame per (bands, rows) config), bucket_stats
+    // 4×, accuracy 2× — without the checkpoint each reference re-runs the
+    // tokenize+8-way-md5-min collapse from the scan (the agg_gini /
+    // filter_outlier_mad recompute class). The frame is corpus-LINEAR
+    // small (9 longs per doc), so checkpointing it is the cheap side of
+    // the trade at any scale.
+    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*).localCheckpoint(false)
   }
 
   /** DuckDB twin of Spark's `conv(substr(md5(e),1,8),16,10)`: decode the

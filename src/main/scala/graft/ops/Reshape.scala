@@ -38,7 +38,7 @@ object Reshape {
     // (type, bucket) — the 32-bucket fixed-fanout trade (plan-audit
     // reviewed, the llm_global_shuffle class); output is 30·|types| rows.
     "ts_downsample_triangle" -> ((s, d) => {
-      val pts = events(s, d).select(col("event_type"),
+      val pts = events(s, d, par = true).select(col("event_type"),
         unix_timestamp(tsec(col("ts"))).as("t"),
         money(col("value")).as("v"), col("event_id"))
       val span = pts.groupBy("event_type").agg(min("t").as("t0"), max("t").as("t1"))
@@ -126,7 +126,7 @@ object Reshape {
     // minute" — then a metadata-sized (≤ types·1440·days rows) rollup to
     // per-day peaks. No window, no corpus sort, two stacked partial aggs.
     "ts_peak_concurrency" -> ((s, d) =>
-      events(s, d)
+      events(s, d, par = true)
         .select(col("event_type"),
           expr("unix_timestamp(date_trunc('second', ts)) div 60").as("m0"))
         .select(col("event_type"), explode(expr("sequence(m0, m0 + 29)")).as("minute"))
@@ -146,7 +146,7 @@ object Reshape {
     // partial-aggregatable custkey groupBy, three dim-sized histograms,
     // and a broadcast cutpoint row onto the customer-grain frame.
     "ts_rfm_scores" -> ((s, d) => {
-      val cust = orders(s, d)
+      val cust = orders(s, d, par = true)
         .select(col("o_custkey"),
           expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("day"),
           money(col("o_totalprice")).as("cents"))

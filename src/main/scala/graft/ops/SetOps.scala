@@ -43,8 +43,8 @@ object SetOps {
     "util_join_cardinality_est" -> ((s, d) => {
       def smp(c: String) = expr(
         s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16 = 0")
-      val oAll = orders(s, d).select(col("o_orderkey"))
-      val lAll = lineitem(s, d).select(col("l_orderkey"))
+      val oAll = orders(s, d, par = true).select(col("o_orderkey"))
+      val lAll = lineitem(s, d, par = true).select(col("l_orderkey"))
       val exact = oAll.join(lAll, col("o_orderkey") === col("l_orderkey"))
         .agg(count(lit(1)).as("n_exact"))
       val sampled = oAll.filter(smp("o_orderkey"))
@@ -393,7 +393,7 @@ object SetOps {
     // the row identity both engines hash is the same one SURVEY §1.4
     // guarantees comparable.
     "util_dup_rows" -> ((s, d) =>
-      events(s, d)
+      events(s, d, par = true)
         .select(col("event_id"), col("user_id"), col("event_type"),
           tsec(col("ts")).as("tss"), col("value"), col("props"))
         .groupBy("event_id", "user_id", "event_type", "tss", "value", "props")
@@ -469,10 +469,10 @@ object SetOps {
           .select(lit(name).as("tab"), col("n_rows"), col("xor_checksum"))
       ck("nation", nation(s, d),
           "concat_ws('|', n_nationkey, n_name, n_regionkey)")
-        .unionAll(ck("orders", orders(s, d),
+        .unionAll(ck("orders", orders(s, d, par = true),
           s"concat_ws('|', o_orderkey, o_custkey, ${moneySql("o_totalprice")}, " +
             "CAST(o_orderdate AS DATE), o_orderpriority)"))
-        .unionAll(ck("lineitem", lineitem(s, d),
+        .unionAll(ck("lineitem", lineitem(s, d, par = true),
           s"concat_ws('|', l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT), " +
             s"${moneySql("l_extendedprice")}, l_returnflag)"))
         .orderBy("tab")
@@ -492,7 +492,7 @@ object SetOps {
     // xors collide). Each drill level re-scans only to re-hash (no index),
     // the honest trade vs a sort-based diff that shuffles the full table.
     "util_checksum_shards" -> ((s, d) => {
-      lineitem(s, d)
+      lineitem(s, d, par = true)
         .select(expr(
           s"""CAST(conv(substring(md5(concat_ws('|', l_orderkey, l_linenumber,
               CAST(l_quantity AS BIGINT), ${moneySql("l_extendedprice")},
@@ -533,7 +533,7 @@ object SetOps {
     // 100 TB exact n_distinct is the expensive column; the sketch
     // alternative is agg_approx_distinct/agg_sketch_hll.
     "util_profile_table" -> ((s, d) =>
-      orders(s, d)
+      orders(s, d, par = true)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority"), money(col("o_totalprice")).as("cents"))
         .agg(count(lit(1)).as("n"),
