@@ -13,10 +13,20 @@ object Bench {
     // leave this unset — behavior there is unchanged.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // AQE post-shuffle coalescing targets defaultParallelism but floors
+    // each partition at coalescePartitions.minPartitionSize (Spark default
+    // 1 MB) — at fixture scale that floor, not the core count, decides
+    // post-shuffle parallelism (an 11 MB window exchange coalesces to ~10
+    // tasks on 32 cores; measured in OPTIMIZATION_r13.md "AQE floor").
+    // 128 KB keeps small shuffles core-bound locally and is scale-neutral:
+    // any shuffle past ~cores×1 MB already ignores the floor, so cluster
+    // legs see identical plans. Env-overridable for A/B.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       // Session-wide so a future timestamp[ns] regeneration reads as LONG
       // instead of failing the scan (set here, not per table read — a conf
