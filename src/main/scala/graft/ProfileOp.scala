@@ -36,13 +36,16 @@ object ProfileOp {
     val taskMax = new mutable.HashMap[Int, Long]   // jobId -> max task ms
     val taskCnt = new mutable.HashMap[Int, Int]
     val stageToJob = new mutable.HashMap[Int, Int]
+    // One shared monitor for listener callbacks AND main's drain/clear —
+    // `synchronized` alone would lock the listener instance on one side and
+    // the enclosing object on the other (r13 advice: racy drain).
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobLines.synchronized {
         jobStart(e.jobId) = (System.nanoTime(), Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse(""))
         e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
       }
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobLines.synchronized {
         stageToJob.get(e.stageId).foreach { j =>
           val ms = Option(e.taskInfo).map(_.duration).getOrElse(0L)
           taskSum(j) = taskSum.getOrElse(j, 0L) + ms
@@ -50,7 +53,7 @@ object ProfileOp {
           taskCnt(j) = taskCnt.getOrElse(j, 0) + 1
         }
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobLines.synchronized {
         jobStart.remove(e.jobId).foreach { case (t0, _) =>
           val wall = (System.nanoTime() - t0) / 1e6
           jobLines += f"[profileop]   job ${e.jobId}%3d wall=$wall%8.1f ms " +
@@ -66,7 +69,7 @@ object ProfileOp {
     keys.foreach { k =>
       SparkEntry.queries(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
     }
-    jobLines.clear()
+    jobLines.synchronized { jobLines.clear() }
     keys.foreach { k =>
       println(s"==== $k ====")
       val t0 = System.nanoTime()
@@ -74,7 +77,7 @@ object ProfileOp {
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a beat to drain
       Thread.sleep(400)
-      synchronized { jobLines.foreach(println); jobLines.clear() }
+      jobLines.synchronized { jobLines.foreach(println); jobLines.clear() }
       println(f"[profileop] $k total wall=$wall%.3f s")
     }
     spark.stop()

@@ -42,6 +42,13 @@ class PlanAuditSuite extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("l_shipdate"),
       s"column pruning failed: $readSchema")
+    // Full-pruning guarantee stays pinned where the rebalance is inactive
+    // (r13 advice): with SPARK_GRAFT_REBALANCE=0 the repartition keys must
+    // NOT widen the scan — l_orderkey is only legitimate when the gate fires.
+    if (sys.env.get("SPARK_GRAFT_REBALANCE").contains("0")) {
+      assert(!readSchema.contains("l_orderkey"),
+        s"rebalance off but repartition keys still widen the scan: $readSchema")
+    }
   }
 
   test("join_broadcast plans a BroadcastHashJoin") {
