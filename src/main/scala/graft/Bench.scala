@@ -13,20 +13,19 @@ object Bench {
     // leave this unset — behavior there is unchanged.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    // AQE post-shuffle coalescing targets defaultParallelism but floors
-    // each partition at coalescePartitions.minPartitionSize (Spark default
-    // 1 MB) — at fixture scale that floor, not the core count, decides
-    // post-shuffle parallelism (an 11 MB window exchange coalesces to ~10
-    // tasks on 32 cores; measured in OPTIMIZATION_r13.md "AQE floor").
-    // 128 KB keeps small shuffles core-bound locally and is scale-neutral:
-    // any shuffle past ~cores×1 MB already ignores the floor, so cluster
-    // legs see identical plans. Env-overridable for A/B.
-    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "128k")
+    // r14: the r13 bench-only minPartitionSize=128k conf is REVERTED to the
+    // Spark default (r13 VERDICT #2/#3: it shipped citing a measurement that
+    // was never written). The A/B is now written down (OPTIMIZATION_r14.md
+    // "minPartitionSize"): full 408-op map at CPUS=32, 128k 249.1 s vs
+    // default 248.3 s — total flat, per-query geomean 1.018 AGAINST 128k,
+    // and the heaviest percentile-family ops ran 0.2–1.5 s FASTER on the
+    // default (filter_outlier_mad 5.25→3.71: the smaller floor fragmented
+    // their many small post-shuffle stages into task-scheduling overhead).
+    // No bench-only perf conf remains.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.sql.session.timeZone", "UTC")
       // Session-wide so a future timestamp[ns] regeneration reads as LONG
       // instead of failing the scan (set here, not per table read — a conf

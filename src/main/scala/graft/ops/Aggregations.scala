@@ -296,17 +296,21 @@ object Aggregations {
     // The robust-location stat an outlier policy reports next to
     // filter_outlier_mad's flag column.
     "agg_trimmed_mean" -> ((s, d) => {
-      val vals = lineitem(s, d, par = true)
+      // r14: the trim census depends only on (flag, cents), so it derives
+      // from the SAME value-bounded histogram the cutpoints ride —
+      // n_kept = Σw, sum_kept = Σ cents·w over the [p10, p90] band — and
+      // the corpus-sized vals checkpoint + second pass disappear (guide
+      // §2.3; one corpus scan, plan diff in plans/r14).
+      val hist = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
-        .localCheckpoint(false)
-      val hist = vals.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val cp = Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
         Seq((1, 10, "p10"), (9, 10, "p90")))
-      vals.join(broadcast(cp), "l_returnflag")
+      hist.join(broadcast(cp), "l_returnflag")
         .filter(col("cents") >= col("p10") && col("cents") <= col("p90"))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_kept"), sum("cents").as("sum_kept"),
+        .agg(sum("w").as("n_kept"), sum(col("cents") * col("w")).as("sum_kept"),
           max("p10").as("p10"), max("p90").as("p90"))
         .withColumn("trimmed_mean_c", expr("sum_kept div n_kept"))
         .orderBy("l_returnflag")
@@ -704,7 +708,7 @@ object Aggregations {
       // Lazy localCheckpoint: both percentile resolutions and the count
       // read the same value-bounded histogram; without it each broadcast
       // subtree recompiles the corpus collapse (see agg_gini note).
-      val hist = lineitem(s, d, par = true)
+      val hist = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
@@ -742,7 +746,7 @@ object Aggregations {
     // BIGINT) before the single narrowing back. Identical to the ranked
     // form by construction; the oracle keeps the row_number() definition.
     "agg_gini" -> ((s, d) => {
-      val j = orders(s, d, par = true)
+      val j = orders(s, d)
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
       // Lazy localCheckpoint: the collapsed histogram feeds the offset
@@ -898,7 +902,7 @@ object Aggregations {
       // Lazy localCheckpoint: the collapsed histogram feeds the crossing
       // broadcast subtree AND the probe side (see agg_gini note on why
       // ReuseExchange can't dedupe the recompute).
-      val wByPrice = lineitem(s, d, par = true)
+      val wByPrice = lineitem(s, d)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
           col("l_quantity").cast("long").as("w"))
         .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))

@@ -59,17 +59,26 @@ object Filters {
     // integer cross-multiply (cents·n > total — no division, no float).
     // Output is the kept-slice census per segment.
     "filter_above_group_mean" -> ((s, d) => {
-      val o = orders(s, d, par = true)
+      // r14: ONE evaluation of the orders⋈customer join instead of two —
+      // the result depends only on (seg, cents), so the corpus collapses
+      // once to the value-bounded (seg, cents, w) histogram (checkpointed;
+      // the stats broadcast and the probe both read it) and both the
+      // segment stats and the kept census are derived from the histogram:
+      // n = Σw, total = Σ cents·w, n_above = Σw over kept values (guide
+      // §2.3 "aggregate before you shuffle"; plan diff in plans/r14).
+      val hist = orders(s, d)
         .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
           tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
-      val stats = o.groupBy("seg")
-        .agg(sum("cents").as("total"), count(lit(1)).as("n"))
-      o.join(broadcast(stats), Seq("seg"))
+        .groupBy("seg", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
+      val stats = hist.groupBy("seg")
+        .agg(sum(col("cents") * col("w")).as("total"), sum("w").as("n"))
+      hist.join(broadcast(stats), Seq("seg"))
         .filter(col("cents") * col("n") > col("total"))
         .groupBy("seg")
-        .agg(count(lit(1)).as("n_above"), sum("cents").as("above_cents"),
+        .agg(sum("w").as("n_above"), sum(col("cents") * col("w")).as("above_cents"),
           max("n").as("n_all"), max("total").as("total_cents"))
         .withColumn("share_bp", expr("10000 * n_above div n_all"))
         .orderBy("seg")
@@ -82,14 +91,22 @@ object Filters {
     // declared result is the kept census so the corpus-sized kept frame
     // itself never hashes.
     "filter_top_decile" -> ((s, d) => {
-      val li = lineitem(s, d, par = true)
+      // r14: the kept census depends only on (flag, cents), so it derives
+      // from the SAME value-bounded histogram the cutoff rides — n_kept =
+      // Σw, kept_cents = Σ cents·w over values ≥ p90 — and the second
+      // corpus scan + corpus-sized broadcast join disappear (guide §2.3;
+      // one scan instead of two, plan diff in plans/r14). The histogram is
+      // checkpointed once for its three consumers (the two bucketedPdisc
+      // phases and the census).
+      val hist = lineitem(s, d, par = true)
         .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
-      val hist = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
       val cut = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
-      li.join(broadcast(cut), "l_returnflag")
+      hist.join(broadcast(cut), "l_returnflag")
         .filter(col("cents") >= col("p90"))
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_kept"), sum("cents").as("kept_cents"),
+        .agg(sum("w").as("n_kept"), sum(col("cents") * col("w")).as("kept_cents"),
           max("p90").as("cutoff_cents"))
         .orderBy("l_returnflag")
     }),
@@ -109,6 +126,14 @@ object Filters {
     // bucketed resolution. The 3-row stats frame broadcasts back onto the
     // pruned scan for the final filter.
     "filter_outlier_mad" -> ((s, d) => {
+      // r14 measured-and-REJECTED: checkpointing the projected 4-column
+      // frame to make the final probe read blocks instead of re-scanning
+      // (one corpus scan instead of two) ran 4.16 s vs 4.01 s without it
+      // (CPUS=32, 3-pass min, same session) — writing + re-reading the
+      // corpus-wide blocks costs more than the pruned columnar re-scan at
+      // every tier where the checkpoint would fit. The two-scan shape
+      // stays; the r14 win here came from reverting the bench-only AQE
+      // minPartitionSize floor (5.25 → 3.71 on the full map).
       val li = lineitem(s, d, par = true).select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
       // Lazy localCheckpoint: the histogram feeds med's two subtrees, the

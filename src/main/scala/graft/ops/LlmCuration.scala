@@ -326,7 +326,7 @@ object LlmCuration {
     // projection — no shuffle except the presentation sort — so at 100 TB
     // this is a map-only pass over the corpus.
     "llm_quality_gopher" -> ((s, d) =>
-      documents(s, d, par = true)
+      documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"), col("text"))
         .select(col("doc_id"),
           size(col("t")).cast("long").as("n"),
@@ -643,7 +643,7 @@ object LlmCuration {
     // plan inherits their scale properties (broadcast benchmark probe, two
     // doc_id-keyed aggs, narrow mix filter).
     "llm_curation_e2e" -> ((s, d) => {
-      val docs = documents(s, d, par = true)
+      val docs = documents(s, d)
       // Lazy localCheckpoint: the gated profile feeds the survivor
       // semi-join AND the final anti-join leg — without it the dominant
       // explode+agg stage runs twice (the agg_gini recompute note).
@@ -1256,7 +1256,7 @@ object LlmCuration {
     // gram mass bp). Scale: 3 broadcast probes over 3 gram explodes — all
     // map-side, nothing corpus² — and the bench leg stays corpus/20-sized.
     "llm_contamination_sweep" -> ((s, d) => {
-      val docs = documents(s, d, par = true)
+      val docs = documents(s, d)
       def gramsN(df: DataFrame, n: Int): DataFrame = {
         val parts = (1 until n).map(k => s"t[i + $k]").mkString(", ")
         df.select(col("doc_id"), split(col("text"), " ").as("t"))

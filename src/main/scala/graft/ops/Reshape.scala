@@ -126,7 +126,7 @@ object Reshape {
     // minute" — then a metadata-sized (≤ types·1440·days rows) rollup to
     // per-day peaks. No window, no corpus sort, two stacked partial aggs.
     "ts_peak_concurrency" -> ((s, d) =>
-      events(s, d, par = true)
+      events(s, d)
         .select(col("event_type"),
           expr("unix_timestamp(date_trunc('second', ts)) div 60").as("m0"))
         .select(col("event_type"), explode(expr("sequence(m0, m0 + 29)")).as("minute"))
@@ -146,7 +146,7 @@ object Reshape {
     // partial-aggregatable custkey groupBy, three dim-sized histograms,
     // and a broadcast cutpoint row onto the customer-grain frame.
     "ts_rfm_scores" -> ((s, d) => {
-      val cust = orders(s, d, par = true)
+      val cust = orders(s, d)
         .select(col("o_custkey"),
           expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01') AS BIGINT)").as("day"),
           money(col("o_totalprice")).as("cents"))
@@ -158,18 +158,25 @@ object Reshape {
         .select(col("o_custkey"), (col("ref_day") - col("last_day")).as("rec"),
           col("freq"), col("mon"))
         .localCheckpoint(false)
-      // each metric's 4 quintile cutpoints resolve in ONE multi-cut pass;
-      // the three 1-row results combine via broadcast crossJoins (a join
-      // on the constant "g" key would constant-fold into a textual
-      // CartesianProduct, which the plan sweep rejects)
-      def cuts(metric: String): org.apache.spark.sql.DataFrame = {
-        val hist = base.select(lit(1L).as("g"), col(metric).as("v"))
-          .groupBy("g", "v").agg(count(lit(1)).as("w"))
-        Shared.bucketedPdiscMulti(hist, "g", "v", "w",
-          (1 to 4).map(k => (k, 5, s"${metric}_q$k"))).drop("g")
-      }
-      val cp = Seq(cuts("rec"), cuts("freq"), cuts("mon"))
-        .reduce((a, b) => a.crossJoin(broadcast(b)))
+      // r14: ALL 12 cutpoints (3 metrics × 4 quintiles) resolve in ONE
+      // stacked multi-cut pass — the three metrics stack as the histogram's
+      // GROUP column ((metric, v, w) via a ×3 explode of the customer-grain
+      // frame), bucketedPdiscMulti already partitions every phase by group,
+      // and the 3-row result pivots to the single broadcast row the scorer
+      // reads. Replaces 3 sequential histogram+two-phase chains (and their
+      // broadcast crossJoins) with one (r13 did 12 chains → 3; plan diff in
+      // plans/r14).
+      val hist3 = base.select(explode(array(
+          struct(lit("rec").as("m"), col("rec").as("v")),
+          struct(lit("freq").as("m"), col("freq").as("v")),
+          struct(lit("mon").as("m"), col("mon").as("v")))).as("e"))
+        .select(col("e.m").as("m"), col("e.v").as("v"))
+        .groupBy("m", "v").agg(count(lit(1)).as("w"))
+      val cuts3 = Shared.bucketedPdiscMulti(hist3, "m", "v", "w",
+        (1 to 4).map(k => (k, 5, s"q$k")))
+      val pivotCols = Seq("rec", "freq", "mon").flatMap(m => (1 to 4).map(k =>
+        max(when(col("m") === m, col(s"q$k"))).as(s"${m}_q$k")))
+      val cp = cuts3.groupBy().agg(pivotCols.head, pivotCols.tail: _*)
       base.crossJoin(broadcast(cp))
         .select(col("o_custkey"), col("rec"), col("freq"), col("mon"),
           expr("1 + CAST(rec > rec_q1 AS BIGINT) + CAST(rec > rec_q2 AS BIGINT)" +

@@ -43,8 +43,8 @@ object SetOps {
     "util_join_cardinality_est" -> ((s, d) => {
       def smp(c: String) = expr(
         s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16 = 0")
-      val oAll = orders(s, d, par = true).select(col("o_orderkey"))
-      val lAll = lineitem(s, d, par = true).select(col("l_orderkey"))
+      val oAll = orders(s, d).select(col("o_orderkey"))
+      val lAll = lineitem(s, d).select(col("l_orderkey"))
       val exact = oAll.join(lAll, col("o_orderkey") === col("l_orderkey"))
         .agg(count(lit(1)).as("n_exact"))
       val sampled = oAll.filter(smp("o_orderkey"))
@@ -209,17 +209,21 @@ object SetOps {
     // bucket as 1 + Σ(v > b_k) — a broadcast of 1 row of boundaries and a
     // pure integer comparison chain, then an 8-group partial agg.
     "util_stats_histogram" -> ((s, d) => {
-      val vals = orders(s, d).select(money(col("o_totalprice")).as("cents"))
-        .localCheckpoint(false)
-      val hist = vals.select(lit(1L).as("g"), col("cents"))
+      // r14: bucket occupancy depends only on the value, so it derives
+      // from the SAME value-collapsed histogram the boundaries ride —
+      // n = Σw per bucket, lo/hi unchanged — and the corpus-sized vals
+      // checkpoint + occupancy re-pass disappear (guide §2.3; one corpus
+      // scan, plan diff in plans/r14).
+      val hist = orders(s, d).select(lit(1L).as("g"), money(col("o_totalprice")).as("cents"))
         .groupBy("g", "cents").agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
       val bounds = Shared.bucketedPdiscMulti(hist, "g", "cents", "w",
         (1 to 8).map(k => (k, 8, s"b$k"))).drop("g")
-      vals.crossJoin(broadcast(bounds))
+      hist.drop("g").crossJoin(broadcast(bounds))
         .withColumn("bucket", expr(
           "1 + " + (1 to 7).map(k => s"CAST(cents > b$k AS BIGINT)").mkString(" + ")))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+        .agg(sum("w").as("n"), min("cents").as("lo"), max("cents").as("hi"))
         .orderBy("bucket")
     }),
 
@@ -393,7 +397,7 @@ object SetOps {
     // the row identity both engines hash is the same one SURVEY §1.4
     // guarantees comparable.
     "util_dup_rows" -> ((s, d) =>
-      events(s, d, par = true)
+      events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           tsec(col("ts")).as("tss"), col("value"), col("props"))
         .groupBy("event_id", "user_id", "event_type", "tss", "value", "props")
@@ -418,17 +422,27 @@ object SetOps {
       // Some(0) = fixed-cardinality dim (region/nation), always hinted;
       // Some(b) = SF-growing dim, hint size-gated through Joins.dimBroadcast
       // (the r13 broadcast-hint doctrine — see PlanAuditSuite's sweep).
+      // r14: census and orphan probe fused into ONE pass per relationship —
+      // the child collapses to per-key multiplicities FIRST (one
+      // partial-aggregatable shuffle, guide §2.3 "aggregate before you
+      // shuffle"), then a left OUTER join against the (unique-key) parent
+      // marks orphan keys as null-pk rows and all four metrics fall out of
+      // one aggregate over the KEY frame: no second child scan, no
+      // per-relationship broadcast(orph) mini-job, no countDistinct Expand,
+      // and the join probes |keys| rows instead of |rows| (plan diff in
+      // plans/r14). Join strategy per parent is unchanged (dim parents
+      // broadcast, the fact→fact edge shuffles).
       def rel(name: String, child: DataFrame, ck: String,
               parent: DataFrame, pk: String, parentBytes: Option[Long]): DataFrame = {
         val par = parent.select(col(pk))
-        val orph = child.select(col(ck))
+        child.select(col(ck)).groupBy(ck).agg(count(lit(1)).as("__rows"))
           .join(parentBytes.fold(par)(b => Joins.dimBroadcast(par, b)),
-            col(ck) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_orphan_rows"),
-            countDistinct(ck).as("n_orphan_keys"))
-        child.select(col(ck))
-          .agg(count(lit(1)).as("n_child"), countDistinct(ck).as("n_keys"))
-          .crossJoin(broadcast(orph))
+            col(ck) === col(pk), "left")
+          .agg(coalesce(sum("__rows"), lit(0L)).as("n_child"),
+            count(lit(1)).as("n_keys"),
+            coalesce(sum(when(col(pk).isNull, col("__rows")).otherwise(lit(0L))), lit(0L))
+              .as("n_orphan_rows"),
+            count(when(col(pk).isNull, lit(1))).as("n_orphan_keys"))
           .select(lit(name).as("relationship"), col("n_child"), col("n_keys"),
             col("n_orphan_rows"), col("n_orphan_keys"))
       }

@@ -233,11 +233,15 @@ object Windows {
     "win_percent" -> ((s, d) => {
       val sp = s; import sp.implicits._
       val o = orders(s, d)
-      val stats = o.agg(count(lit(1)).as("n_tot"))
       // pass 1: per-(bucket, cents) counts — one partial-aggregated shuffle.
+      // r14: checkpointed (the totals collect AND the ranks stage read it —
+      // previously the second reference recomputed the corpus collapse),
+      // and n_tot derives from the collected bucket totals instead of a
+      // third corpus scan + crossJoin (guide §1.2).
       val bv = o.select(money(col("o_totalprice")).as("cents"))
         .withColumn("bkt", expr("cents div 100000"))
         .groupBy("bkt", "cents").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       // bucket totals: value-domain-bounded numbers to the driver
       // (metadata, not data — within PlanAuditSuite's collect budget).
       val totals = bv.groupBy("bkt").agg(sum("c").as("t")).collect()
@@ -254,12 +258,13 @@ object Windows {
           var lt = bcOff.value(b)
           arr.iterator.map { case (_, v, c) => val r = (v, lt, lt + c); lt += c; r }
         }.toDF("cents", "lt", "le")
+      val nTot = totals.values.sum
       o.select(col("o_orderkey"), col("o_totalprice"),
           money(col("o_totalprice")).as("cents"))
-        .join(ranks, "cents").crossJoin(broadcast(stats))
+        .join(ranks, "cents")
         .select(col("o_orderkey"), col("o_totalprice"),
-          d4(col("lt").cast("double") / (col("n_tot") - 1).cast("double")).as("pct_rank"),
-          d4(col("le").cast("double") / col("n_tot").cast("double")).as("cdist"))
+          d4(col("lt").cast("double") / lit(nTot - 1).cast("double")).as("pct_rank"),
+          d4(col("le").cast("double") / lit(nTot).cast("double")).as("cdist"))
         .orderBy("o_totalprice", "o_orderkey")
         .limit(500)
     }),
