@@ -277,11 +277,21 @@ object LlmPipeline {
     // window runs over the bounded slice, so the double evaluation is the
     // cheap side of that trade.)
     val tokens = tokens0.localCheckpoint(false)
+    // r14 (measured, ProfileOp): the op's two heaviest stages — the per-doc
+    // rank window and the pairwise intersect verify — are CPU-DENSE but
+    // byte-LIGHT, so AQE's byte-based post-shuffle coalescing collapsed
+    // each to ONE task (2.0 s + 1.45 s serial at 32 cores). Explicit
+    // REPARTITION_BY_NUM on the stage key pins core-count parallelism
+    // (AQE never coalesces user-numbered repartitions), satisfies the
+    // window's / distinct's required distribution (no extra exchange), and
+    // stays scale-safe: per-task state is row-at-a-time either way.
+    val cores = tokens0.sparkSession.sparkContext.defaultParallelism
     val docFreq = tokens.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val pref = tokens
       .select(col("doc_id"), size(col("toks")).as("sz"), explode(col("toks")).as("tok"))
       .join(broadcast(docFreq), "tok")
+      .repartition(cores, col("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
       // prefix length |S| − ⌈(num/den)·|S|⌉ + 1, in exact integers
@@ -290,7 +300,8 @@ object LlmPipeline {
     val cand = pref.select(col("doc_id").as("doc_a"), col("tok"))
       .join(pref.select(col("doc_id").as("doc_b"), col("tok")), "tok")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
+      .repartition(cores, col("doc_a"), col("doc_b")).distinct()
     verifyPairs(cand, tokens, num, den)
   }
 
@@ -622,10 +633,14 @@ object LlmPipeline {
     // (band, bucket-key) groupBy, the band rollup runs on bucket counts.
     "llm_lsh_bucket_stats" -> ((s, d) => {
       val sig = minhashSig(s, d)
-      val bands = (0 until 4).map(b =>
-        sig.select(lit(b.toLong).as("band"),
-          col(s"mh${2 * b}").as("ra"), col(s"mh${2 * b + 1}").as("rb")))
-        .reduce(_ unionAll _)
+      // r14: the 4 band frames ride ONE explode over the signature frame
+      // instead of a 4-leg union — the union scheduled 4 × |checkpoint
+      // partitions| tasks for trivial per-task work (guide §2: per-op job
+      // shape; plan diff in plans/r14). Same rows by construction.
+      val bands = sig.select(explode(array((0 until 4).map(b =>
+          struct(lit(b.toLong).as("band"),
+            col(s"mh${2 * b}").as("ra"), col(s"mh${2 * b + 1}").as("rb"))): _*)).as("e"))
+        .select(col("e.band").as("band"), col("e.ra").as("ra"), col("e.rb").as("rb"))
       bands.groupBy("band", "ra", "rb").agg(count(lit(1)).as("sz"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_buckets"), max("sz").as("max_bucket"),
@@ -670,18 +685,26 @@ object LlmPipeline {
         .select(col("c.*"))
         .withColumn("recall_bp",
           expr("10000 * n_detected div greatest(n_true, 1)"))
-      val cand = configs.map { case (bn, r) =>
-        val bands = (0 until bn).map { bi =>
-          sig.select(lit(bi.toLong).as("band") +:
-            (0 until r).map(j => col(s"mh${bi * r + j}").as(s"k$j")): _*)
-        }.reduce(_ unionAll _)
-        bands.groupBy("band", (0 until r).map(j => s"k$j"): _*)
-          .agg(count(lit(1)).as("sz"))
-          .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L))
-            .as("candidate_pairs"))
-          .select(lit(bn.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-            col("candidate_pairs"))
-      }.reduce(_ unionAll _)
+      // r14: the cost side collapsed from a 15-leg union (8+4+2+1 band
+      // frames, each scheduling |checkpoint partitions| tasks — 256-task
+      // jobs of trivial per-task work, measured via ProfileOp) to ONE
+      // explode over the signature frame: every sig row emits its 15
+      // (config, band, bucket-key) memberships, the bucket key being the
+      // ':'-joined row values (injective on BIGINT tuples, so bucket
+      // identity — and therefore every sz and Σ C(sz,2) — is unchanged).
+      val legs = configs.flatMap { case (bn, r) =>
+        (0 until bn).map(bi =>
+          struct(lit(bn.toLong).as("bands"), lit(bi.toLong).as("band"),
+            concat_ws(":", (0 until r).map(j => col(s"mh${bi * r + j}")): _*).as("key")))
+      }
+      val cand = sig.select(explode(array(legs: _*)).as("e"))
+        .groupBy(col("e.bands").as("bands"), col("e.band").as("band"),
+          col("e.key").as("key"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("bands")
+        .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("candidate_pairs"))
+        .withColumn("rows_per_band", expr("8 div bands"))
+        .select("bands", "rows_per_band", "candidate_pairs")
       rec.join(broadcast(cand), Seq("bands", "rows_per_band"))
         .select(col("bands"), col("rows_per_band"), col("n_true"),
           col("n_detected"), col("recall_bp"), col("candidate_pairs"))
