@@ -58,27 +58,25 @@ object Filters {
     // cents), broadcast as a |segments|-row frame, and the filter is an
     // integer cross-multiply (cents·n > total — no division, no float).
     // Output is the kept-slice census per segment.
+    // r14 measured-and-REVERTED: deriving both stats and census from a
+    // checkpointed (seg, cents, w) histogram (one join evaluation instead
+    // of two) read 1.24 s on the full map vs 0.69 s for this form — at
+    // this op's size the checkpoint materialization + extra collapse
+    // exchange cost more than the second broadcast-join evaluation they
+    // save. The two-evaluation shape stays (the histogram variant is the
+    // right one only where the join side is the dominant term).
     "filter_above_group_mean" -> ((s, d) => {
-      // r14: ONE evaluation of the orders⋈customer join instead of two —
-      // the result depends only on (seg, cents), so the corpus collapses
-      // once to the value-bounded (seg, cents, w) histogram (checkpointed;
-      // the stats broadcast and the probe both read it) and both the
-      // segment stats and the kept census are derived from the histogram:
-      // n = Σw, total = Σ cents·w, n_above = Σw over kept values (guide
-      // §2.3 "aggregate before you shuffle"; plan diff in plans/r14).
-      val hist = orders(s, d)
+      val o = orders(s, d, par = true)
         .join(Joins.dimBroadcast(customer(s, d).select("c_custkey", "c_mktsegment"),
           tableBytes(s, d, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), money(col("o_totalprice")).as("cents"))
-        .groupBy("seg", "cents").agg(count(lit(1)).as("w"))
-        .localCheckpoint(false)
-      val stats = hist.groupBy("seg")
-        .agg(sum(col("cents") * col("w")).as("total"), sum("w").as("n"))
-      hist.join(broadcast(stats), Seq("seg"))
+      val stats = o.groupBy("seg")
+        .agg(sum("cents").as("total"), count(lit(1)).as("n"))
+      o.join(broadcast(stats), Seq("seg"))
         .filter(col("cents") * col("n") > col("total"))
         .groupBy("seg")
-        .agg(sum("w").as("n_above"), sum(col("cents") * col("w")).as("above_cents"),
+        .agg(count(lit(1)).as("n_above"), sum("cents").as("above_cents"),
           max("n").as("n_all"), max("total").as("total_cents"))
         .withColumn("share_bp", expr("10000 * n_above div n_all"))
         .orderBy("seg")
