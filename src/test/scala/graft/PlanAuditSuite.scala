@@ -343,14 +343,14 @@ class PlanAuditSuite extends AnyFunSuite {
       s"pair stage must key on cluster, not cross:\n${p.take(1500)}")
   }
 
-  test("util_fk_orphans: dimension parents broadcast their anti joins") {
+  test("util_fk_orphans: dimension parents broadcast their orphan-probe joins") {
     val p = plan("util_fk_orphans")
-    // 6 of 7 relationships anti-join against broadcast dims; only
-    // lineitem→orders may shuffle. (The 1-row summary crossJoins plan as
-    // broadcast nested loops by construction — free, not audited here.)
+    // r14 fused shape: the child collapses to per-key counts, then LEFT
+    // outer joins the parent key (null pk = orphan). 6 of 7 relationships
+    // probe against broadcast dims; only lineitem→orders may shuffle.
     assert(p.linesIterator.count(l => l.contains("BroadcastHashJoin") &&
-      l.contains("LeftAnti")) >= 5,
-      s"dim anti joins must broadcast:\n${p.take(2000)}")
+      l.contains("LeftOuter")) >= 5,
+      s"dim orphan probes must broadcast:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
 
