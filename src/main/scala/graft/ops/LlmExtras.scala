@@ -1574,6 +1574,8 @@ object LlmExtras {
     // (localCheckpoint'd so each step starts from materialized blocks, not
     // a growing lineage).
     "llm_sim_mmr" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
       val all = vecs(s, d)
       // Bounded query census (r11, full-inventory decade finding): at
       // vec_id % 100 the query set grew WITH the corpus, making the probe
@@ -1586,43 +1588,69 @@ object LlmExtras {
       val nv = embeddings(s, d).count()
       val qstep = math.max(100L, nv / 200L)
       val qv = all.filter(col("vec_id") % qstep === 7)
-      val cand = SimKernel.scoreAgainstQueries(s, all, qv)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
-        .filter(col("rn") <= 12)
+      // r14: top-12 per query via the map-side-combinable bounded heap
+      // (topKPerKey — exactly row_number's (cos desc, vid) order, no
+      // corpus-sized window shuffle), then the WHOLE greedy 5-step MMR
+      // selection runs inside one flatMapGroups over each query's
+      // ≤12-candidate group — per-task state is 12 vectors, never corpus.
+      // This replaces 4 unrolled join+window+union iterations, each
+      // eagerly checkpointed (~55 driver-bound jobs of 3–110 ms,
+      // ProfileOp; the frames were ≤12·|Q| rows throughout). Arithmetic
+      // is replicated operation-for-operation: candidate-pair cosine is
+      // graft_dot's index-order fold over min(|a|,|b|) dims divided by
+      // na·nb, the combine is 0.7·sim − 0.3·pen in the same IEEE order,
+      // argmax ties break by candidate id — so the greedy trajectory and
+      // every emitted double are bit-identical to the unrolled form
+      // (NaN-free by the same nonzero-norm contract as topKPerKey).
+      val cand = SimKernel.topKPerKey(s,
+          SimKernel.scoreAgainstQueries(s, all, qv), "qid", "vid", "cos", 12)
         .select(col("qid"), col("vid").as("cid"), col("cos").as("sim"))
-        .localCheckpoint(true)
-      val withV = cand.select("qid", "cid")
-        .join(all.select(col("vec_id").as("cid"), col("v"), col("nrm")), "cid")
-      val cpairs = withV.select(col("qid"), col("cid").as("ca"), col("v").as("va"), col("nrm").as("na"))
-        .join(withV.select(col("qid"), col("cid").as("cb"), col("v").as("vb"), col("nrm").as("nb")), "qid")
-        .filter(col("ca") =!= col("cb"))
-        .select(col("qid"), col("ca"), col("cb"),
-          (expr(dotExpr) / (col("na") * col("nb"))).as("csim"))
-        .localCheckpoint(true)
-      var sel = cand
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("cid"), col("sim"), lit(1L).as("rank"))
-        .localCheckpoint(true)
-      for (k <- 2 to 5) {
-        val pen = cpairs
-          .join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
-          .groupBy("qid", "ca").agg(max("csim").as("pen"))
-          .withColumnRenamed("ca", "cid")
-        val pick = cand
-          .join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
-          .join(pen, Seq("qid", "cid"))
-          .withColumn("score",
-            expr("CAST(0.7 AS DOUBLE) * sim - CAST(0.3 AS DOUBLE) * pen"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("cid"), col("sim"), lit(k.toLong).as("rank"))
-        sel = sel.unionByName(pick).localCheckpoint(true)
-      }
-      sel.select(col("qid"), col("rank"), col("cid"), d4(col("sim")).as("sim_bp"))
+      val enriched = all.select(col("vec_id").as("cid"), col("v"), col("nrm"))
+        .join(broadcast(cand), "cid")
+        .select(col("qid"), col("cid"), col("sim"), col("v"), col("nrm"))
+        .as[(Long, Long, Double, Array[Double], Double)]
+      val picked = enriched.groupByKey(_._1).flatMapGroups { (qid, it) =>
+        // (sim desc, cid asc) — row_number's total order
+        val cs = it.toArray.sortWith((a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+        val n = cs.length
+        val kMax = math.min(5, n)
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          val m = math.min(a.length, b.length)
+          var i = 0; var acc = 0.0
+          while (i < m) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        val selIdx = new Array[Int](kMax)
+        val selected = new Array[Boolean](n)
+        selIdx(0) = 0; selected(0) = true
+        var k = 1
+        while (k < kMax) {
+          var bestI = -1; var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!selected(i)) {
+              var pen = Double.NegativeInfinity
+              var j = 0
+              while (j < k) {
+                val sj = cs(selIdx(j))
+                val c = dot(cs(i)._4, sj._4) / (cs(i)._5 * sj._5)
+                if (c > pen) pen = c
+                j += 1
+              }
+              val score = 0.7 * cs(i)._3 - 0.3 * pen
+              if (bestI < 0 || score > bestScore ||
+                  (score == bestScore && cs(i)._2 < cs(bestI)._2)) {
+                bestI = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          selIdx(k) = bestI; selected(bestI) = true
+          k += 1
+        }
+        (0 until kMax).iterator.map(r => (qid, (r + 1).toLong, cs(selIdx(r))._2, cs(selIdx(r))._3))
+      }.toDF("qid", "rank", "cid", "sim")
+      picked.select(col("qid"), col("rank"), col("cid"), d4(col("sim")).as("sim_bp"))
         .orderBy("qid", "rank")
     }),
 

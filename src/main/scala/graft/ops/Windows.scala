@@ -41,8 +41,28 @@ object Windows {
     // it the frame CONTENT is tie-order-dependent and engines diverge
     // (measured: dup rows flipped r² by 2× on the sf0.01 fixture).
     "win_rolling_corr" -> ((s, d) => {
-      val w = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
-        .rowsBetween(-14, 0)
+      // r14: the six rowsBetween(-14, 0) sliding sums re-folded the whole
+      // 15-row frame per output row (SlidingWindowFunctionFrame has no
+      // retract path — O(frame)/row; ProfileOp measured 9.8 s taskSum on
+      // the window job). Each sliding sum over EXACT integers is
+      // identically cum[..0] − cum[..−15], and both cumulative frames are
+      // O(1)/row incremental (UnboundedPreceding frames), so the windowed
+      // values are bit-identical by integer arithmetic — n === 15 becomes
+      // row_number ≥ 15 on the same unique (orderkey, linenumber) order.
+      // Cumulative sums stay LONG (a DECIMAL(38,0) variant measured the
+      // whole win away: window job 5.5 s vs 3.6 s taskSum, plus decimal
+      // casts leaking into the output stage). Overflow headroom of the
+      // per-GROUP running totals: the only at-risk term is p·p (≤1.1e14
+      // per row — a long cum overflows near 10^5 rows per supplier), so
+      // p·p is SPLIT hi/lo at 2^20: each part's cum grows ≤1.05e8 / ≤2^20
+      // per row (overflow beyond ~10^10 rows per group — no real group),
+      // and the 15-row sliding difference recombines exactly in longs
+      // (≤1.65e15). ANSI mode (on) would fail loudly, not wrap, even then.
+      val ord = Window.partitionBy("l_suppkey").orderBy("l_orderkey", "l_linenumber")
+      val w0 = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val wm = ord.rowsBetween(Window.unboundedPreceding, -15)
+      def sliding(c: String): org.apache.spark.sql.Column =
+        sum(col(c)).over(w0) - coalesce(sum(col(c)).over(wm), lit(0L))
       lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("q"), money(col("l_extendedprice")).as("p"))
@@ -50,12 +70,16 @@ object Windows {
         .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
         .agg(sum("q").as("q"), sum("p").as("p"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          count(lit(1)).over(w).as("n"),
-          sum("q").over(w).as("sx"), sum("p").over(w).as("sy"),
-          sum(expr("q * p")).over(w).as("sxy"),
-          sum(expr("q * q")).over(w).as("sx2"),
-          sum(expr("p * p")).over(w).as("sy2"))
-        .filter(col("n") === 15)
+          col("q").as("dq"), col("p").as("dp"),
+          expr("q * p").as("dxy"), expr("q * q").as("dx2"),
+          expr("(p * p) div 1048576").as("dy2h"),
+          expr("(p * p) % 1048576").as("dy2l"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(ord).as("rn"),
+          sliding("dq").as("sx"), sliding("dp").as("sy"),
+          sliding("dxy").as("sxy"), sliding("dx2").as("sx2"),
+          (sliding("dy2h") * lit(1048576L) + sliding("dy2l")).as("sy2"))
+        .filter(col("rn") >= 15)
         .select(col("l_suppkey"), col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           expr("15 * sxy - sx * sy").as("num"),
