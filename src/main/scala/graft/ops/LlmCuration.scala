@@ -1265,11 +1265,21 @@ object LlmCuration {
                           (x, i) -> concat_ws(' ', x, $parts))""")).as("g"))
           .distinct()
       }
+      // r14: the three bench-side gram builds each ran as ONE 0.9 s task
+      // (5%-slice of a single-row-group scan → 1 partition into the
+      // CPU-dense tokenize+explode; ProfileOp jobs 106/107/109) and their
+      // broadcast jobs set the op's wall floor. Spread the slice before
+      // the explode — REPARTITION_BY_NUM on the unique doc_id, the same
+      // CPU-dense-stage treatment as llm_dedup_prefix_jaccard; the
+      // downstream distinct()s normalize, so results are unchanged by
+      // construction.
+      val dp = s.sparkContext.defaultParallelism
       Seq(3, 5, 8).map { n =>
         // Dedup to distinct GRAMS (gramsN dedupes (doc_id, gram)): a gram
         // shared by k bench docs would otherwise fan the probe join out ×k
         // and inflate both counters.
-        val bench = gramsN(docs.filter(col("doc_id") % 20 === 0), n).select("g").distinct()
+        val bench = gramsN(docs.filter(col("doc_id") % 20 === 0)
+          .repartition(dp, col("doc_id")), n).select("g").distinct()
         val corpus = gramsN(docs.filter(col("doc_id") % 20 =!= 0), n)
         // Same size-gated hint as llm_contamination (r12): three gram
         // widths ⇒ three bench frames, each corpus/20-scaling.

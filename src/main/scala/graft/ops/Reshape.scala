@@ -42,9 +42,16 @@ object Reshape {
         unix_timestamp(tsec(col("ts"))).as("t"),
         money(col("value")).as("v"), col("event_id"))
       val span = pts.groupBy("event_type").agg(min("t").as("t0"), max("t").as("t1"))
+      // r14: bk feeds BOTH the per-bucket context aggregation and the final
+      // per-row argmax join — without the checkpoint each consumer re-ran
+      // the scan+rebalance+span-join subtree (ProfileOp: two 0.4 s wall /
+      // ~12 s taskSum 32-task jobs doing the same work). One lazy
+      // localCheckpoint materializes the 6-narrow-column corpus-linear
+      // frame once; at scale this halves the corpus reads of the op.
       val bk = pts.join(broadcast(span), "event_type")
         .withColumn("bucket", expr("(t - t0) * 32 div (t1 - t0 + 1)"))
         .withColumn("tr", col("t") - col("t0"))
+        .localCheckpoint(false)
       val wA = Window.partitionBy("event_type").orderBy("bucket")
       val ctx = bk.groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"), sum("tr").as("st"), sum("v").as("sv"))
