@@ -165,6 +165,19 @@ object Tables {
     * UNCONDITIONAL hint converts over-budget corpora from slow-but-correct
     * shuffle joins into hard driver failures (maxResultSize / the 8 GB
     * broadcast cap) — the r10 node-frame and r12 gram-frame findings. */
+  /** Gated repartition by CALLER-chosen keys (r14): same scale-adaptive
+    * gate as the loader rebalance, but the caller picks the keys of the
+    * NEXT operator (e.g. a histogram's group columns) so ONE narrow
+    * exchange both spreads the single-row-group scan's CPU-dense stage-1
+    * AND satisfies the downstream aggregation's required distribution —
+    * where the unique-key rebalance would pay a wide exchange plus the
+    * aggregation's own ENSURE_REQUIREMENTS exchange. Apply AFTER the
+    * narrow projection. Where the gate no-ops (multi-file tiles,
+    * production tables) the plain plan keeps its map-side partial
+    * aggregation before the one exchange — the right shape at scale. */
+  def spreadBy(s: SparkSession, d: String, name: String, df: DataFrame,
+               keys: Seq[String]): DataFrame = rebalance(s, d, name, df, keys)
+
   def tableBytes(s: SparkSession, d: String, name: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength

@@ -277,8 +277,14 @@ object Aggregations {
     // value→count map of Spark's exact percentile (the agg_percentile_disc
     // rework rationale, applied as a first-class multi-quantile op).
     "agg_iqr" -> ((s, d) => {
-      val hist = lineitem(s, d, par = true)
-        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      // r14 second sitting: spread by the HISTOGRAM key after the narrow
+      // projection — one 2-column exchange serves scan-spread AND the
+      // groupBy's distribution (was: 4-column unique-key rebalance + the
+      // aggregation's own exchange). Gate no-ops at scale (filter_top_decile
+      // note).
+      val hist = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag", "cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
@@ -301,8 +307,10 @@ object Aggregations {
       // n_kept = Σw, sum_kept = Σ cents·w over the [p10, p90] band — and
       // the corpus-sized vals checkpoint + second pass disappear (guide
       // §2.3; one corpus scan, plan diff in plans/r14).
-      val hist = lineitem(s, d)
-        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      // r14 second sitting: gated spread by the histogram key (agg_iqr note).
+      val hist = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag", "cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val cp = Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
@@ -708,8 +716,10 @@ object Aggregations {
       // Lazy localCheckpoint: both percentile resolutions and the count
       // read the same value-bounded histogram; without it each broadcast
       // subtree recompiles the corpus collapse (see agg_gini note).
-      val hist = lineitem(s, d)
-        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      // r14 second sitting: gated spread by the histogram key (agg_iqr note).
+      val hist = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag", "cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val ps = Shared.bucketedPdiscMulti(hist, "l_returnflag", "cents", "w",
@@ -902,9 +912,11 @@ object Aggregations {
       // Lazy localCheckpoint: the collapsed histogram feeds the crossing
       // broadcast subtree AND the probe side (see agg_gini note on why
       // ReuseExchange can't dedupe the recompute).
-      val wByPrice = lineitem(s, d)
-        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
-          col("l_quantity").cast("long").as("w"))
+      // r14 second sitting: gated spread by the histogram key (agg_iqr note).
+      val wByPrice = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"),
+            col("l_quantity").cast("long").as("w")),
+          Seq("l_returnflag", "cents"))
         .groupBy("l_returnflag", "cents").agg(sum("w").as("wc"))
         .localCheckpoint(false)
       val byFlagBucket = wByPrice

@@ -96,8 +96,15 @@ object Filters {
       // one scan instead of two, plan diff in plans/r14). The histogram is
       // checkpointed once for its three consumers (the two bucketedPdisc
       // phases and the census).
-      val hist = lineitem(s, d, par = true)
-        .select(col("l_returnflag"), money(col("l_extendedprice")).as("cents"))
+      // r14 second sitting: the unique-key rebalance exchanged 4 columns
+      // and the groupBy then paid its own ENSURE_REQUIREMENTS exchange
+      // (ProfileOp: 17.2 s taskSum on the build job). Spreading by the
+      // HISTOGRAM key after the narrow projection makes one 2-column
+      // exchange serve both purposes (same gate — no-ops at scale where
+      // map-side combine before the exchange is the right shape).
+      val hist = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag", "cents"))
         .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val cut = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 9, 10, "p90")
@@ -138,7 +145,13 @@ object Filters {
       // ad-histogram derivation, and mad's two subtrees — without it each
       // broadcast job recompiles the corpus collapse from the scan
       // (measured 5× recompute; see agg_gini note).
-      val hist = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+      // r14 second sitting: the histogram builds from its OWN narrow
+      // spread-by-histogram-key scan (agg_iqr note) — the 4-column
+      // unique-key rebalance now pays only for the probe pass below.
+      val hist = graft.Tables.spreadBy(s, d, "lineitem",
+          lineitem(s, d).select(col("l_returnflag"), money(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag", "cents"))
+        .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val med = graft.ops.Shared.bucketedPdisc(hist, "l_returnflag", "cents", "w", 1, 2, "med")
       val adHist = hist.join(broadcast(med), "l_returnflag")

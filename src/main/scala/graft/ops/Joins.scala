@@ -369,7 +369,11 @@ object Joins {
     "join_role_playing" -> ((s, d) => {
       val cn = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
       val sn = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-      lineitem(s, d)
+      // par (r14): the probe side runs 4 broadcast joins + the agg in the
+      // SCAN stage; on the single-row-group fixture one task carried 1.2 s
+      // of that CPU (ProfileOp taskMax≈wall). The gated rebalance spreads
+      // the probe; A/B win at 32c AND 8c.
+      lineitem(s, d, par = true)
         .join(orders(s, d).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .join(dimBroadcast(customer(s, d).select("c_custkey", "c_nationkey"),

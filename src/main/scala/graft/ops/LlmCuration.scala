@@ -371,6 +371,11 @@ object LlmCuration {
       // only its own docs (the benchmark leg is corpus/20-sized), and both
       // per-doc counts come from ONE aggregation over one broadcast left
       // join — no second pass over the corpus grams, no totals⋈shared join.
+      // r14 measured-and-REJECTED: spreading the bench slice before the
+      // explode (the llm_contamination_sweep fix) ran 1.17 → 1.35 s here —
+      // ONE 5-gram bench build is too small to amortize the added
+      // exchange; the sweep wins only because its three builds (incl. the
+      // 8-gram) each cost ~0.9 s serial.
       val bench = grams5(docs.filter(col("doc_id") % 20 === 0)).select("g").distinct()
       val corpus = grams5(docs.filter(col("doc_id") % 20 =!= 0))
       // The bench slice is corpus/20 — a FRACTION, not a bound, so the
@@ -911,11 +916,21 @@ object LlmCuration {
           """transform(slice(t, 1, greatest(size(t) - 2, 0)),
                        (x, i) -> concat_ws(' ', x, t[i + 1], t[i + 2]))""")).as("g"))
         .distinct()
+      // r14: n_novel is just a COUNT per first_doc of the gram→min(doc)
+      // frame, so the gram-keyed join of the full gram frame back against
+      // `first` (a corpus-gram-sized shuffle of both legs) collapses to two
+      // independent partial-aggregatable counts — per-doc gram census and
+      // per-first_doc novelty census — joined at DOC grain (guide §2.3:
+      // shuffle keys and counts, not the gram payload). Docs with no novel
+      // grams take the left-join 0; the doc universe (docs with ≥1 gram)
+      // is identical to the inner-join form's.
       val first = g3.groupBy("g").agg(min("doc_id").as("first_doc"))
-      g3.join(first, "g")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      val novel = first.groupBy(col("first_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      g3.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           expr("10000 * n_novel div n_grams").as("novelty_bp"))
         .orderBy("doc_id")

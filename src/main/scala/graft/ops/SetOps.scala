@@ -214,7 +214,10 @@ object SetOps {
       // n = Σw per bucket, lo/hi unchanged — and the corpus-sized vals
       // checkpoint + occupancy re-pass disappear (guide §2.3; one corpus
       // scan, plan diff in plans/r14).
-      val hist = orders(s, d).select(lit(1L).as("g"), money(col("o_totalprice")).as("cents"))
+      // r14 second sitting: gated spread by the histogram key (agg_iqr note).
+      val hist = graft.Tables.spreadBy(s, d, "orders",
+          orders(s, d).select(lit(1L).as("g"), money(col("o_totalprice")).as("cents")),
+          Seq("g", "cents"))
         .groupBy("g", "cents").agg(count(lit(1)).as("w"))
         .localCheckpoint(false)
       val bounds = Shared.bucketedPdiscMulti(hist, "g", "cents", "w",
