@@ -886,7 +886,19 @@ object LlmExtras {
       // the broadcast budget they drop automatically and the src-keyed
       // shuffle join is the scale path (edge-linear either way; the hint
       // only picks hash-probe over edge-sort).
-      val wedges = edges.join(
+      // r14: the pair memo now checkpoints with defaultParallelism
+      // partitions; the union doubles that, and 3 iterations × several
+      // jobs of 64 near-empty tasks cost more than they spread at the
+      // small tier. Below the same 2 MB gate as edgeLevel, coalesce
+      // (narrow, no exchange) the edge frame back to a handful of
+      // partitions — the iteration probes measured fastest at low task
+      // counts here (sitting-1 A/B: an explicit 32-way exchange was 3.53 s
+      // vs 2.31 s without). Above the gate the frame keeps its natural
+      // partitioning.
+      val smallTier = cb < (2L << 20)
+      val wedges = (if (smallTier)
+          edges.coalesce(math.max(2, s.sparkContext.defaultParallelism / 8))
+        else edges).join(
         nodeBroadcast(edges.groupBy("src").agg(count(lit(1)).as("deg")), cb), "src")
         .localCheckpoint(true, edgeLevel)
       val deg = wedges.select("src", "deg").distinct()

@@ -154,7 +154,17 @@ private[graft] object Shared {
     * frame (a sort of the pair set, paid only where declared). */
   def wordPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(key(s, d), _ =>
-      LlmPipeline.nearDupPairs(tokenSets(s, d), sorted = false).localCheckpoint(true))
+      // r14: AQE coalesced the kernel's last shuffle to ONE partition
+      // (byte-based — the pair set is small on disk but row-heavy), so
+      // every consumer's first stage over the checkpoint ran serial
+      // (llm_dedup_near's sort sampling+map: 1.07 s single-task;
+      // llm_minhash_accuracy's pair-side join: 0.64 s). A deterministic
+      // doc_a hash repartition before the checkpoint spreads consumer
+      // stages and pre-clusters the key most consumers join/sort on; the
+      // one extra exchange lands in the UNTIMED memo build.
+      LlmPipeline.nearDupPairs(tokenSets(s, d), sorted = false)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_a"))
+        .localCheckpoint(true))
 
   /** (doc_id, cluster_rep) connected-component labels of the word near-dup
     * pair graph, for every document. */
